@@ -1,0 +1,52 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from duckdb_hdfs_spark import get_spark
+    from duckdb_hdfs_spark.queries import load_all
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    bench_queries = {n: qd for n, qd in registry.items() if qd.headline}
+
+    # JVM + code-path warmup (not counted): tiny query on one table.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, qd in bench_queries.items():
+        t0 = time.perf_counter()
+        df = qd.spark(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

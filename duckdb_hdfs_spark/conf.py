@@ -1,0 +1,131 @@
+"""HDFS connection configuration — Spark-native equivalent of the
+reference's ``HDFSParams`` / ``HDFSEnvironmentSettingsProvider``
+(hadoopfs.hpp:13-118).
+
+The reference exposes four DuckDB settings (with env-var mirrors):
+``hdfs_default_namenode``, ``hdfs_ha_namenodes``,
+``hdfs_shortcircuit``, ``hdfs_domain_socket_path``; it caches one
+libhdfs3 connection per namenode (hadoopfs.hpp:246-250).
+
+Spark's Hadoop client already implements connection pooling, HA
+failover, and short-circuit local reads — the engine work is mapping
+the same four knobs onto the right ``spark.hadoop.*`` keys.  This
+module produces that mapping; apply it with
+``apply_hdfs_conf(builder, params)`` before session creation or pass
+individual ``fs.*``/``dfs.*`` keys on a live session's
+``sparkContext._jsc.hadoopConfiguration()`` (read-only ops only).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+#: env-var names — identical to the reference's
+#: HDFSEnvironmentSettingsProvider (hadoopfs.hpp:82-85)
+ENV_DEFAULT_NAMENODE = "HDFS_DEFAULT_NAMENODE"
+ENV_HA_NAMENODES = "HDFS_HA_NAMENODES"
+ENV_SHORTCIRCUIT = "HDFS_SHORTCIRCUIT"
+ENV_DOMAIN_SOCKET_PATH = "HDFS_DOMAIN_SOCKET_PATH"
+
+
+def _normalize_namenode(namenode: str) -> str:
+    """Match the reference's normalization (hadoopfs.hpp:35-50):
+    lowercase; strip a leading ``hdfs://`` scheme and any path suffix,
+    keeping ``host[:port]``."""
+    namenode = namenode.strip().lower()
+    if namenode.startswith("hdfs://"):
+        rest = namenode[7:]
+        slash = rest.find("/")
+        if slash != -1:
+            rest = rest[:slash]
+        namenode = rest
+    return namenode
+
+
+@dataclass
+class HdfsParams:
+    """Connection parameters (reference: ``HDFSParams``, hadoopfs.hpp:13-78)."""
+
+    namenode: str = "default"
+    #: for NameNode HA: list of ``host:port`` RPC addresses
+    ha_namenodes: list[str] = field(default_factory=list)
+    #: HA logical nameservice id used when ha_namenodes is non-empty
+    nameservice: str = "ns1"
+    shortcircuit: bool = False
+    domain_socket_path: str = ""
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "HdfsParams":
+        """Reference: ``HDFSEnvironmentSettingsProvider::SetAll``
+        (hadoopfs.hpp:111-117)."""
+        env = dict(os.environ if env is None else env)
+        p = cls()
+        if ENV_DEFAULT_NAMENODE in env:
+            p.namenode = _normalize_namenode(env[ENV_DEFAULT_NAMENODE])
+        if ENV_HA_NAMENODES in env:
+            raw = env[ENV_HA_NAMENODES].strip().lower()
+            p.ha_namenodes = [s.strip() for s in raw.split(",") if s.strip()]
+        if ENV_SHORTCIRCUIT in env:
+            p.shortcircuit = env[ENV_SHORTCIRCUIT].strip().lower() == "true"
+        if ENV_DOMAIN_SOCKET_PATH in env:
+            p.domain_socket_path = env[ENV_DOMAIN_SOCKET_PATH]
+        return p
+
+    def to_hadoop_conf(self) -> dict[str, str]:
+        """Emit the ``spark.hadoop.``-prefixable Hadoop client keys."""
+        conf: dict[str, str] = {}
+        if self.ha_namenodes:
+            ns = self.nameservice
+            conf["fs.defaultFS"] = f"hdfs://{ns}"
+            conf["dfs.nameservices"] = ns
+            ids = [f"nn{i + 1}" for i in range(len(self.ha_namenodes))]
+            conf[f"dfs.ha.namenodes.{ns}"] = ",".join(ids)
+            for nn_id, addr in zip(ids, self.ha_namenodes):
+                conf[f"dfs.namenode.rpc-address.{ns}.{nn_id}"] = addr
+            conf[f"dfs.client.failover.proxy.provider.{ns}"] = (
+                "org.apache.hadoop.hdfs.server.namenode.ha."
+                "ConfiguredFailoverProxyProvider"
+            )
+        elif self.namenode and self.namenode != "default":
+            nn = _normalize_namenode(self.namenode)
+            conf["fs.defaultFS"] = f"hdfs://{nn}"
+        if self.shortcircuit:
+            conf["dfs.client.read.shortcircuit"] = "true"
+            if self.domain_socket_path:
+                conf["dfs.domain.socket.path"] = self.domain_socket_path
+        return conf
+
+    def to_spark_conf(self) -> dict[str, str]:
+        return {f"spark.hadoop.{k}": v for k, v in self.to_hadoop_conf().items()}
+
+
+def apply_hdfs_conf(builder, params: HdfsParams):
+    """Apply to a ``SparkSession.Builder`` (pre-session)."""
+    for k, v in params.to_spark_conf().items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def parse_url(url: str) -> tuple[str, str]:
+    """Split ``hdfs://host:port/path`` → ``(path, host:port)``.
+
+    Reference: ``HadoopFileSystem::ParseUrl`` (hadoopfs.hpp:146).
+    Non-hdfs URLs pass through with an empty authority so the same
+    call sites work for ``file://`` and bare paths.
+    """
+    if url.startswith("hdfs://"):
+        rest = url[7:]
+        slash = rest.find("/")
+        if slash == -1:
+            return "/", rest
+        return rest[slash:], rest[:slash]
+    if url.startswith("file://"):
+        return url[7:] or "/", ""
+    return url, ""
+
+
+def can_handle_file(path: str) -> bool:
+    """Reference: ``CanHandleFile`` (hadoopfs.hpp:212) — plus the
+    schemes Spark's Hadoop layer serves with the identical API."""
+    return path.startswith(("hdfs://", "file://", "viewfs://", "webhdfs://"))

@@ -1,0 +1,121 @@
+"""DuckDB-oracle comparison harness — mirrors the driver's
+correctness gate: row-count + schema-shape + column-name-sorted
+value comparison between a Spark result and DuckDB running the
+registered oracle SQL over the same parquet tables.
+
+Used by ``tests/`` at sf0.001 so mismatches surface before the
+driver's sf0.01 run.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_hdfs_spark.sources.catalog import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the test tables as views, as the driver does."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sort then row-sort for order-insensitive compare."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(_values_equal(x, y) for x, y in zip(la, lb))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK" if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
+        for m in self.mismatches[:5]:
+            msg += f"\n    {m}"
+        return msg
+
+
+def compare(
+    name: str, spark_df: DataFrame, con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> CompareResult:
+    sp = _canon(spark_df.toPandas())
+    du = _canon(con.execute(oracle_sql).fetchdf())
+    mism: list[str] = []
+    if list(sp.columns) != list(du.columns):
+        mism.append(f"columns: spark={list(sp.columns)} oracle={list(du.columns)}")
+    if len(sp) == len(du) and not mism:
+        for col in sp.columns:
+            a, b = sp[col].tolist(), du[col].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if not _values_equal(x, y):
+                    mism.append(f"col {col} row {i}: spark={x!r} oracle={y!r}")
+                    break
+    elif len(sp) != len(du):
+        mism.append("row count differs")
+    return CompareResult(
+        name=name,
+        ok=not mism and len(sp) == len(du),
+        spark_rows=len(sp),
+        oracle_rows=len(du),
+        mismatches=mism,
+    )
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareResult]:
+    from duckdb_hdfs_spark.queries import load_all
+
+    registry = load_all()
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name, qd in registry.items():
+        if names and name not in names:
+            continue
+        if qd.oracle is None:
+            continue
+        try:
+            results.append(compare(name, qd.spark(spark, sf_dir), con, qd.oracle))
+        except Exception as e:  # surface per-query failures without aborting the sweep
+            results.append(
+                CompareResult(name, False, -1, -1, [f"exception: {e!r:.500}"])
+            )
+    return results

@@ -1,0 +1,60 @@
+"""SparkSession construction tuned for the OLAP + pipeline workload.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion replace hand-tuned
+  partition counts when data volume varies by 1000x.
+- ``spark.sql.shuffle.partitions`` is only the *initial* value; AQE
+  coalesces it down locally and a real cluster would raise it
+  (rule of thumb: ~2-3x total cores, partitions sized 100-500 MB).
+- Arrow enabled so any pandas-boundary work (multimodal decode,
+  ``mapInPandas``) is columnar-batched, never row-at-a-time pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def builder(app_name: str = "duckdb-hdfs-spark", cpus: str | int | None = None):
+    """Return a tuned ``SparkSession.Builder``.
+
+    Local testing uses ``local[N]``; on a cluster the same configs
+    apply (master is supplied externally) — nothing here assumes
+    single-node execution.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        b = b.master(f"local[{cpus}]")
+    return b
+
+
+def get_spark(app_name: str = "duckdb-hdfs-spark") -> SparkSession:
+    """Get (or create) the tuned session."""
+    return builder(app_name).getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

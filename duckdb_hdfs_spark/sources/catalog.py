@@ -1,0 +1,55 @@
+"""Table catalog: register the test-data parquet files as temp views.
+
+The reference's usage pattern is ``SELECT * FROM
+'hdfs://nn/path/file'`` — a path *is* a table.  Spark equivalent:
+``spark.read.parquet(path)`` + temp view, or direct-path SQL
+(``SELECT … FROM parquet.`path```, see :func:`sql_path`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: small dimension tables safe to broadcast at ANY scale factor —
+#: their cardinality is fixed (region=5, nation=25) or grows far
+#: slower than the fact tables.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load + register temp views so both DataFrame code and
+    ``spark.sql`` queries see the same tables."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def sql_path(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Direct-path SQL — parity with DuckDB's ``FROM 'hdfs://…'``."""
+    return spark.sql(f"SELECT * FROM {fmt}.`{path}`")
