@@ -1,1 +1,242 @@
-"""Placeholder — populated in a later milestone."""
+"""Events / time-series analytics (SURVEY.md §2.4): tumbling
+windows, gap sessionization, funnels, retention, JSON props — the
+batch faces of the streaming pipelines in
+:mod:`duckdb_hdfs_spark.streaming`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _dsum, _t
+
+SESSION_GAP_MIN = 30
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS val_sum
+FROM events
+GROUP BY 1, 2
+""",
+    headline=True,
+)
+def ev_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation via ``F.window`` (the same
+    construct the streaming pipeline uses with a watermark).  Epoch-
+    aligned hourly windows == date_trunc('hour') in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("val_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "val_sum",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_sessionize",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess
+GROUP BY user_id, session_no
+""",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session number — one shuffle on user_id,
+    linear at any scale.  The streaming twin uses
+    ``F.session_window`` with a watermark (see streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(cum))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel",
+    oracle="""
+WITH stage AS (
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+           min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+           min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+       count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+           AS n_view_click,
+       count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click) AS n_full_funnel
+FROM stage
+""",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: one conditional-min pass
+    per user then one global roll-up — no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    has_view = F.col("t_view").isNotNull()
+    vc = has_view & (F.col("t_click") > F.col("t_view"))
+    full = vc & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.when(has_view, 1)).alias("n_view"),
+        F.count(F.when(vc, 1)).alias("n_view_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_retention",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+)
+SELECT a.d AS day, count(*) AS returned_users
+FROM daily a JOIN daily b
+  ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY a.d
+""",
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: distinct (user, day) self-joined on
+    day+1.  Scale: the distinct pass shrinks the join input to
+    O(users × active-days); join shuffles on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    nxt = daily.select(
+        F.col("user_id").alias("b_user"), F.col("d").alias("b_d")
+    )
+    return (
+        daily.join(
+            nxt,
+            (daily.user_id == nxt.b_user)
+            & (nxt.b_d == daily.d + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("returned_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_top_users",
+    oracle="""
+SELECT event_type, user_id, total_value, rk
+FROM (
+    SELECT event_type, user_id,
+           CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS total_value,
+           row_number() OVER (PARTITION BY event_type
+                ORDER BY sum(CAST(round(value, 6) AS DECIMAL(38,6))) DESC,
+                         user_id) AS rk
+    FROM events
+    GROUP BY event_type, user_id
+) t WHERE rk <= 3
+""",
+)
+def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type top-3 users by total value: agg (exact decimal) then
+    rank on the decimal sum so ordering ties are engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round("value", 6).cast("decimal(38,6)")).alias("dec_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("dec_value"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.round("dec_value", 2).cast("double").alias("total_value"),
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column — JVM-side
+    ``get_json_object`` (stays in codegen; no Python UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k.cast("int")).alias("min_k"),
+        F.max(k.cast("int")).alias("max_k"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+    )

@@ -1,1 +1,327 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function / advanced-SQL battery (SURVEY.md §2.3).
+
+Determinism rules (see tpch.py): money aggregates go through exact
+DECIMAL accumulation; *windowed* sums stay in the decimal domain end
+to end because DuckDB evaluates window aggregates with segment trees
+(different FP addition order than Spark's sequential accumulation) —
+only exact decimal arithmetic is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _dsum, _osum, _t
+from duckdb_hdfs_spark.sources.catalog import load_tables
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) t WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer.  Scale: one shuffle on o_custkey;
+    rank tie-broken by unique orderkey so results are deterministic.
+    At 100 TB, skewed customers are handled by AQE; a two-phase
+    partial top-k (per-partition heap) would shave the shuffle but
+    row_number is already single-pass."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_running_total",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS order_day,
+           CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6))), 2)
+                AS DECIMAL(38,2)) AS daily_rev
+    FROM orders GROUP BY o_orderdate
+)
+SELECT order_day, CAST(daily_rev AS DOUBLE) AS daily_rev,
+       CAST(sum(daily_rev) OVER (ORDER BY order_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_rev
+FROM daily
+""",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by day.  The running sum runs over DECIMAL
+    so segment-tree (DuckDB) vs sequential (Spark) evaluation cannot
+    diverge.  Scale: the window is unpartitioned — fine here because
+    it runs over the *daily* aggregate (O(days) rows), never over the
+    raw fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("order_day")).agg(
+        _dsum(F.col("o_totalprice")).cast("decimal(38,2)").alias("daily_rev")
+    )
+    w = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_day",
+        F.col("daily_rev").cast("double").alias("daily_rev"),
+        F.sum("daily_rev").over(w).cast("double").alias("running_rev"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+            OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of event value per user: decimal moving
+    SUM divided by moving COUNT (a moving AVG over doubles is not
+    bit-stable across engines).  Scale: shuffles once on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    mov_sum = F.sum(F.round("value", 6).cast("decimal(38,6)")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (mov_sum.cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_lag_delta",
+    oracle="""
+SELECT event_id, user_id, ts,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS delta,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user stream (IEEE subtraction of identical
+    operands is deterministic — no rounding needed)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "rollup_sales",
+    oracle=f"""
+SELECT n_name, o_orderpriority,
+       {_osum('o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+""",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → priority → grand total)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cube_sales",
+    oracle=f"""
+SELECT c_mktsegment, o_orderstatus,
+       {_osum('o_totalprice')} AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+""",
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — all 4 grouping combinations in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "grouping_sets_sales",
+    oracle=f"""
+SELECT n_name, c_mktsegment,
+       {_osum('c_acctbal')} AS acctbal,
+       count(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+""",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over the registered
+    views — exercising the SQL-string surface (parity with DuckDB's
+    ``FROM 'hdfs://…'`` SQL-first usage)."""
+    load_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+SELECT n_name, c_mktsegment,
+       CAST(round(sum(CAST(round(c_acctbal, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS acctbal,
+       count(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click_cnt,
+       count(*) FILTER (WHERE event_type = 'error')    AS error_cnt,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup_cnt,
+       count(*) FILTER (WHERE event_type = 'view')     AS view_cnt
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (open-ended pivot would need
+    a driver-side distinct pass — an anti-pattern at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("event_day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [t for t in _EVENT_TYPES])
+        .select(
+            "event_day",
+            *[F.col(t).alias(f"{t}_cnt") for t in _EVENT_TYPES],
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "distinct_users_exact",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query("distinct_users_approx", oracle=None)  # sketches differ per engine
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct — the 100 TB path (bounded memory,
+    mergeable partial sketches; exact distinct shuffles every key).
+    rows-only check: HLL++ (Spark) and DuckDB's sketch differ."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_cte_chain",
+    oracle="""
+WITH big AS (
+    SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+),
+seg AS (
+    SELECT c.c_mktsegment, count(*) AS n_big,
+           CAST(round(sum(CAST(round(b.o_totalprice, 6) AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS big_rev
+    FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, n_big, big_rev FROM seg WHERE n_big > 2
+""",
+)
+def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE chain + HAVING, run through the SQL surface."""
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+WITH big AS (
+    SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+),
+seg AS (
+    SELECT c.c_mktsegment, count(*) AS n_big,
+           CAST(round(sum(CAST(round(b.o_totalprice, 6) AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS big_rev
+    FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, n_big, big_rev FROM seg WHERE n_big > 2
+"""
+    )

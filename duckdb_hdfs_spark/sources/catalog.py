@@ -29,12 +29,31 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+#: tables with parquet TIMESTAMP(NANOS) columns — Spark's reader has
+#: no nanosecond timestamp type, so these are read as raw int64 ns
+#: (``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+#: microsecond timestamps (matching DuckDB's ``epoch_us`` floor).
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    nano_cols = _NANO_TS_COLUMNS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nano_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    return df
 
 
 def load_tables(
