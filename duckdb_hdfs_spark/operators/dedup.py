@@ -1,0 +1,128 @@
+"""Deduplication operators for LLM training corpora (SURVEY.md §2.5),
+as DataFrame compositions.
+
+Scale design (100 TB): every operator is per-row map work plus ONE
+shuffle on a content-derived key (hash / band key / block key).
+Candidate generation is always a bounded-bucket equi-join — never an
+all-pairs cross join.  At 1000-executor scale the band-key shuffle
+partitions by hash prefix, so buckets co-locate and AQE splits any
+hot bucket (e.g. boilerplate-heavy shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import (
+    band_keys,
+    md5_int60,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+
+def norm_text(text):
+    """Dedup normalization: lowercase + whitespace collapse."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_clusters(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5 over normalized text → cluster per digest.
+    One shuffle on the digest; the digest (16 bytes) is the only
+    thing shuffled besides doc_id."""
+    return (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_banded(docs: DataFrame) -> DataFrame:
+    """doc_id + exploded (band_idx, band_key) rows, ready for the
+    bucket self-join.  Signature/banding constants live in
+    functions.hashing (NUM_PERM=12, 4 bands x 3 rows)."""
+    sig = minhash_signature(word_shingles(tokens(F.col("text")), k=2))
+    banded = docs.select(
+        "doc_id", F.posexplode(band_keys(sig)).alias("band_idx", "band_key")
+    )
+    return banded
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+    The self-join is on (band_idx, band_key) — bucket-bounded."""
+    banded = minhash_banded(docs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (verification pass
+    after LSH — only candidates pay the set-intersection cost)."""
+    wordsets = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("words")
+    )
+    wa = wordsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a")
+    )
+    wb = wordsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")
+    )
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("words_a", "words_b")).cast("double")
+                / F.size(F.array_union("words_a", "words_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: per-token 60-bit md5 hash, bitwise
+    +/-1 vote per bit position, sign of each vote is the output bit.
+    Implemented as explode → 60 conditional sums → bit reassembly
+    (all JVM-side; one shuffle on doc_id).  Bucketing on the top 12
+    bits gives hamming-neighbor candidate buckets."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", md5_int60(F.col("tok")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select(
+        "doc_id",
+        sim.cast("bigint").alias("simhash"),
+        F.shiftright(sim.cast("bigint"), 48).alias("bucket"),
+    )

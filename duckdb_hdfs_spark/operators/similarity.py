@@ -1,0 +1,149 @@
+"""Similarity-search operators over embedding columns (SURVEY.md
+§2.6): exact brute-force top-k, k-NN join, hyperplane-LSH ANN, and
+IVF-style coarse quantization — all DataFrame compositions over
+``array<float>`` with JVM-side vector math (functions/vectors.py).
+
+Scale design (100 TB):
+- Brute-force top-k: probes broadcast against the corpus; cosine is
+  map-side; top-k is a per-partition window — the corpus is never
+  shuffled, only (probe x partition) partial top-k rows.
+- LSH ANN: deterministic md5-seeded hyperplanes → per-vector sign
+  signature → candidates share a signature bucket.  Probe cost drops
+  from O(N) to O(bucket).
+- IVF: coarse centroids (deterministic sample) → assign via argmin →
+  probe nearest `nprobe` cells.  The cell assignment is one broadcast
+  join; the probe join is bucket-bounded like LSH.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.vectors import cosine, dot
+
+DIM = 64
+N_PLANES = 12
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from md5 — no RNG, reproducible everywhere."""
+    digest = hashlib.md5(f"plane-{j}-dim-{d}".encode()).hexdigest()
+    return 1 if int(digest[0], 16) % 2 else -1
+
+
+def hyperplanes() -> list[list[int]]:
+    return [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+def lsh_signature(emb) -> "F.Column":
+    """Bit-signature: sign of <v, plane_j> for md5-derived ±1 planes."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(hyperplanes()):
+        plane_col = F.array(*[F.lit(float(s)) for s in plane])
+        proj = dot(emb, plane_col)
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def brute_topk(
+    probes: DataFrame, corpus: DataFrame, k: int = 5, exclude_self: bool = True
+) -> DataFrame:
+    """Exact cosine top-k per probe.  ``probes`` must be small (it is
+    broadcast); the corpus side streams — no corpus shuffle."""
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    c = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    joined = c.join(F.broadcast(p))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
+    cos = cosine(F.col("pe"), F.col("ce"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+        )
+    )
+
+
+def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """ANN via shared hyperplane-signature buckets; exact cosine +
+    top-k inside the bucket only."""
+    sig_corpus = corpus.select(
+        "vec_id", F.col("embedding").alias("ce"), lsh_signature(F.col("embedding")).alias("sig")
+    )
+    sig_probes = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        lsh_signature(F.col("embedding")).alias("psig"),
+    )
+    joined = sig_corpus.join(
+        F.broadcast(sig_probes),
+        (F.col("sig") == F.col("psig")) & (F.col("vec_id") != F.col("probe_id")),
+    )
+    cos = cosine(F.col("pe"), F.col("ce"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+def ivf_ann(
+    probes: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic corpus sample
+    (vec_id % stride), cell = argmin centroid distance (via max
+    cosine), probes search their ``nprobe`` nearest cells."""
+    cents = (
+        corpus.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("vec_id")),
+        )
+        .filter(F.col("rn") <= n_cells)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+
+    def assign(df: DataFrame, id_col: str, emb_col: str, top: int) -> DataFrame:
+        j = df.join(F.broadcast(cents))
+        cos = cosine(F.col(emb_col), F.col("cent"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+        return (
+            j.select(df["*"], F.col("cent_id"), cos.alias("cent_cos"))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= top)
+            .drop("cent_cos", "crk")
+        )
+
+    corpus_cells = assign(
+        corpus.select("vec_id", F.col("embedding").alias("ce")), "vec_id", "ce", 1
+    )
+    probe_cells = assign(
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
+        "probe_id",
+        "pe",
+        nprobe,
+    )
+    joined = corpus_cells.join(
+        F.broadcast(probe_cells), "cent_id"
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    cos = cosine(F.col("pe"), F.col("ce"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )

@@ -1,1 +1,252 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup registry entries (SURVEY.md §2.5) with DuckDB oracles.
+
+The oracle SQL re-derives minhash/banding with the same md5-based
+constructions as functions/hashing.py — hex-string minima and band
+digests are engine-identical, so LSH bucket assignments (and hence
+candidate pairs) match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import (
+    band_keys_sql,
+    minhash_signature_sql,
+    tokens_sql,
+    word_shingles_sql,
+)
+from duckdb_hdfs_spark.operators.dedup import (
+    exact_clusters,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    norm_text,
+    simhash_docs,
+)
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _t
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKSET_SQL = f"list_distinct({tokens_sql('text')})"
+_SHINGLES_SQL = word_shingles_sql("toks", k=2)
+
+# staged CTEs: each expression becomes a materialized column so the
+# md5 pipeline evaluates once per row instead of once per reference.
+_BANDED_SQL = f"""
+sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+sigs AS (
+    SELECT doc_id, {minhash_signature_sql('shingles')} AS sig FROM sh
+),
+banded AS (
+    SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
+    FROM sigs
+    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+)
+"""
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM_SQL}) AS content_hash,
+       count(*) AS cluster_size,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_clusters(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_stats",
+    oracle=f"""
+SELECT cluster_size, count(*) AS n_clusters
+FROM (
+    SELECT count(*) AS cluster_size
+    FROM documents GROUP BY md5({_NORM_SQL})
+)
+GROUP BY cluster_size
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the corpus-health metric."""
+    return (
+        exact_clusters(_t(spark, sf_dir, "documents"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_BANDED_SQL}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (12 perms, 4 bands x 3 rows)."""
+    return minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+ws AS (SELECT doc_id, {_TOKSET_SQL} AS words FROM documents)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE)
+           / len(list_distinct(list_concat(wa.words, wb.words))) AS jaccard
+FROM pairs p
+JOIN ws wa ON p.doc_a = wa.doc_id
+JOIN ws wb ON p.doc_b = wb.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact Jaccard verification (the verify pass
+    only touches candidate pairs, not the full corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, minhash_candidate_pairs(docs))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' '
+                    || coalesce(toks[i+2], '')
+           )) AS g3
+    FROM (SELECT doc_id, lang, source, {tokens_sql('text')} AS toks
+          FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.g3, b.g3))) AS jaccard3
+FROM grams a
+JOIN grams b ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g3, b.g3)) > 0
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard within (lang, source) blocks.  Blocking
+    bounds the pair count; at 100 TB the block key would be a coarse
+    content signature instead of metadata."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    g3 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat(
+                F.try_element_at(toks, i),
+                F.lit(" "),
+                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
+            ),
+        )
+    )
+    grams = docs.select("doc_id", "lang", "source", g3.alias("g3"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                inter.cast("double")
+                / F.size(F.array_union(F.col("a.g3"), F.col("b.g3")))
+            ).alias("jaccard3"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("dedup_simhash", oracle=None)  # 60 bit-vote aggregates: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash + 12-bit prefix bucket per document."""
+    return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cos",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM v a
+JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(a.embedding)),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3
+""",
+)
+def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.3 within label blocks.
+    Blocking on label bounds the self-join; the 100 TB path swaps the
+    label for an LSH sign-bucket (see sim_lsh_ann) — same join shape.
+    The threshold filter runs on the UNROUNDED cosine (identical
+    bit pattern in both engines); rounding is output-only."""
+    from duckdb_hdfs_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

@@ -1,1 +1,137 @@
-"""Placeholder — populated in a later milestone."""
+"""Filesystem/source-layer registry entries (SURVEY.md §2.1) —
+the direct parity surface with the reference extension: glob-path
+scans, CSV/JSON reads, direct-path SQL, listings, write round-trips.
+
+No HDFS daemon exists in this container, so paths are ``file://``;
+every code path goes through the identical Hadoop FileSystem API that
+serves ``hdfs://`` (see sources/fs.py and conf.py for the connection
+layer the reference configures via hdfs_default_namenode etc.).
+
+Oracle note: the driver's DuckDB connection registers table views at
+sf0.01, so path-independent oracles just select from the views —
+the round-trip through glob/CSV/JSON must reproduce the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.sources.catalog import load_table, table_path
+from duckdb_hdfs_spark.sources.fs import HadoopFs
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "duckdb_hdfs_spark_scratch")
+
+
+# --------------------------------------------------------------------------
+@query("fs_read_parquet", oracle="SELECT * FROM nation")
+def fs_read_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob-path parquet scan (reference: Glob + OpenFile + Read →
+    DuckDB parquet reader; here: Spark DataSource scan with
+    projection/filter pushdown — see tests/test_plans.py)."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/nati*n.parquet")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def fs_read_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema-explicit read-back round trip."""
+    path = os.path.join(_SCRATCH, "nation_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "nation").write.option("header", True).csv(path)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_json",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def fs_read_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON write + read-back round trip."""
+    path = os.path.join(_SCRATCH, "region_json")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "region").write.json(path)
+    return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_glob",
+    oracle="""
+SELECT parse_filename(file) AS file_name
+FROM glob('/root/testdata/sf0.01/*.parquet')
+""",
+)
+def fs_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob expansion → file inventory (reference: HadoopFileSystem::
+    Glob, hadoopfs.hpp:170).  Emits basenames so the oracle is
+    directory-independent... except DuckDB's glob() needs a literal
+    path — the driver runs at sf0.01, matching this oracle."""
+    fs = HadoopFs(spark)
+    infos = fs.glob(f"{sf_dir.rstrip('/')}/*.parquet")
+    names = [(os.path.basename(fi.path),) for fi in infos]
+    return spark.createDataFrame(names, "file_name string")
+
+
+# --------------------------------------------------------------------------
+@query("fs_ls", oracle=None)  # DuckDB has no directory-listing function
+def fs_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory listing with size + mtime (reference: ListFiles +
+    GetFileSize + GetLastModifiedTime)."""
+    fs = HadoopFs(spark)
+    rows = [
+        (os.path.basename(fi.path), fi.size, fi.is_dir)
+        for fi in fs.ls(sf_dir)
+    ]
+    return spark.createDataFrame(rows, "file_name string, size bigint, is_dir boolean")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_write_parquet",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(round(o_totalprice, 6)
+    AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def fs_write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + read-back (reference: Write +
+    CreateDirectory + MoveFile on commit).  Round-trips orders
+    partitioned by status, then re-aggregates from the written copy —
+    proving the sink preserves content."""
+    path = os.path.join(_SCRATCH, "orders_parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(
+        path
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round("o_totalprice", 6).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query("fs_sql_path", oracle="SELECT s_suppkey, s_name FROM supplier")
+def fs_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-path SQL — ``SELECT … FROM parquet.`path``` — the exact
+    analogue of DuckDB's ``SELECT * FROM 'hdfs://…/file'`` usage
+    (reference docs/README.md)."""
+    path = table_path(sf_dir, "supplier")
+    return spark.sql(f"SELECT s_suppkey, s_name FROM parquet.`{path}`")

@@ -1,1 +1,49 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal registry entries (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.multimodal.decode import decode_batches, with_binary_payload
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _t
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_binary_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS content_md5,
+       substr(hex(encode(text)), 1, 8) AS magic_prefix
+FROM documents
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata, JVM-side only (no
+    Python): byte length, content digest, magic-prefix hex."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_prefix"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query("mm_decode_features", oracle=None)  # Python decode path: rows-only
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over the binary payloads (fake
+    decoder — see multimodal/decode.py), aggregated to per-media-type
+    feature means so the output is small and schema-stable."""
+    media = with_binary_payload(_t(spark, sf_dir, "documents"))
+    decoded = decode_batches(media)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("byte_len"), 2).alias("avg_bytes"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("mean_f0"),
+    )

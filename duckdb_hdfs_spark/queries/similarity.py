@@ -1,1 +1,130 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search registry entries (SURVEY.md §2.6).
+
+``sim_bruteforce_topk`` and ``sim_knn_join`` are oracle-checked: the
+DuckDB side mirrors the sequential-fold dot product exactly
+(functions/vectors.py), so cosines are bit-identical and rank order
+(tie-broken on vec_id) matches.  The ANN variants are rows-only: the
+result is correct-by-construction exact search within buckets, but
+DuckDB re-derivation of the bucket assignment would duplicate the
+Spark plan without adding verification value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.vectors import cosine_sql
+from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _t
+
+_PROBE_FILTER = "vec_id % 100 = 0"
+
+
+def _probes(emb: DataFrame) -> DataFrame:
+    """Deterministic probe subset — every 100th vector."""
+    return emb.filter(F.col("vec_id") % 100 == 0)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE {_PROBE_FILTER}),
+scored AS (
+    SELECT p.probe_id, c.vec_id,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM embeddings c, p
+    WHERE c.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim, rk
+FROM (
+    SELECT probe_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_raw DESC, vec_id) AS rk
+    FROM scored
+) t WHERE rk <= 5
+""",
+    headline=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 100th vector as probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_topk(_probes(emb), emb, k=5)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_knn_join",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT p.probe_id, p.plabel, c.vec_id, c.label,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM embeddings c, p
+    WHERE c.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim, rk,
+       CASE WHEN plabel = label THEN 1 ELSE 0 END AS same_label
+FROM (
+    SELECT probe_id, plabel, vec_id, label, cos_raw,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_raw DESC, vec_id) AS rk
+    FROM scored
+) t WHERE rk <= 3
+""",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN join with label agreement (the eval-style variant: does
+    the neighbor share the probe's class?)."""
+    from duckdb_hdfs_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("plabel"),
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("ce"), "label")
+    joined = c.join(F.broadcast(p)).filter(F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        joined.select(
+            "probe_id",
+            "plabel",
+            "vec_id",
+            "label",
+            cosine(F.col("pe"), F.col("ce")).alias("cos_raw"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rk",
+            F.when(F.col("plabel") == F.col("label"), 1).otherwise(0).alias(
+                "same_label"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query("sim_lsh_ann", oracle=None)  # bucket-internal exact search; rows-only
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (12 md5-seeded planes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann(_probes(emb), emb, k=5)
+
+
+# --------------------------------------------------------------------------
+@query("sim_ivf_ann", oracle=None)  # rows-only
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 coarse cells, nprobe=2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann(_probes(emb), emb, n_cells=16, nprobe=2, k=5)

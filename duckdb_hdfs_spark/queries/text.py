@@ -1,1 +1,190 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis registry entries (SURVEY.md §2.7) over the
+``documents`` table, built on functions/text.py expression pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import md5_int60, md5_int60_sql, tokens, tokens_sql
+from duckdb_hdfs_spark.functions.text import (
+    lang_id,
+    lang_id_sql,
+    punct_count,
+    punct_count_sql,
+    quality_score,
+    quality_score_sql,
+    stopword_hits,
+    stopword_hits_sql,
+)
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.tpch import _t
+
+_TOKS = tokens_sql("text")
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NORM_INT60 = md5_int60_sql(_NORM)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_unique,
+       CAST(list_reduce(list_transform({_TOKS}, t -> length(t)),
+            (a, b) -> a + b) AS DOUBLE) / len({_TOKS}) AS mean_tok_len,
+       length(text) AS n_chars,
+       {punct_count_sql('text')} AS n_punct
+FROM documents
+""",
+    headline=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — the base feature pass every
+    corpus pipeline runs first.  Pure map work, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.size(toks)
+        ).alias("mean_tok_len"),
+        F.length("text").alias("n_chars"),
+        punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=f"""
+SELECT pred_lang, lang AS actual_lang, count(*) AS n_docs
+FROM (SELECT {lang_id_sql(_TOKS)} AS pred_lang, lang FROM documents)
+GROUP BY pred_lang, lang
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labelled lang column
+    (confusion counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            lang_id(tokens(F.col("text"))).alias("pred_lang"),
+            F.col("lang").alias("actual_lang"),
+        )
+        .groupBy("pred_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       round({quality_score_sql('text', _TOKS)}, 4) AS quality,
+       {stopword_hits_sql(_TOKS, 'en')} AS en_stop_hits
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (length band + mean token
+    length band + stopword density)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), toks), 4).alias("quality"),
+        stopword_hits(toks, "en").alias("en_stop_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({_NORM}) AS doc_hash,
+       list_min(list_transform(
+           generate_series(1, greatest(len({_TOKS}) - 4, 1)),
+           i -> md5({_TOKS}[i] || ' ' || coalesce({_TOKS}[i+1], '') || ' '
+                    || coalesce({_TOKS}[i+2], '') || ' '
+                    || coalesce({_TOKS}[i+3], '') || ' '
+                    || coalesce({_TOKS}[i+4], ''))
+       )) AS win_fingerprint,
+       {_NORM_INT60} AS fp_bucket
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-doc content hash + winnowing-style
+    minimum over word-5-gram hashes (stable under small edits) + a
+    60-bit integer bucket for partitioned storage."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    gram5 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
+                F.coalesce(F.try_element_at(toks, i + 3), F.lit("")),
+                F.coalesce(F.try_element_at(toks, i + 4), F.lit("")),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("doc_hash"),
+        F.array_min(gram5).alias("win_fingerprint"),
+        md5_int60(norm).alias("fp_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_ngram_freq",
+    oracle=f"""
+SELECT ngram, n
+FROM (
+    SELECT g AS ngram, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, greatest(len({_TOKS}) - 1, 1)),
+            i -> {_TOKS}[i] || ' ' || coalesce({_TOKS}[i+1], ''))) AS g
+        FROM documents
+    )
+    GROUP BY g
+)
+ORDER BY n DESC, ngram
+LIMIT 20
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency top-20 (explode → count → top-N
+    with deterministic tiebreak).  Scale: partial aggregation absorbs
+    the explosion before the shuffle; top-N is TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat(
+            F.try_element_at(toks, i),
+            F.lit(" "),
+            F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(20)
+    )
