@@ -15,9 +15,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
-    band_keys,
+    BAND_ROWS,
+    NUM_BANDS,
+    NUM_PERM,
     md5_int60,
-    minhash_signature,
+    minhash_perm,
+    shingle_hash,
     tokens,
     word_shingles,
 )
@@ -42,15 +45,49 @@ def exact_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signature_cols(docs: DataFrame) -> DataFrame:
+    """doc_id + NUM_PERM minhash columns ``m0..m{NUM_PERM-1}``.
+
+    Computed as explode(shingles) → ONE md5-derived base hash per
+    shingle → NUM_PERM universal-hash permutations (integer
+    multiply-add, see hashing.MINHASH_A/B) → groupBy(doc_id).min.
+    Every md5 is evaluated exactly once (a naive nested array
+    expression re-evaluates the signature subtree per reference —
+    quadratic blowup), and the min aggregation combines map-side, so
+    the shuffle carries only (doc_id, NUM_PERM ints) per document
+    regardless of document length.  Same math as the oracle's
+    ``minhash_sigints_sql``."""
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), k=2).alias("shingles")
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = exploded.select("doc_id", shingle_hash(F.col("s")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("h"), p)).alias(f"m{p}")
+            for p in range(NUM_PERM)
+        ]
+    )
+
+
 def minhash_banded(docs: DataFrame) -> DataFrame:
     """doc_id + exploded (band_idx, band_key) rows, ready for the
-    bucket self-join.  Signature/banding constants live in
-    functions.hashing (NUM_PERM=12, 4 bands x 3 rows)."""
-    sig = minhash_signature(word_shingles(tokens(F.col("text")), k=2))
-    banded = docs.select(
-        "doc_id", F.posexplode(band_keys(sig)).alias("band_idx", "band_key")
+    bucket self-join.  Band key = md5 over each contiguous BAND_ROWS
+    slice of the signature columns (NUM_PERM=12, 4 bands x 3 rows)."""
+    sig = minhash_signature_cols(docs)
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                )
+            )
+            for b in range(NUM_BANDS)
+        ]
     )
-    return banded
+    return sig.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
+    )
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
     band_keys_sql,
-    minhash_signature_sql,
+    minhash_sigints_sql,
+    shingle_hash_sql,
     tokens_sql,
     word_shingles_sql,
 )
@@ -38,8 +39,13 @@ sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles
     FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
 ),
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> {shingle_hash_sql('s')}) AS hashes
+    FROM sh
+),
 sigs AS (
-    SELECT doc_id, {minhash_signature_sql('shingles')} AS sig FROM sh
+    SELECT doc_id, {minhash_sigints_sql('hashes')} AS sig FROM hs
 ),
 banded AS (
     SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
@@ -156,21 +162,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard within (lang, source) blocks.  Blocking
     bounds the pair count; at 100 TB the block key would be a coarse
     content signature instead of metadata."""
+    from duckdb_hdfs_spark.functions.hashing import tokens, word_shingles
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    g3 = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat(
-                F.try_element_at(toks, i),
-                F.lit(" "),
-                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
-                F.lit(" "),
-                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
-            ),
-        )
+    grams = docs.select(
+        "doc_id", "lang", "source", word_shingles(tokens(F.col("text")), 3).alias("g3")
     )
-    grams = docs.select("doc_id", "lang", "source", g3.alias("g3"))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3")))

@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.hashing import md5_int60, md5_int60_sql, tokens, tokens_sql
+from duckdb_hdfs_spark.functions.hashing import (
+    md5_int60,
+    md5_int60_sql,
+    tokens,
+    tokens_sql,
+    word_kgrams,
+)
 from duckdb_hdfs_spark.functions.text import (
     lang_id,
     lang_id_sql,
@@ -125,25 +131,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum over word-5-gram hashes (stable under small edits) + a
     60-bit integer bucket for partitioned storage."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    gram5 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
-                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
-                F.coalesce(F.try_element_at(toks, i + 3), F.lit("")),
-                F.coalesce(F.try_element_at(toks, i + 4), F.lit("")),
-            )
-        ),
-    )
+    # gram build is lambda-safe (see hashing.word_kgrams); md5 maps the
+    # materialized gram array, touching only the lambda variable.
+    gram5 = word_kgrams(tokens(F.col("text")), 5)
     return docs.select(
         "doc_id",
         F.md5(norm).alias("doc_hash"),
-        F.array_min(gram5).alias("win_fingerprint"),
+        F.array_min(F.transform(gram5, lambda s: F.md5(s))).alias("win_fingerprint"),
         md5_int60(norm).alias("fp_bucket"),
     )
 
@@ -172,15 +167,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic tiebreak).  Scale: partial aggregation absorbs
     the explosion before the shuffle; top-N is TakeOrdered."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat(
-            F.try_element_at(toks, i),
-            F.lit(" "),
-            F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
-        ),
-    )
+    bigrams = word_kgrams(tokens(F.col("text")), 2)
     return (
         docs.select(F.explode(bigrams).alias("ngram"))
         .groupBy("ngram")
