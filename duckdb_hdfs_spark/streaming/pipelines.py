@@ -1,0 +1,190 @@
+"""Structured Streaming pipelines (SURVEY.md §2.4, tests-only ops).
+
+The reference engine has no streaming surface — these cover the
+streaming half of the Spark-native design: the same event analytics
+the batch queries compute (tumbling windows, sessionization, per-user
+running state), expressed as incremental plans over a file source.
+
+Scale design (100 TB / continuous ingest):
+- File source + explicit schema: no inference scan; each micro-batch
+  lists only new files, so ingest cost tracks arrival rate, not
+  corpus size.
+- Watermarks bound state: windowed/session aggregations drop state
+  once the watermark passes, so state store size tracks the
+  out-of-orderness bound, not stream length.
+- ``applyInPandasWithState`` for custom per-key state (running
+  totals): Arrow-batched per group, state is (count, sum) per user —
+  O(|users|) state, never O(|events|).
+- ``availableNow`` trigger for tests and backfills: processes the
+  current file set incrementally (respecting ``maxFilesPerTrigger``)
+  then stops — identical code path to a live continuous run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: events table schema (TESTDATA.md) — explicit so the stream never
+#: pays an inference scan and schema drift fails loudly.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet file-source stream of the events table."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type — the
+    streaming twin of the batch ``ev_tumbling_counts`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "2 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — the
+    streaming twin of the batch ``ev_sessionize`` query (which uses
+    the lag + cumulative-sum formulation; same session boundaries)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_running_totals(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user running (count, sum(value)) across micro-batches.
+    State is one (n, total) pair per user — bounded by key
+    cardinality, not stream length."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals emitted every
+    micro-batch (update semantics)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+) -> None:
+    """Drain the current input with an availableNow trigger into an
+    in-memory table ``name`` (tests/backfills)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - guard against hung trigger
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+
+
+def run_available_now_foreach_batch(
+    df: DataFrame, collect_into: list, output_mode: str = "update", timeout_s: int = 120
+) -> None:
+    """Drain with availableNow, appending each micro-batch's rows (as
+    Row list, tagged with batch_id) into ``collect_into``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        collect_into.append((batch_id, batch_df.collect()))
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError(f"streaming foreachBatch did not finish in {timeout_s}s")

@@ -1,0 +1,151 @@
+"""Filesystem + connection-config layer tests (SURVEY.md §2.1).
+
+No HDFS daemon exists in the container, so the JVM Hadoop FileSystem
+ops run against ``file://`` — the identical API surface executors use
+for ``hdfs://`` — and the config layer is verified by asserting the
+exact ``spark.hadoop.*`` keys a real cluster consumes."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_hdfs_spark.conf import (
+    ENV_DEFAULT_NAMENODE,
+    ENV_DOMAIN_SOCKET_PATH,
+    ENV_HA_NAMENODES,
+    ENV_SHORTCIRCUIT,
+    HdfsParams,
+    can_handle_file,
+    parse_url,
+)
+from duckdb_hdfs_spark.sources.fs import HadoopFs
+
+
+# --------------------------------------------------------------------------
+# config layer (reference: HDFSParams / env provider, hadoopfs.hpp:13-118)
+# --------------------------------------------------------------------------
+def test_params_from_env():
+    p = HdfsParams.from_env(
+        {
+            ENV_DEFAULT_NAMENODE: "hdfs://NameNode-1:9000/some/path",
+            ENV_SHORTCIRCUIT: "TRUE",
+            ENV_DOMAIN_SOCKET_PATH: "/var/lib/hdfs/dn_socket",
+        }
+    )
+    assert p.namenode == "namenode-1:9000"  # lowercased, scheme+path stripped
+    assert p.shortcircuit is True
+    assert p.domain_socket_path == "/var/lib/hdfs/dn_socket"
+
+
+def test_single_namenode_conf():
+    conf = HdfsParams(namenode="nn1:9000").to_spark_conf()
+    assert conf == {"spark.hadoop.fs.defaultFS": "hdfs://nn1:9000"}
+
+
+def test_ha_namenode_conf():
+    p = HdfsParams.from_env({ENV_HA_NAMENODES: "nn1:8020, nn2:8020"})
+    conf = p.to_hadoop_conf()
+    assert conf["fs.defaultFS"] == "hdfs://ns1"
+    assert conf["dfs.nameservices"] == "ns1"
+    assert conf["dfs.ha.namenodes.ns1"] == "nn1,nn2"
+    assert conf["dfs.namenode.rpc-address.ns1.nn1"] == "nn1:8020"
+    assert conf["dfs.namenode.rpc-address.ns1.nn2"] == "nn2:8020"
+    assert "ConfiguredFailoverProxyProvider" in conf["dfs.client.failover.proxy.provider.ns1"]
+
+
+def test_shortcircuit_conf():
+    p = HdfsParams(shortcircuit=True, domain_socket_path="/sock")
+    conf = p.to_hadoop_conf()
+    assert conf["dfs.client.read.shortcircuit"] == "true"
+    assert conf["dfs.domain.socket.path"] == "/sock"
+
+
+def test_parse_url():
+    assert parse_url("hdfs://nn:9000/a/b.parquet") == ("/a/b.parquet", "nn:9000")
+    assert parse_url("hdfs://nn:9000") == ("/", "nn:9000")
+    assert parse_url("file:///tmp/x") == ("/tmp/x", "")
+    assert parse_url("/plain/path") == ("/plain/path", "")
+
+
+def test_can_handle_file():
+    assert can_handle_file("hdfs://nn/x")
+    assert can_handle_file("viewfs://cluster/x")
+    assert can_handle_file("webhdfs://nn/x")
+    assert not can_handle_file("s3a://bucket/x")
+    assert not can_handle_file("relative/path")
+
+
+# --------------------------------------------------------------------------
+# Hadoop FileSystem ops on file:// (reference: hadoopfs.hpp:143-252)
+# --------------------------------------------------------------------------
+@pytest.fixture()
+def fs_root(spark, tmp_path):
+    fs = HadoopFs(spark)
+    root = f"file://{tmp_path}"
+    return fs, root, tmp_path
+
+
+def test_mkdirs_exists_isdir(fs_root):
+    fs, root, _ = fs_root
+    assert not fs.exists(f"{root}/d1")
+    assert fs.mkdirs(f"{root}/d1/d2")
+    assert fs.exists(f"{root}/d1/d2") and fs.is_dir(f"{root}/d1")
+
+
+def test_write_read_size_mtime(fs_root):
+    fs, root, _ = fs_root
+    payload = b"hello hdfs layer \x00\x01\xff"
+    fs.write_bytes(f"{root}/f.bin", payload)
+    assert fs.read_bytes(f"{root}/f.bin") == payload
+    assert fs.read_bytes(f"{root}/f.bin", offset=6, length=4) == b"hdfs"
+    assert fs.size(f"{root}/f.bin") == len(payload)
+    assert fs.mtime_ms(f"{root}/f.bin") > 0
+    assert not fs.is_dir(f"{root}/f.bin")
+
+
+def test_ls_mv_rm(fs_root):
+    fs, root, _ = fs_root
+    fs.mkdirs(f"{root}/d")
+    for name in ("a.txt", "b.txt"):
+        fs.write_bytes(f"{root}/d/{name}", b"x")
+    names = [fi.path.rsplit("/", 1)[1] for fi in fs.ls(f"{root}/d")]
+    assert names == ["a.txt", "b.txt"]
+    assert fs.mv(f"{root}/d/a.txt", f"{root}/d/c.txt")
+    assert fs.exists(f"{root}/d/c.txt") and not fs.exists(f"{root}/d/a.txt")
+    assert fs.rm(f"{root}/d/c.txt")
+    assert fs.rm(f"{root}/d", recursive=True)
+    assert not fs.exists(f"{root}/d")
+
+
+def test_glob_segments_and_recursive(fs_root):
+    """Glob parity with the reference's Match (hadoopfs.hpp:150-152):
+    *, ?, [..] within a segment plus ** across segments."""
+    fs, root, _ = fs_root
+    for p in ("w/2024/jan/a.parquet", "w/2024/feb/b.parquet", "w/2025/jan/c.parquet", "w/top.parquet"):
+        d = f"{root}/{p.rsplit('/', 1)[0]}"
+        fs.mkdirs(d)
+        fs.write_bytes(f"{root}/{p}", b"pq")
+
+    def rels(pattern):
+        return sorted(
+            fi.path.split(f"{root.split('://')[1]}/", 1)[1] for fi in fs.glob(pattern)
+        )
+
+    assert rels(f"{root}/w/*/jan/*.parquet") == [
+        "w/2024/jan/a.parquet",
+        "w/2025/jan/c.parquet",
+    ]
+    assert rels(f"{root}/w/2024/???/?.parquet") == [
+        "w/2024/feb/b.parquet",
+        "w/2024/jan/a.parquet",
+    ]
+    assert rels(f"{root}/w/2024/[fj]*/*.parquet") == [
+        "w/2024/feb/b.parquet",
+        "w/2024/jan/a.parquet",
+    ]
+    assert rels(f"{root}/w/**/*.parquet") == [
+        "w/2024/feb/b.parquet",
+        "w/2024/jan/a.parquet",
+        "w/2025/jan/c.parquet",
+        "w/top.parquet",
+    ]

@@ -1,0 +1,74 @@
+"""Hypothesis property tests for the hashing/text column expressions
+(SURVEY.md §5): the JVM-side expressions must agree with a direct
+Python reference implementation on arbitrary inputs — each example
+set is evaluated in ONE Spark job over a generated DataFrame."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    NUM_PERM,
+    md5_int60,
+    minhash_perm,
+    shingle_hash,
+    word_kgrams,
+)
+
+_token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789#|'\"\\~é中", min_size=1, max_size=8
+)
+_tokens = st.lists(_token, min_size=0, max_size=12)
+
+
+def _ref_kgrams(toks: list[str], k: int) -> list[str]:
+    n = max(len(toks) - (k - 1), 1)
+    padded = list(toks) + [""] * (k - 1)
+    return [" ".join(padded[i : i + k]) for i in range(n)]
+
+
+def _ref_md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_tokens, min_size=1, max_size=8), st.integers(min_value=2, max_value=5))
+def test_word_kgrams_matches_reference(spark, docs, k):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, toks array<string>")
+    got = {
+        r.id: r.grams
+        for r in df.select("id", word_kgrams(F.col("toks"), k).alias("grams")).collect()
+    }
+    want = {i: _ref_kgrams(t, k) for i, t in enumerate(docs)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(max_size=24), min_size=1, max_size=16))
+def test_md5_int60_matches_reference(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "id long, s string")
+    got = {r.id: r.h for r in df.select("id", md5_int60(F.col("s")).alias("h")).collect()}
+    for i, s in enumerate(strings):
+        assert got[i] == _ref_md5_int60(s)
+        assert 0 <= got[i] < 1 << 60
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=16), min_size=1, max_size=8))
+def test_minhash_perms_match_reference_and_range(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "id long, s string")
+    h = shingle_hash(F.col("s"))
+    cols = [minhash_perm(h, p).alias(f"m{p}") for p in range(NUM_PERM)]
+    rows = {r.id: r for r in df.select("id", *cols).collect()}
+    for i, s in enumerate(strings):
+        base = _ref_md5_int60(s) % MINHASH_PRIME
+        for p in range(NUM_PERM):
+            want = (MINHASH_A[p] * base + MINHASH_B[p]) % MINHASH_PRIME
+            got = rows[i][f"m{p}"]
+            assert got == want and 0 <= got < MINHASH_PRIME

@@ -1,0 +1,88 @@
+"""Physical-plan-shape assertions (SURVEY.md §4/§5): the properties
+that make the engine scale — pushdown reaching the parquet scan,
+small dims broadcast, partial aggregation, and NO cartesian products
+anywhere in the registry — checked on the optimized plans, not by
+running the data."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_hdfs_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product(name, spark, sf_dir):
+    """No registered query may plan a CartesianProduct — every join
+    must ride an equi-key (shuffle/broadcast hash or sort-merge).
+    A cartesian that is harmless at sf0.001 is a cluster-killer at
+    100 TB."""
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+# --------------------------------------------------------------------------
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """Q6's date/discount/quantity predicates must reach the parquet
+    reader (PushedFilters), and the scan must read only the four
+    referenced columns (ReadSchema pruning)."""
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_fs_read_parquet_prunes_columns(spark, sf_dir):
+    plan = plan_of(REGISTRY["fs_read_parquet"].spark(spark, sf_dir))
+    assert "Scan parquet" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, "projection pruning failed: reading text col"
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"])
+def test_dims_broadcast(name, spark, sf_dir):
+    """Join-heavy TPC-H shapes must broadcast their dimension sides —
+    no shuffle of the fact table onto a 25-row nation join."""
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Full-scan aggregation must combine map-side: two HashAggregate
+    nodes (partial + final) so the shuffle carries groups, not rows."""
+    df = REGISTRY["q1_pricing_summary"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    # codegen spans only materialize in the executed (AQE-final) plan,
+    # rendered as "*(n)" stage markers on each codegen'd operator
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed, "scan/filter/partial-agg stage not codegen'd"
+    assert "*(2)" in executed, "final-agg stage not codegen'd"
+
+
+def test_minhash_join_is_equijoin(spark, sf_dir):
+    """The LSH candidate self-join must be hash/sort-merge on the band
+    key, and the aggregation below it map-side partial."""
+    plan = plan_of(REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """Top-N queries must plan TakeOrderedAndProject — a global sort
+    of the full result to keep 10 rows is wrong at any scale."""
+    plan = plan_of(REGISTRY["q3_shipping_priority"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

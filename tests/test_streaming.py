@@ -1,0 +1,147 @@
+"""Structured Streaming tests (SURVEY.md §2.4): file source →
+watermark → windowed/session aggregation → memory sink, plus a custom
+stateful operator — each checked against the equivalent BATCH
+computation over the same files (incremental plan must converge to
+the batch answer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.streaming.pipelines import (
+    read_event_stream,
+    run_available_now_foreach_batch,
+    run_available_now_to_memory,
+    running_user_totals,
+    session_windows,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir, tmp_path_factory):
+    """events split into 3 time-ordered parquet files, so
+    maxFilesPerTrigger=1 yields 3 micro-batches with an advancing
+    watermark (simulated arrival order)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("event_stream"))
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    chunk = ((F.row_number().over(Window.orderBy("ts")) - 1) * 3 / F.lit(n)).cast("int")
+    ordered = events.withColumn("chunk", chunk)
+    for i in range(3):
+        (
+            ordered.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/part{i}")
+        )
+        src = _glob.glob(f"{out}/part{i}/part-*.parquet")[0]
+        shutil.move(src, f"{out}/events_{i}.parquet")
+        shutil.rmtree(f"{out}/part{i}")
+    assert len(os.listdir(out)) == 3
+    return out
+
+
+def _batch_events(spark, event_files):
+    return spark.read.parquet(f"{event_files}/*.parquet")
+
+
+def test_windowed_counts_matches_batch(spark, event_files):
+    """Complete-mode streaming window agg == batch window agg."""
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        windowed_counts(stream), "t_win_counts", output_mode="complete"
+    )
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_win_counts").collect()
+    }
+    batch = (
+        _batch_events(spark, event_files)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    want = {
+        (r["win"].start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_append_emits_only_closed_windows(spark, event_files):
+    """Append mode + watermark: only windows whose end <= final
+    watermark (max ts - delay) are emitted."""
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        windowed_counts(stream, window="1 day", watermark="1 day"),
+        "t_win_append",
+        output_mode="append",
+    )
+    emitted = spark.table("t_win_append")
+    max_ts = _batch_events(spark, event_files).agg(F.max("ts")).first()[0]
+    closed = emitted.filter(
+        F.col("win_end") > F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
+    ).count()
+    assert closed == 0, "append mode emitted a window still open at final watermark"
+    assert emitted.count() > 0, "no closed windows emitted"
+
+
+def test_session_windows_match_batch(spark, event_files):
+    """Streaming session_window sessions == batch session_window."""
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        session_windows(stream, gap="2 hours"), "t_sessions", output_mode="complete"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("t_sessions").collect()
+    }
+    batch = (
+        _batch_events(spark, event_files)
+        .groupBy(F.session_window("ts", "2 hours").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.user_id, r["sw"].start): (r["sw"].end, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_running_totals(spark, event_files):
+    """applyInPandasWithState running totals: final per-user state ==
+    batch groupBy sums, and totals only grow across micro-batches."""
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    batches: list = []
+    run_available_now_foreach_batch(running_user_totals(stream), batches)
+    assert len(batches) >= 3, f"expected >=3 micro-batches, got {len(batches)}"
+    final: dict[int, tuple] = {}
+    seen: dict[int, int] = {}
+    for _bid, rows in batches:
+        for r in rows:
+            assert r.n_events >= seen.get(r.user_id, 0), "running count shrank"
+            seen[r.user_id] = r.n_events
+            final[r.user_id] = (r.n_events, round(r.total_value, 4))
+    batch = (
+        _batch_events(spark, event_files)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+    )
+    want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert {u: (n, t) for u, (n, t) in final.items()} == want
