@@ -92,20 +92,39 @@ def minhash_banded(docs: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
-    The self-join is on (band_idx, band_key) — bucket-bounded."""
+
+    Formulated as bucket-explode, not a banded self-join: group the
+    banded rows by (band_idx, band_key), collect the doc_ids per
+    bucket, and emit in-bucket (lo, hi) pairs.  vs the self-join this
+    computes the signature pipeline ONCE (a DataFrame self-join
+    re-executes the upstream plan per side) and shuffles each banded
+    row once.  Pair explosion stays bounded by bucket size — the same
+    bound the join had — and a pathological boilerplate bucket is a
+    skewed GROUP, which AQE's skew handling splits."""
     banded = minhash_banded(docs)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda lo, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda hi: F.struct(
+                            lo.alias("doc_a"), hi.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:

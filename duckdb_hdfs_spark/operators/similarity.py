@@ -48,11 +48,47 @@ def lsh_signature(emb) -> "F.Column":
     return sig
 
 
+def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-probe top-k over (probe_id, vec_id, cos_sim) rows
+    WITHOUT shuffling the full score set:
+
+    1. partial top-k per input partition — groupBy includes
+       ``spark_partition_id()``, so the partial aggregation is
+       map-side COMPLETE and the shuffle carries only
+       partitions x probes x k structs, never the N x P score rows;
+    2. final top-k merges the per-partition winners (tiny).
+
+    Tiebreak (cos desc, vec_id asc) is applied identically in both
+    phases via the (-cos, vec_id) struct sort, so the result is
+    bit-identical to a single global window."""
+    ranked = F.struct(
+        (-F.col("cos_sim")).alias("neg_cos"), F.col("vec_id").alias("vec_id")
+    )
+    partial = (
+        scored.groupBy("probe_id", F.spark_partition_id().alias("pid"))
+        .agg(F.slice(F.sort_array(F.collect_list(ranked)), 1, k).alias("top"))
+        .select("probe_id", F.explode("top").alias("t"))
+        .select(
+            "probe_id",
+            F.col("t.vec_id").alias("vec_id"),
+            (-F.col("t.neg_cos")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
 def brute_topk(
     probes: DataFrame, corpus: DataFrame, k: int = 5, exclude_self: bool = True
 ) -> DataFrame:
     """Exact cosine top-k per probe.  ``probes`` must be small (it is
-    broadcast); the corpus side streams — no corpus shuffle."""
+    broadcast); the corpus side streams — no corpus shuffle; the
+    score rows reduce to per-partition top-k before the only
+    shuffle (see :func:`_topk_merge`)."""
     p = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
@@ -61,15 +97,7 @@ def brute_topk(
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
     cos = cosine(F.col("pe"), F.col("ce"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
-        )
-    )
+    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
 def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
@@ -88,13 +116,7 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         (F.col("sig") == F.col("psig")) & (F.col("vec_id") != F.col("probe_id")),
     )
     cos = cosine(F.col("pe"), F.col("ce"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-    )
+    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
 def ivf_ann(
@@ -140,10 +162,4 @@ def ivf_ann(
         F.broadcast(probe_cells), "cent_id"
     ).filter(F.col("vec_id") != F.col("probe_id"))
     cos = cosine(F.col("pe"), F.col("ce"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        joined.select("probe_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-    )
+    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)

@@ -73,12 +73,15 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "*(2)" in executed, "final-agg stage not codegen'd"
 
 
-def test_minhash_join_is_equijoin(spark, sf_dir):
-    """The LSH candidate self-join must be hash/sort-merge on the band
-    key, and the aggregation below it map-side partial."""
+def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
+    """LSH candidate pairs come from a single band-key bucket
+    aggregation (one pass over the signature pipeline) — no join of
+    any kind, and exactly one scan of the documents file."""
     plan = plan_of(REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Aggregate" in plan
+    # one scan node => one "Location:" entry in the node details
+    assert plan.count("Location:") == 1, "documents scanned more than once"
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
