@@ -1,0 +1,96 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.9): as-of
+(backward) join — the time-series primitive DuckDB exposes as
+``ASOF JOIN`` and the reference therefore serves over HDFS data.
+
+Scale design: the classic formulations (join on key + inequality,
+then keep the max) explode to |left| x |right-per-key| intermediate
+rows.  The union-sort formulation here shuffles each input row ONCE:
+tag both sides, union, window-sort per key by (ts, side), and carry
+the last right-side payload forward with ``last(..., ignorenulls)``.
+Cost is one shuffle + per-key sort — the same as any windowed
+aggregate — regardless of how many right rows precede each left row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` key
+    (DuckDB: ``l ASOF JOIN r ON l.on = r.on AND l.ts >= r.ts``).
+
+    Right-side ties on (on, right_ts) must be resolved by the caller
+    (e.g. keep max id per key+ts) — like DuckDB's ASOF, this picks an
+    arbitrary row otherwise.  ``how='inner'`` drops left rows with no
+    prior right row; ``'left'`` keeps them with null payload.
+    """
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    rt = rt.withColumn("__payload", F.struct(*[F.col(c) for c in payload]))
+
+    left_cols = list(left.columns)
+    payload_t = rt.schema["__payload"].dataType
+    left_sel = lt.select(
+        *left_cols, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
+    )
+    right_sel = rt.select(
+        F.col(on),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+        "__side",
+        "__ts",
+        "__payload",
+    )
+    unioned = left_sel.unionByName(right_sel)
+    # right rows sort before left rows at equal ts => '<=' semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
+    )
+    if how == "inner":
+        out = out.filter(F.col(payload[0]).isNotNull())
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower: Column,
+    upper: Column,
+    right_ts: str,
+    aggs: list[Column],
+    group: list[str],
+) -> DataFrame:
+    """Interval join + aggregate: right rows with ``lower < right_ts
+    <= upper`` per left row, grouped to ``group``.  Plans as a
+    sort-merge equi-join on ``on`` with the range as a join residual —
+    per-key bounded, never cartesian."""
+    joined = left.join(
+        right,
+        (left[on] == right[on])
+        & (right[right_ts] > lower)
+        & (right[right_ts] <= upper),
+    )
+    return joined.groupBy(*[left[g] for g in group]).agg(*aggs)

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.similarity",
     "duckdb_hdfs_spark.queries.text",
     "duckdb_hdfs_spark.queries.multimodal",
+    "duckdb_hdfs_spark.queries.advanced",
 )
 
 
