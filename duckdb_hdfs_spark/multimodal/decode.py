@@ -91,3 +91,84 @@ def decode_batches(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+#: schema after resize: same row count, payload replaced + dims
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: tile the md5
+    digest to exactly width*height bytes (a real kernel would return
+    the re-encoded image; PIL/cv2 are unavailable here)."""
+    digest = hashlib.md5(payload).digest()
+    n = width * height
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_batches(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """1:1 transform batch shape: each payload re-encoded at
+    (width, height).  Shuffle-free; output bytes bounded by w*h so
+    downstream stages size partitions independently of the input
+    image sizes."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf["payload"].map(
+                        lambda b: fake_resize(bytes(b), width, height)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+#: schema after frame sampling: one-to-many (frame rows per item)
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_sample_batches(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """1:N batch shape (video frame sampling): each payload yields
+    ``min(ceil(byte_len/256), max_frames)`` frame rows.  A real
+    kernel would seek+decode keyframes; the fake derives each frame
+    digest from (payload, frame_idx).  Output cardinality is bounded
+    by max_frames x items — the Spark-side contract a real sampler
+    must also keep."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = min(max(len(raw) + 255, 256) // 256, max_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(raw + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return media.mapInPandas(sample, FRAMES_SCHEMA)

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.multimodal.decode import decode_batches, with_binary_payload
+from duckdb_hdfs_spark.multimodal.decode import (
+    decode_batches,
+    frame_sample_batches,
+    resize_batches,
+    with_binary_payload,
+)
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries.tpch import _t
 
@@ -46,4 +51,29 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.avg("byte_len"), 2).alias("avg_bytes"),
         F.round(F.avg(F.element_at("features", 1)), 6).alias("mean_f0"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query("mm_resize", oracle=None)  # Python resize path: rows-only
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas 1:1 resize plumbing (fake kernel): output payload
+    size fixed at width*height regardless of input size."""
+    media = with_binary_payload(_t(spark, sf_dir, "documents"))
+    resized = resize_batches(media, width=16, height=16)
+    return resized.select(
+        "doc_id", "width", "height", F.length("resized").alias("resized_bytes")
+    )
+
+
+# --------------------------------------------------------------------------
+@query("mm_frame_sample", oracle=None)  # Python 1:N path: rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas 1:N frame-sampling plumbing (fake kernel):
+    per-item frame counts, bounded by max_frames."""
+    media = with_binary_payload(_t(spark, sf_dir, "documents"))
+    frames = frame_sample_batches(media, max_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_md5").alias("first_frame_md5"),
     )
