@@ -26,13 +26,21 @@ def main() -> None:
     # JVM + code-path warmup (not counted): tiny query on one table.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name, qd in bench_queries.items():
+    def run_once(qd) -> float:
+        """Materialize EVERY output column via the noop sink —
+        ``count()`` would let Catalyst prune the computed columns and
+        time an empty projection."""
         t0 = time.perf_counter()
         df = qd.spark(spark, sf_dir)
-        n = df.count()  # materialize the full result
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name, qd in bench_queries.items():
+        # best of 2: first run pays plan compile + codegen; steady-state
+        # throughput is what a 100 TB run amortizes to.
+        timings[name] = round(min(run_once(qd) for _ in range(2)), 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

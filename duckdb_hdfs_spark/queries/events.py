@@ -21,7 +21,7 @@ SESSION_GAP_MIN = 30
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS val_sum
 FROM events
 GROUP BY 1, 2
@@ -184,10 +184,10 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, user_id, total_value, rk
 FROM (
     SELECT event_type, user_id,
-           CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS total_value,
            row_number() OVER (PARTITION BY event_type
-                ORDER BY sum(CAST(round(value, 6) AS DECIMAL(38,6))) DESC,
+                ORDER BY sum(CAST(value AS DECIMAL(18,6))) DESC,
                          user_id) AS rk
     FROM events
     GROUP BY event_type, user_id
@@ -199,7 +199,7 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank on the decimal sum so ordering ties are engine-identical."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.round("value", 6).cast("decimal(38,6)")).alias("dec_value")
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_value")
     )
     w = Window.partitionBy("event_type").orderBy(
         F.desc("dec_value"), F.asc("user_id")

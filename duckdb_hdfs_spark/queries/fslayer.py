@@ -101,8 +101,7 @@ def fs_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fs_write_parquet",
     oracle="""
-SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(round(o_totalprice, 6)
-    AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -119,9 +118,7 @@ def fs_write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round("o_totalprice", 6).cast("decimal(38,6)")), 2
-        )
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
         .cast("double")
         .alias("total"),
     )

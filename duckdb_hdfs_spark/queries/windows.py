@@ -58,7 +58,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
     SELECT o_orderdate AS order_day,
-           CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6))), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
                 AS DECIMAL(38,2)) AS daily_rev
     FROM orders GROUP BY o_orderdate
 )
@@ -92,7 +92,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
             OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -109,7 +109,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-6, 0)
     )
-    mov_sum = F.sum(F.round("value", 6).cast("decimal(38,6)")).over(w)
+    mov_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
     return ev.select(
         "event_id",
         "user_id",
@@ -219,7 +219,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT n_name, c_mktsegment,
-       CAST(round(sum(CAST(round(c_acctbal, 6) AS DECIMAL(38,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS acctbal,
        count(*) AS n_cust
 FROM customer c
@@ -299,7 +299,7 @@ WITH big AS (
 ),
 seg AS (
     SELECT c.c_mktsegment, count(*) AS n_big,
-           CAST(round(sum(CAST(round(b.o_totalprice, 6) AS DECIMAL(38,6))), 2)
+           CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(18,6))), 2)
                 AS DOUBLE) AS big_rev
     FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -317,7 +317,7 @@ WITH big AS (
 ),
 seg AS (
     SELECT c.c_mktsegment, count(*) AS n_big,
-           CAST(round(sum(CAST(round(b.o_totalprice, 6) AS DECIMAL(38,6))), 2)
+           CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(18,6))), 2)
                 AS DOUBLE) AS big_rev
     FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
