@@ -232,6 +232,63 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per context window
+
+
+@query(
+    "pack_context_windows",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM toks
+)
+SELECT lang, (cum_tokens - n_tokens) // {PACK_BUDGET} AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum
+GROUP BY lang, bin_id
+""",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing: docs (in stable doc_id order
+    per lang shard) fill {PACK_BUDGET}-token bins; a doc starts in the
+    bin its preceding cumulative token count falls into.  One window
+    shuffle on the shard key — the deterministic, restart-safe packing
+    a pretraining data loader needs (bin assignment depends only on
+    the ordered shard prefix, never on partitioning)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # integral division on both sides — double-division + cast would
+    # round in DuckDB but truncate in Spark
+    binned = cum.withColumn(
+        "bin_id", F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET}")
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
 @query(
     "unpivot_event_metrics",
     oracle="""

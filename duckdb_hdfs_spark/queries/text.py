@@ -144,6 +144,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+#: BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space
+#: chars (every CJK char is its own token).  Explicit ASCII classes —
+#: Java and RE2 agree on these, unlike \w / POSIX classes.
+_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))
+           - len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_symbol_tokens
+FROM documents
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-style pre-tokenizer regex (alnum
+    runs + individual symbols) — the context-budget estimate training
+    pipelines need before the real tokenizer runs.  Pure map work."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        (bpe - words).alias("n_symbol_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 @query(
     "text_ngram_freq",
     oracle=f"""

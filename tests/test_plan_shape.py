@@ -84,6 +84,28 @@ def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
     assert plan.count("Location:") == 1, "documents scanned more than once"
 
 
+@pytest.mark.parametrize(
+    "name,table",
+    [
+        ("q11_supplier_value", "lineitem"),
+        ("q15_top_supplier", "lineitem"),
+        ("q17_small_qty_revenue", "lineitem"),
+        ("q22_acctbal_opportunity", "customer"),
+        ("dedup_minhash_lsh", "documents"),
+    ],
+)
+def test_fact_table_scanned_once(name, table, spark, sf_dir):
+    """Scalar-threshold shapes must not rescan the fact table for the
+    scalar branch (window-over-aggregate formulations) — a second
+    100 TB scan is the single most expensive plan regression."""
+    import re
+
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)", plan)
+    n = sum(1 for x in locs if f"{table}.parquet" in x)
+    assert n == 1, f"{name}: {table} scanned {n}x"
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     """Top-N queries must plan TakeOrderedAndProject — a global sort
     of the full result to keep 10 rows is wrong at any scale."""
