@@ -117,6 +117,29 @@ def test_ls_mv_rm(fs_root):
     assert not fs.exists(f"{root}/d")
 
 
+def test_write_csv_roundtrip(spark, sf_dir, tmp_path):
+    """COPY TO csv parity: write nation as CSV with header, read back
+    with explicit schema, byte-identical content."""
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = f"file://{tmp_path}/nation_csv"
+    nation.write.option("header", True).csv(out)
+    back = spark.read.schema(nation.schema).option("header", True).csv(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_write_json_roundtrip(spark, sf_dir, tmp_path):
+    """COPY TO json parity: NDJSON write + schema-pinned read-back."""
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    region = load_table(spark, sf_dir, "region")
+    out = f"file://{tmp_path}/region_json"
+    region.write.json(out)
+    back = spark.read.schema(region.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
 def test_glob_segments_and_recursive(fs_root):
     """Glob parity with the reference's Match (hadoopfs.hpp:150-152):
     *, ?, [..] within a segment plus ** across segments."""
