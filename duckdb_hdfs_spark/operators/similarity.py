@@ -38,6 +38,10 @@ def hyperplanes() -> list[list[int]]:
     return [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
 
 
+LSH_BAND_BITS = 4
+LSH_BANDS = N_PLANES // LSH_BAND_BITS  # 3
+
+
 def lsh_signature(emb) -> "F.Column":
     """Bit-signature: sign of <v, plane_j> for md5-derived ±1 planes."""
     sig = F.lit(0).cast("bigint")
@@ -46,6 +50,25 @@ def lsh_signature(emb) -> "F.Column":
         proj = dot(emb, plane_col)
         sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
+
+
+def lsh_band_keys(emb) -> "F.Column":
+    """Banded signature: LSH_BANDS keys of LSH_BAND_BITS sign bits
+    each, offset so keys from different bands never collide.
+    Matching on ANY band (vs the full signature) trades precision for
+    recall the standard multi-band way — a full-signature equality
+    match finds almost nothing once the bit count grows."""
+    keys = []
+    for b in range(LSH_BANDS):
+        val = F.lit(0)
+        for r in range(LSH_BAND_BITS):
+            plane = hyperplanes()[b * LSH_BAND_BITS + r]
+            plane_col = F.array(*[F.lit(float(s)) for s in plane])
+            val = val + F.when(dot(emb, plane_col) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+        keys.append(val + F.lit(b * (1 << LSH_BAND_BITS)))
+    return F.array(*keys)
 
 
 def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
@@ -101,22 +124,28 @@ def brute_topk(
 
 
 def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
-    """ANN via shared hyperplane-signature buckets; exact cosine +
-    top-k inside the bucket only."""
-    sig_corpus = corpus.select(
-        "vec_id", F.col("embedding").alias("ce"), lsh_signature(F.col("embedding")).alias("sig")
+    """ANN via shared hyperplane band buckets (any of LSH_BANDS
+    bands matching makes a candidate); exact cosine + top-k over the
+    deduplicated candidates only.  Scale: corpus explodes x LSH_BANDS
+    on the band key, probes broadcast — the join is bucket-bounded,
+    and the candidate dedup shuffles only (probe, candidate) pairs."""
+    banded_corpus = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
-    sig_probes = probes.select(
+    banded_probes = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
-        lsh_signature(F.col("embedding")).alias("psig"),
+        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
-    joined = sig_corpus.join(
-        F.broadcast(sig_probes),
-        (F.col("sig") == F.col("psig")) & (F.col("vec_id") != F.col("probe_id")),
+    candidates = (
+        banded_corpus.join(F.broadcast(banded_probes), "band_key")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
     )
     cos = cosine(F.col("pe"), F.col("ce"))
-    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
+    return _topk_merge(candidates.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
 def ivf_ann(

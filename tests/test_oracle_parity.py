@@ -23,8 +23,10 @@ def test_oracle_parity(name, spark, sf_dir, oracle_con):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(name, spark, sf_dir):
-    """Rows-only ops must at least execute and yield a stable schema."""
+    """Rows-only ops must execute, yield a stable schema, and return
+    actual rows — an ANN/dedup op that finds nothing on its own test
+    data is broken even if it 'runs'."""
     qd = REGISTRY[name]
     df = qd.spark(spark, sf_dir)
     assert df.columns, f"{name}: empty schema"
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: returned no rows"
