@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.text",
     "duckdb_hdfs_spark.queries.multimodal",
     "duckdb_hdfs_spark.queries.advanced",
+    "duckdb_hdfs_spark.queries.sqlfuncs",
 )
 
 
