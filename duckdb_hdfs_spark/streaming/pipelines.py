@@ -51,6 +51,27 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet file-source stream of the documents table."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -148,6 +169,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: first arrival of each normalized-content
+    hash survives; later duplicates are dropped by the state store
+    (``dropDuplicates`` keyed on the digest).  State is one digest per
+    distinct document — the incremental twin of the batch
+    ``dedup_exact`` operator.  In production add a watermark +
+    ``dropDuplicatesWithinWatermark`` to bound state for unbounded
+    streams."""
+    hashed = docs.withColumn(
+        "content_hash",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))),
+    )
+    return hashed.dropDuplicates(["content_hash"]).select(
+        id_col, "content_hash"
     )
 
 
