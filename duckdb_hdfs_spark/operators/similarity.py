@@ -22,7 +22,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.vectors import cosine, dot
+from duckdb_hdfs_spark.functions.vectors import dot, norm
 
 DIM = 64
 N_PLANES = 12
@@ -111,15 +111,23 @@ def brute_topk(
     """Exact cosine top-k per probe.  ``probes`` must be small (it is
     broadcast); the corpus side streams — no corpus shuffle; the
     score rows reduce to per-partition top-k before the only
-    shuffle (see :func:`_topk_merge`)."""
+    shuffle (see :func:`_topk_merge`).
+
+    Norms are computed ONCE per vector before the join (norm values
+    are identical to inline recomputation — same sequential fold), so
+    per-pair work is one dot product instead of three."""
     p = probes.select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("pn"),
     )
-    c = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    c = corpus.select(
+        "vec_id", F.col("embedding").alias("ce"), norm(F.col("embedding")).alias("cn")
+    )
     joined = c.join(F.broadcast(p))
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
-    cos = cosine(F.col("pe"), F.col("ce"))
+    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
@@ -132,11 +140,13 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     banded_corpus = corpus.select(
         "vec_id",
         F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
         F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
     banded_probes = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("pn"),
         F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
     candidates = (
@@ -144,7 +154,7 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .dropDuplicates(["probe_id", "vec_id"])
     )
-    cos = cosine(F.col("pe"), F.col("ce"))
+    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
     return _topk_merge(candidates.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
@@ -164,12 +174,16 @@ def ivf_ann(
             F.row_number().over(Window.orderBy("vec_id")),
         )
         .filter(F.col("rn") <= n_cells)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent"),
+            norm(F.col("embedding")).alias("cent_n"),
+        )
     )
 
-    def assign(df: DataFrame, id_col: str, emb_col: str, top: int) -> DataFrame:
+    def assign(df: DataFrame, id_col: str, emb_col: str, n_col: str, top: int) -> DataFrame:
         j = df.join(F.broadcast(cents))
-        cos = cosine(F.col(emb_col), F.col("cent"))
+        cos = dot(F.col(emb_col), F.col("cent")) / (F.col(n_col) * F.col("cent_n"))
         w = Window.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("cent_id"))
         return (
             j.select(df["*"], F.col("cent_id"), cos.alias("cent_cos"))
@@ -179,16 +193,29 @@ def ivf_ann(
         )
 
     corpus_cells = assign(
-        corpus.select("vec_id", F.col("embedding").alias("ce")), "vec_id", "ce", 1
+        corpus.select(
+            "vec_id",
+            F.col("embedding").alias("ce"),
+            norm(F.col("embedding")).alias("cn"),
+        ),
+        "vec_id",
+        "ce",
+        "cn",
+        1,
     )
     probe_cells = assign(
-        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
+        probes.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            norm(F.col("embedding")).alias("pn"),
+        ),
         "probe_id",
         "pe",
+        "pn",
         nprobe,
     )
     joined = corpus_cells.join(
         F.broadcast(probe_cells), "cent_id"
     ).filter(F.col("vec_id") != F.col("probe_id"))
-    cos = cosine(F.col("pe"), F.col("ce"))
+    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
