@@ -240,3 +240,79 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k.cast("int")).alias("max_k"),
         F.sum(k.cast("bigint")).alias("sum_k"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_value_histogram",
+    oracle="""
+SELECT event_type, floor(value / 25.0) AS bin,
+       count(*) AS n, round(min(value), 4) AS bin_min,
+       round(max(value), 4) AS bin_max
+FROM events
+GROUP BY event_type, bin
+""",
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (floor binning is
+    engine-identical on doubles; one partial-aggregated shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 25.0).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT event_id, user_id, event_type, value,
+           avg(value) OVER w AS mu,
+           stddev_samp(value) OVER w AS sd,
+           count(*) OVER w AS n_type
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_id, user_id, event_type,
+       round(value, 4) AS value,
+       round((value - mu) / sd, 4) AS zscore
+FROM stats
+WHERE n_type >= 10 AND abs(value - mu) > 3 * sd
+""",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous events: |value - mean| > 3 sigma within the event
+    type (window stats over the grouped partition — one shuffle on
+    event_type; at scale the partition key would include a time
+    bucket to bound partition width)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_type"),
+    )
+    return (
+        stats.filter(
+            (F.col("n_type") >= 10)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+    )
