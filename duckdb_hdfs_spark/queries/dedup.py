@@ -247,3 +247,40 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, n_chars, lang,
+           md5({_NORM_SQL}) AS content_hash,
+           row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+SELECT content_hash, doc_id AS keeper_doc_id, n_chars, lang
+FROM ranked WHERE rk = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each exact-duplicate cluster keep
+    the longest document (doc_id tiebreak) — the keeper-selection
+    policy a real corpus pipeline applies after clustering.  One
+    window shuffle on the content hash; deterministic (row_number,
+    not max_by, whose tie choice is engine-arbitrary)."""
+    from pyspark.sql import Window
+
+    from duckdb_hdfs_spark.operators.dedup import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "n_chars", "lang", F.md5(norm_text(F.col("text"))).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("content_hash", F.col("doc_id").alias("keeper_doc_id"), "n_chars", "lang")
+    )
