@@ -7,6 +7,7 @@ running the data."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import load_all
 
@@ -104,6 +105,28 @@ def test_fact_table_scanned_once(name, table, spark, sf_dir):
     locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)", plan)
     n = sum(1 for x in locs if f"{table}.parquet" in x)
     assert n == 1, f"{name}: {table} scanned {n}x"
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet
+    layout must prune at planning time (PartitionFilters), reading
+    only the matching directory — the property that turns a 100 TB
+    date-partitioned table into a single-partition read."""
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    out = f"file://{tmp_path}/orders_by_status"
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderstatus" in pf, f"partition filter not pruned: {pf}"
+    # the predicate lives ONLY in PartitionFilters — no data-filter list
+    # (line absent entirely) or an empty one
+    assert "PushedFilters: []" in plan or "PushedFilters" not in plan
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
