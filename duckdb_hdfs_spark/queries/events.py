@@ -156,22 +156,21 @@ GROUP BY a.d
 """,
 )
 def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day retention: distinct (user, day) self-joined on
-    day+1.  Scale: the distinct pass shrinks the join input to
-    O(users × active-days); join shuffles on user_id."""
+    """Day-over-day retention, join-free: distinct (user, day), then
+    ``lead`` per user over the ordered days — the immediate next
+    active day equals d+1 exactly when the user returned.  ONE events
+    scan and one shuffle on user_id (the self-join formulation the
+    oracle uses would re-execute the scan+distinct per side)."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
     daily = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).distinct()
-    nxt = daily.select(
-        F.col("user_id").alias("b_user"), F.col("d").alias("b_d")
-    )
+    w = Window.partitionBy("user_id").orderBy("d")
     return (
-        daily.join(
-            nxt,
-            (daily.user_id == nxt.b_user)
-            & (nxt.b_d == daily.d + F.expr("INTERVAL 1 DAY")),
-        )
+        daily.withColumn("next_d", F.lead("d").over(w))
+        .filter(F.col("next_d") == F.col("d") + F.expr("INTERVAL 1 DAY"))
         .groupBy(F.col("d").alias("day"))
         .agg(F.count(F.lit(1)).alias("returned_users"))
     )

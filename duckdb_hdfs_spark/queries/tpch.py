@@ -805,28 +805,29 @@ LIMIT 100
 """,
 )
 def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery's per-order sum IS the output sum — one
+    lineitem scan + aggregation serves both the filter and the
+    projection (the semi-join + re-aggregate formulation scans and
+    aggregates lineitem twice).  sum(l_quantity) is an exact
+    integer-valued double, so filter and output agree bit-exactly."""
     li = _t(spark, sf_dir, "lineitem")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "sum_qty",
+            F.round("sq", 2).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -946,9 +947,13 @@ LIMIT 20
 """,
 )
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exists/not-exists pair is rewritten as one per-order
-    aggregate (distinct suppliers total vs distinct late suppliers) —
-    one shuffle on orderkey instead of two correlated semi-joins."""
+    """The exists/not-exists pair is rewritten as per-order distinct
+    supplier sets computed in ONE window pass over the joined rows
+    (collect_set over the orderkey partition) — one lineitem+orders
+    scan and one shuffle, where a groupBy-branch + join-back would
+    re-execute the join per reference."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
@@ -958,16 +963,22 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    w = Window.partitionBy("l_orderkey")
     blamed = (
-        joined.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        joined.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)

@@ -93,6 +93,9 @@ def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
         ("q17_small_qty_revenue", "lineitem"),
         ("q22_acctbal_opportunity", "customer"),
         ("dedup_minhash_lsh", "documents"),
+        ("ev_retention", "events"),
+        ("q18_large_volume_cust", "lineitem"),
+        ("q21_waiting_orders", "lineitem"),
     ],
 )
 def test_fact_table_scanned_once(name, table, spark, sf_dir):
