@@ -153,6 +153,58 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def connected_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Transitive duplicate clusters from candidate pairs: iterative
+    min-label propagation (each node adopts the smallest doc_id
+    reachable through its edges) until no label changes.
+
+    Scale: each iteration is two equi-joins + a min-aggregate on
+    doc_id — all shuffle-partitioned on the node id; iteration count
+    is the cluster diameter (near-dup clusters are shallow, typically
+    2-4 hops).  This is the standard large-graph CC formulation;
+    convergence is checked with a cheap count of changed labels.
+    Genuinely iterative — no SQL oracle (the driver records a
+    rows-only check)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # materialize BEFORE the convergence count so each iteration
+        # executes once (and lineage stays bounded)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60
 
 

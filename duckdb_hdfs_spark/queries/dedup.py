@@ -284,3 +284,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("content_hash", F.col("doc_id").alias("keeper_doc_id"), "n_chars", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+@query("dedup_cc_clusters", oracle=None)  # iterative label propagation
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH candidate pairs via iterative min-label propagation
+    (operators.dedup.connected_clusters).  The rows-only class the
+    driver allows for genuinely iterative algorithms."""
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+
+    pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return connected_clusters(pairs)

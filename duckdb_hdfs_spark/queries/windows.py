@@ -325,3 +325,39 @@ seg AS (
 SELECT c_mktsegment, n_big, big_rev FROM seg WHERE n_big > 2
 """
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_rank_functions",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function class: rank / dense_rank / ntile /
+    percent_rank / cume_dist over a uniquely-ordered partition
+    (unique tiebreak makes every rank deterministic; the percent
+    ratios are integer-derived doubles, identical across engines)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -62,3 +62,41 @@ def test_salting_splits_hot_key(spark, skewed):
     assert len(shards) == 8
     counts = [r["count"] for r in shards]
     assert max(counts) < sum(counts) * 0.5, f"hot key unbalanced: {counts}"
+
+
+# --------------------------------------------------------------------------
+# connected components (operators.dedup.connected_clusters)
+# --------------------------------------------------------------------------
+def test_connected_clusters_toy_graph(spark):
+    """Chain 1-2-3-4 plus isolated edge 10-11: every node must adopt
+    its component's minimum id, across multiple propagation hops."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_clusters_consistent_with_pairs(spark, sf_dir):
+    """On real LSH pairs: both endpoints of every candidate pair must
+    land in the same cluster, and each cluster id is its min member."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters, minhash_candidate_pairs
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    pairs = minhash_candidate_pairs(load_table(spark, sf_dir, "documents")).cache()
+    labels = connected_clusters(pairs).cache()
+    a = labels.withColumnRenamed("node", "doc_a").withColumnRenamed("cluster_id", "ca")
+    b = labels.withColumnRenamed("node", "doc_b").withColumnRenamed("cluster_id", "cb")
+    split = pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("ca") != F.col("cb"))
+    assert split.count() == 0, "a candidate pair spans two clusters"
+    bad_min = (
+        labels.groupBy("cluster_id").agg(F.min("node").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+    )
+    assert bad_min.count() == 0, "cluster id is not the min member"
