@@ -129,3 +129,18 @@ def can_handle_file(path: str) -> bool:
     """Reference: ``CanHandleFile`` (hadoopfs.hpp:212) — plus the
     schemes Spark's Hadoop layer serves with the identical API."""
     return path.startswith(("hdfs://", "file://", "viewfs://", "webhdfs://"))
+
+
+def apply_to_session(spark, params: "HdfsParams") -> dict[str, str]:
+    """Apply connection params to a LIVE session's Hadoop
+    configuration — the runtime equivalent of the reference's
+    ``SET hdfs_default_namenode = ...`` (hadoopfs.hpp:87-108), which
+    takes effect for connections opened afterwards.  Spark semantics
+    match: FileSystem instances created after this call see the new
+    keys (existing cached instances do not — same as the reference's
+    per-namenode connection cache).  Returns the applied keys."""
+    conf = params.to_hadoop_conf()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return conf

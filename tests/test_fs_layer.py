@@ -172,3 +172,18 @@ def test_glob_segments_and_recursive(fs_root):
         "w/2025/jan/c.parquet",
         "w/top.parquet",
     ]
+
+
+def test_apply_to_session_sets_live_hadoop_conf(spark):
+    """Runtime SET equivalent: keys land on the live session's Hadoop
+    configuration and are visible to subsequently created
+    FileSystem objects."""
+    from duckdb_hdfs_spark.conf import apply_to_session
+
+    conf = apply_to_session(
+        spark, HdfsParams(shortcircuit=True, domain_socket_path="/tmp/dn_socket")
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        assert hconf.get(k) == v
+    assert hconf.get("dfs.client.read.shortcircuit") == "true"
