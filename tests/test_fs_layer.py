@@ -187,3 +187,16 @@ def test_apply_to_session_sets_live_hadoop_conf(spark):
     for k, v in conf.items():
         assert hconf.get(k) == v
     assert hconf.get("dfs.client.read.shortcircuit") == "true"
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip"])
+def test_write_parquet_compression_codecs(spark, sf_dir, tmp_path, codec):
+    """COPY TO (FORMAT PARQUET, COMPRESSION ...) parity: every codec
+    the reference exposes round-trips content-identically."""
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = f"file://{tmp_path}/nation_{codec}"
+    nation.write.option("compression", codec).parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
