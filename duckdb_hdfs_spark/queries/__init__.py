@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.multimodal",
     "duckdb_hdfs_spark.queries.advanced",
     "duckdb_hdfs_spark.queries.sqlfuncs",
+    "duckdb_hdfs_spark.queries.streaming_q",
 )
 
 
