@@ -110,6 +110,33 @@ def test_fact_table_scanned_once(name, table, spark, sf_dir):
     assert n == 1, f"{name}: {table} scanned {n}x"
 
 
+#: queries with a justified scan count above the default budget of 2
+#: (self-join verify passes, multi-leg set ops, two-level ANN assign)
+_SCAN_BUDGET_EXCEPTIONS = {
+    "dedup_minhash_pairs": 3,   # candidates + wordset join per pair side
+    "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
+    "sql_set_ops": 4,           # two set-op legs x two branches
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_scan_budget(name, spark, sf_dir):
+    """No query may scan any one table more than its budget (2 by
+    default — one per self-join side; exceptions listed above).
+    Catches reintroduced plan-reuse-as-result-reuse regressions."""
+    import re
+    from collections import Counter
+
+    if name == "streaming_windowed_counts":
+        pytest.skip("streaming drain: plan not comparable")
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)", plan)
+    counts = Counter(x.rsplit("/", 1)[1] for x in locs)
+    budget = _SCAN_BUDGET_EXCEPTIONS.get(name, 2)
+    over = {t: n for t, n in counts.items() if n > budget}
+    assert not over, f"{name} exceeds scan budget {budget}: {over}"
+
+
 def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     """A filter on the partition column of a partitioned parquet
     layout must prune at planning time (PartitionFilters), reading
