@@ -208,3 +208,101 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "ngram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+CHUNK_LEN = 64   # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+idx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               greatest(len(toks) - 1, 0) // {CHUNK_STRIDE})) AS chunk_idx
+    FROM t
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN})) AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN}), ' ')) AS chunk_md5
+FROM idx
+WHERE len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN})) > 0
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking ({CHUNK_LEN}-token chunks,
+    {CHUNK_STRIDE}-token stride): explode chunk INDICES first, then
+    slice per (doc, chunk) row — the generator runs per row, so the
+    token split is evaluated once per chunk row, never per array
+    element (see the HOF rule in functions/hashing.py).  Pure map
+    work; chunk count per doc is ceil(len/stride)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.greatest(F.size(toks) - 1, F.lit(0)) / CHUNK_STRIDE
+    idx = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), n_chunks.cast("bigint"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_LEN,
+    )
+    return (
+        idx.select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9][0-9 \-]{6,}[0-9]"
+
+
+@query(
+    "text_scrub_pii",
+    oracle=rf"""
+SELECT doc_id,
+       length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+           AS email_chars,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_md5,
+       length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_len
+FROM documents
+""",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: redact email addresses and long digit
+    runs (ASCII regex classes — Java and RE2 agree), returning the
+    scrubbed digest + removed-char accounting.  Pure map work; the
+    production pass would stack more patterns the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), _EMAIL_RE, ""))
+        ).alias("email_chars"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
