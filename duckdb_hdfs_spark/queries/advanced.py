@@ -319,3 +319,47 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, metric_value)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+#: per-source sampling rates (permille) for the training mix
+MIX_RATES = {"web": 600, "books": 900, "code": 800, "wiki": 1000, "news": 400}
+MIX_DEFAULT = 500
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=f"""
+WITH rated AS (
+    SELECT doc_id, source,
+           CASE source
+               {' '.join(f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items()))}
+               ELSE {MIX_DEFAULT} END AS rate_permille,
+           {md5_int60_sql("'mix-' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+    FROM documents
+)
+SELECT source, rate_permille,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE bucket < rate_permille) AS n_kept
+FROM rated
+GROUP BY source, rate_permille
+""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing: each doc is kept iff its
+    content-hash bucket falls under the source's permille rate — the
+    reproducible mix-proportioning pass of a pretraining pipeline
+    (stable under reruns and partitioning, like sample_hash_split).
+    Map work + one small aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for s, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = md5_int60(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))) % 1000
+    rated = docs.select(
+        "source", rate.alias("rate_permille"), bucket.alias("bucket")
+    )
+    return rated.groupBy("source", "rate_permille").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1)).alias("n_kept"),
+    )
