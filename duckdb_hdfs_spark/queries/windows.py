@@ -361,3 +361,77 @@ def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_time_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_prev_7d,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+           AS val_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-7-day event count
+    and value sum.  Spark range frames need a numeric ordering key, so
+    both engines order by epoch microseconds with the same literal
+    bound — the canonical sliding-time-window aggregation over a
+    keyed stream (state bounded by the frame width at any scale)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1000000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-week_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_7d"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("val_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "grouping_id_sales",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       GROUPING(n_name) AS g_nation,
+       GROUPING(o_orderpriority) AS g_prio,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+""",
+)
+def grouping_id_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns — distinguishes a
+    real NULL group value from a rollup subtotal row (the part of the
+    rollup surface the plain rollup_sales query doesn't pin)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("n_name", "o_orderpriority", "g_nation", "g_prio", "n_orders")
+    )
