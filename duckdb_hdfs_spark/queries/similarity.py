@@ -128,3 +128,58 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: 16 coarse cells, nprobe=2."""
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_ann(_probes(emb), emb, n_cells=16, nprobe=2, k=5)
+
+
+# --------------------------------------------------------------------------
+@query("sim_recall_eval", oracle=None)  # composes rows-only ANN paths
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH and IVF paths
+    against the exact brute-force top-5 — the measurement that
+    justifies (or rejects) an approximate index before a 100 TB
+    rollout.  Output: one row per method with mean per-probe recall.
+    Rows-only: composes the rows-only ANN operators; the exact side
+    is oracle-checked separately (sim_bruteforce_topk)."""
+    from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    # materialize the (probes x k)-row result sets once: each is
+    # reused by two joins below, and DataFrame reuse re-executes the
+    # full ANN lineage per reference (eval-scale data, so eager
+    # checkpointing is cheap and keeps the scan count flat)
+    truth = (
+        brute_topk(probes, emb, k=5)
+        .select("probe_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def method_recall(df: DataFrame, method: str) -> DataFrame:
+        hits = truth.join(df.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        per_probe = (
+            truth.groupBy("probe_id")
+            .count()
+            .withColumnRenamed("count", "n_truth")
+            .join(
+                hits.groupBy("probe_id").count().withColumnRenamed("count", "n_hit"),
+                "probe_id",
+                "left",
+            )
+            .select(
+                "probe_id",
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("r"),
+            )
+        )
+        return per_probe.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg("r"), 4).alias("recall_at_5"),
+        )
+
+    lsh = method_recall(
+        lsh_ann(probes, emb, k=5).localCheckpoint(eager=True), "lsh"
+    )
+    ivf = method_recall(
+        ivf_ann(probes, emb, n_cells=16, nprobe=2, k=5).localCheckpoint(eager=True),
+        "ivf",
+    )
+    return lsh.unionByName(ivf)

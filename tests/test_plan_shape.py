@@ -116,6 +116,7 @@ _SCAN_BUDGET_EXCEPTIONS = {
     "dedup_minhash_pairs": 3,   # candidates + wordset join per pair side
     "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
     "sql_set_ops": 4,           # two set-op legs x two branches
+    "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
 }
 
 
