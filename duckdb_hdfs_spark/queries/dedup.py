@@ -297,3 +297,56 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
     return connected_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_est",
+    oracle=f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_filter(generate_series(1, 12),
+                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12.0 AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON p.doc_a = sa.doc_id
+JOIN sigs sb ON p.doc_b = sb.doc_id
+""",
+)
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for LSH candidates from signature agreement
+    (matching minhash components / NUM_PERM) — the free similarity
+    estimate that ranks candidates WITHOUT touching document text
+    (the exact-verify pass, dedup_minhash_pairs, is the expensive
+    alternative).  Signature columns join the candidate pairs on each
+    side; integer equality, engine-exact."""
+    from duckdb_hdfs_spark.functions.hashing import NUM_PERM
+    from duckdb_hdfs_spark.operators.dedup import minhash_signature_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature_cols(docs)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(NUM_PERM)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(NUM_PERM)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(NUM_PERM)
+    )
+    pairs = minhash_candidate_pairs(docs)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / NUM_PERM).alias("est_jaccard"),
+        )
+    )

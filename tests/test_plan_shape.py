@@ -114,6 +114,7 @@ def test_fact_table_scanned_once(name, table, spark, sf_dir):
 #: (self-join verify passes, multi-leg set ops, two-level ANN assign)
 _SCAN_BUDGET_EXCEPTIONS = {
     "dedup_minhash_pairs": 3,   # candidates + wordset join per pair side
+    "dedup_minhash_est": 3,     # candidates + signature join per pair side
     "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
