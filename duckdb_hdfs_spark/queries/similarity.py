@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.vectors import cosine_sql
+from duckdb_hdfs_spark.functions.vectors import cosine_sql, norm_sql
 from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries.tpch import _t
@@ -183,3 +183,37 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf",
     )
     return lsh.unionByName(ivf)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_embedding_norms",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label,
+           {norm_sql("embedding")} AS nrm
+    FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(nrm), 6) AS mean_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM v GROUP BY label
+""",
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — the sanity pass before
+    any cosine-based index (catches unnormalized or degenerate
+    vectors).  avg of sequential-fold norms is order-sensitive only
+    in the final mean; round(6) absorbs the per-engine merge order
+    at this magnitude (norms ~O(1))."""
+    from duckdb_hdfs_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("label", norm(F.col("embedding")).alias("nrm"))
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
