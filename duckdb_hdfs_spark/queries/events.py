@@ -315,3 +315,40 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_rolling_dau",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+    FROM events
+),
+days AS (SELECT DISTINCT d FROM daily)
+SELECT a.d AS day,
+       count(DISTINCT b.user_id) AS wau
+FROM days a
+JOIN daily b ON b.d >= a.d - INTERVAL 6 DAY AND b.d <= a.d
+GROUP BY a.d
+""",
+)
+def ev_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU): distinct (day, user)
+    pairs range-joined to the day spine, then distinct-count.  The
+    distinct pass shrinks the join input to users x active-days; at
+    larger windows the sketch path (HLL merge over daily sketches)
+    replaces the exact distinct — same query shape."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "day")
+    joined = days.join(
+        daily,
+        (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("d") <= F.col("day")),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
