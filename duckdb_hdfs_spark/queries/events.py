@@ -352,3 +352,44 @@ def ev_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("day").agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_cohort_retention",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+    FROM events
+),
+firsts AS (
+    SELECT user_id, min(d) AS cohort FROM daily GROUP BY user_id
+)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, d.d) AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM daily d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY f.cohort, day_offset
+""",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    activity counted per day offset.  The cohort assignment is a
+    window min over the SAME distinct (user, day) pass — one events
+    scan, one shuffle on user_id (the aggregate-and-join-back
+    formulation the oracle uses would scan twice)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = daily.withColumn("cohort", F.min("d").over(w))
+    return (
+        with_cohort.select(
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
