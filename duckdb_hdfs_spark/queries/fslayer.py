@@ -132,3 +132,29 @@ def fs_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference docs/README.md)."""
     path = table_path(sf_dir, "supplier")
     return spark.sql(f"SELECT s_suppkey, s_name FROM parquet.`{path}`")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_describe_tables",
+    oracle="""
+SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS pos
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+""",
+)
+def fs_describe_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection parity (DuckDB DESCRIBE /
+    information_schema): every registered table's column names and
+    positions from the parquet footers — metadata-scale driver-side
+    work, like fs_ls."""
+    from duckdb_hdfs_spark.sources.catalog import TABLES
+
+    rows = []
+    for t in TABLES:
+        for i, field in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            rows.append((t, field.name, i + 1))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, pos bigint"
+    )
