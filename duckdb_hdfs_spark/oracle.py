@@ -39,6 +39,24 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for strict compare: the driver hashes raw
+    values, so an int64 ``3`` vs float64 ``3.0`` column hash-mismatches
+    even when numerically equal (this hid the ev_value_histogram FAIL for
+    two rounds behind the lax ``3 == 3.0``).  Classes: int/float/bool/
+    datetime/other."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "other"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -81,6 +99,14 @@ def compare(
     mism: list[str] = []
     if list(sp.columns) != list(du.columns):
         mism.append(f"columns: spark={list(sp.columns)} oracle={list(du.columns)}")
+    if not mism:
+        # dtype-strict gate: int-vs-float (etc.) mismatch fails even when
+        # every value compares numerically equal, matching the driver's
+        # value-hash semantics.
+        for col in sp.columns:
+            ka, kb = _dtype_kind(sp[col]), _dtype_kind(du[col])
+            if ka != kb and "other" not in (ka, kb):
+                mism.append(f"col {col} dtype class: spark={ka} oracle={kb}")
     if len(sp) == len(du) and not mism:
         for col in sp.columns:
             a, b = sp[col].tolist(), du[col].tolist()

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from duckdb_hdfs_spark.functions.hashing import md5_int60, md5_int60_sql
 from duckdb_hdfs_spark.operators.joins import asof_backward, range_join_count
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _dsum, _t
+from duckdb_hdfs_spark.queries._helpers import _dsum, _t
 
 
 # --------------------------------------------------------------------------
@@ -249,8 +249,8 @@ cum AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
     FROM toks
 )
-SELECT lang, (cum_tokens - n_tokens) // {PACK_BUDGET} AS bin_id,
-       count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+SELECT lang, CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM cum
 GROUP BY lang, bin_id

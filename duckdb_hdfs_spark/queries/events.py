@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _dsum, _t
+from duckdb_hdfs_spark.queries._helpers import _dsum, _t
 
 SESSION_GAP_MIN = 30
 
@@ -245,7 +245,7 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_value_histogram",
     oracle="""
-SELECT event_type, floor(value / 25.0) AS bin,
+SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
        count(*) AS n, round(min(value), 4) AS bin_min,
        round(max(value), 4) AS bin_max
 FROM events

@@ -12,7 +12,7 @@ from duckdb_hdfs_spark.multimodal.decode import (
     with_binary_payload,
 )
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _t
+from duckdb_hdfs_spark.queries._helpers import _t
 
 
 # --------------------------------------------------------------------------

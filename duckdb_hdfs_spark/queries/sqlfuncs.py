@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _t
+from duckdb_hdfs_spark.queries._helpers import _t
 
 
 # --------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from duckdb_hdfs_spark.functions.text import (
     stopword_hits_sql,
 )
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _t
+from duckdb_hdfs_spark.queries._helpers import _t
 
 _TOKS = tokens_sql("text")
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
