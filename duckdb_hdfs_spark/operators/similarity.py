@@ -71,6 +71,30 @@ def lsh_band_keys(emb) -> "F.Column":
     return F.array(*keys)
 
 
+def lsh_band_keys_sql(emb: str) -> str:
+    """DuckDB mirror of :func:`lsh_band_keys` for oracle SQL.
+
+    Bit-identical to the Spark side: the plane is a DOUBLE list of
+    ±1.0 literals, the projection is the same sequential left fold in
+    double precision (multiplying by ±1.0 is exact), so the sign test
+    and hence every band key match exactly."""
+    keys = []
+    for b in range(LSH_BANDS):
+        terms = []
+        for r in range(LSH_BAND_BITS):
+            plane = hyperplanes()[b * LSH_BAND_BITS + r]
+            plane_lit = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+            proj = (
+                f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, len({emb})), "
+                f"i -> CAST({emb}[i] AS DOUBLE) * ({plane_lit})[i])), "
+                f"(acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+        keys.append("(" + " + ".join(terms) + f" + {b * (1 << LSH_BAND_BITS)})")
+    return "[" + ", ".join(keys) + "]"
+
+
 def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-probe top-k over (probe_id, vec_id, cos_sim) rows
     WITHOUT shuffling the full score set:
@@ -165,20 +189,24 @@ def ivf_ann(
     nprobe: int = 2,
     k: int = 5,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic corpus sample
-    (vec_id % stride), cell = argmin centroid distance (via max
-    cosine), probes search their ``nprobe`` nearest cells."""
+    """IVF-style ANN: centroids = deterministic pseudorandom corpus
+    sample, cell = argmin centroid distance (via max cosine), probes
+    search their ``nprobe`` nearest cells.
+
+    Centroid selection is ``orderBy(md5(vec_id)).limit(n_cells)``:
+    Catalyst plans it as TakeOrderedAndProject — every task keeps a
+    bounded n_cells heap and only partitions x n_cells rows merge —
+    unlike a partition-less ``Window.orderBy`` which sorts the entire
+    corpus through ONE task.  md5 order makes the sample deterministic
+    yet spread independently of vec_id locality."""
     cents = (
-        corpus.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy("vec_id")),
-        )
-        .filter(F.col("rn") <= n_cells)
-        .select(
+        corpus.select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cent"),
             norm(F.col("embedding")).alias("cent_n"),
         )
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_cells)
     )
 
     def assign(df: DataFrame, id_col: str, emb_col: str, n_col: str, top: int) -> DataFrame:

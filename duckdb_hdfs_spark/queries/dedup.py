@@ -26,7 +26,7 @@ from duckdb_hdfs_spark.operators.dedup import (
     simhash_docs,
 )
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _t
+from duckdb_hdfs_spark.queries._helpers import _t
 
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKSET_SQL = f"list_distinct({tokens_sql('text')})"
@@ -198,54 +198,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "dedup_embedding_cos",
-    oracle="""
+def _embedding_cos_oracle() -> str:
+    from duckdb_hdfs_spark.functions.vectors import dot_sql, norm_sql
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys_sql
+
+    d = dot_sql("a.embedding", "b.embedding")
+    return f"""
 WITH v AS (
-    SELECT vec_id, label, embedding,
-           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(generate_series(1, len(embedding)),
-                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-               (acc, x) -> acc + x)) AS nrm
+    SELECT vec_id, embedding,
+           {norm_sql('embedding')} AS nrm,
+           unnest({lsh_band_keys_sql('embedding')}) AS band_key
     FROM embeddings
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(generate_series(1, len(a.embedding)),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-           (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos_sim
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({d} / (a.nrm * b.nrm), 6) AS cos_sim
 FROM v a
-JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(generate_series(1, len(a.embedding)),
-              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3
-""",
-)
+JOIN v b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+WHERE {d} / (a.nrm * b.nrm) >= 0.3
+"""
+
+
+@query("dedup_embedding_cos", oracle=_embedding_cos_oracle())
 def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.3 within label blocks.
-    Blocking on label bounds the self-join; the 100 TB path swaps the
-    label for an LSH sign-bucket (see sim_lsh_ann) — same join shape.
-    The threshold filter runs on the UNROUNDED cosine (identical
-    bit pattern in both engines); rounding is output-only."""
-    from duckdb_hdfs_spark.functions.vectors import cosine
+    """Embedding near-dup pairs: exact cosine >= 0.3 over LSH
+    sign-bucket candidate blocks (operators/similarity.py:
+    lsh_band_keys) — the 100 TB formulation: the join is bounded by
+    band-bucket size, NOT by the hottest metadata label (the previous
+    label-blocked form was O(block²) on the dominant label).  Pairs
+    sharing several bands are deduplicated after the threshold filter
+    so the dedup shuffle carries only surviving (vec_a, vec_b) pairs.
+    The threshold filter runs on the UNROUNDED cosine (bit-identical
+    fold in both engines); rounding is output-only."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
+    )
+    a = v.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("ea"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band_key",
     )
-    b = emb.select(
+    b = v.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band_key",
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(b, "band_key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from duckdb_hdfs_spark.functions.vectors import cosine_sql, norm_sql
 from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.tpch import _t
+from duckdb_hdfs_spark.queries._helpers import _t
 
 _PROBE_FILTER = "vec_id % 100 = 0"
 
@@ -79,33 +79,31 @@ FROM (
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-NN join with label agreement (the eval-style variant: does
-    the neighbor share the probe's class?)."""
-    from duckdb_hdfs_spark.functions.vectors import cosine
-    from pyspark.sql import Window
+    the neighbor share the probe's class?).
 
+    Scale shape: the corpus is scored map-side against broadcast
+    probes and reduced to per-partition partial top-k BEFORE the only
+    shuffle (operators/similarity.py:_topk_merge) — the full
+    N_corpus x N_probes score set never moves.  Labels are attached
+    AFTER ranking, on the tiny (probes x k) winner set: corpus labels
+    via a broadcast-winners join, probe labels via a broadcast-probes
+    join — no extra corpus shuffle."""
     emb = _t(spark, sf_dir, "embeddings")
-    p = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("label").alias("plabel"),
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    winners = brute_topk(
+        probes.select("vec_id", "embedding"), emb, k=3, exclude_self=True
     )
-    c = emb.select("vec_id", F.col("embedding").alias("ce"), "label")
-    joined = c.join(F.broadcast(p)).filter(F.col("vec_id") != F.col("probe_id"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    plabels = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+    )
+    clabels = emb.select("vec_id", "label")
     return (
-        joined.select(
-            "probe_id",
-            "plabel",
-            "vec_id",
-            "label",
-            cosine(F.col("pe"), F.col("ce")).alias("cos_raw"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        clabels.join(F.broadcast(winners), "vec_id")
+        .join(F.broadcast(plabels), "probe_id")
         .select(
             "probe_id",
             "vec_id",
-            F.round("cos_raw", 6).alias("cos_sim"),
+            "cos_sim",
             "rk",
             F.when(F.col("plabel") == F.col("label"), 1).otherwise(0).alias(
                 "same_label"

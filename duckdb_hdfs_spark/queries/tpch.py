@@ -24,46 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.sources.catalog import load_table
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-def _revenue():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-def _dsum(expr, scale: int = 2):
-    """Deterministic money sum: cast the per-row double straight to
-    DECIMAL(18,6) — both engines derive the decimal from the double's
-    shortest decimal representation, so the rounded value is
-    bit-identical (probe-verified incl. .xx5 boundaries) and the cast
-    is ~35% cheaper than a round-then-cast-to-DECIMAL(38,6) pipeline.
-    Accumulation happens in the DECIMAL(28,6)/DECIMAL(38,6) sum
-    accumulator (order-independent; overflow needs Σ|x| > 10^16 per
-    group — far beyond a 100 TB TPC-H group; unlike bigint cents,
-    which overflow at Σ|x| ≈ 9·10^12).  Final round stays in the
-    decimal domain, then emit double.  Mirrored 1:1 by :func:`_osum`
-    on the oracle side."""
-    return F.round(F.sum(expr.cast("decimal(18,6)")), scale).cast("double")
-
-
-def _dsum_raw(expr):
-    """Exact decimal sum as double, unrounded (for ratios)."""
-    return F.sum(expr.cast("decimal(18,6)")).cast("double")
-
-
-def _osum(expr_sql: str, scale: int = 2) -> str:
-    return (
-        f"CAST(round(sum(CAST({expr_sql} AS DECIMAL(18,6)))"
-        f", {scale}) AS DOUBLE)"
-    )
-
-
-def _osum_raw(expr_sql: str) -> str:
-    return f"CAST(sum(CAST({expr_sql} AS DECIMAL(18,6))) AS DOUBLE)"
+from duckdb_hdfs_spark.queries._helpers import (  # noqa: F401 (re-export)
+    _dsum,
+    _dsum_raw,
+    _osum,
+    _osum_raw,
+    _revenue,
+    _t,
+)
 
 
 # --------------------------------------------------------------------------
@@ -558,18 +526,18 @@ WHERE value > (SELECT 1.05 * avg(value) FROM sup_rev)
 """,
 )
 def q11_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The global threshold is a window aggregate OVER the
-    per-supplier aggregate (O(suppliers) rows in one partition) — a
-    broadcast-join formulation would re-execute the lineitem scan +
-    aggregation for the scalar branch (DataFrame reuse is plan reuse,
-    not result reuse)."""
-    from pyspark.sql import Window
-
+    """Global threshold = second-level scalar aggregate over the
+    per-supplier aggregate, attached via a broadcast nested-loop join
+    (1 row), NOT a partition-less window: the window form funnels all
+    O(suppliers) rows through ONE task (≈1e9 at 100 TB).  The two
+    branches share the identical groupBy exchange, so the physical
+    plan reuses the shuffle (ReusedExchange) — lineitem is scanned
+    and aggregated once."""
     li = _t(spark, sf_dir, "lineitem")
     sup_rev = li.groupBy("l_suppkey").agg(_dsum_raw(_revenue()).alias("value"))
-    threshold = F.avg("value").over(Window.partitionBy()) * 1.05
+    thr = sup_rev.agg((F.avg("value") * 1.05).alias("threshold"))
     return (
-        sup_rev.withColumn("threshold", threshold)
+        sup_rev.crossJoin(F.broadcast(thr))
         .filter(F.col("value") > F.col("threshold"))
         .select("l_suppkey", F.round("value", 2).alias("value"))
     )
@@ -698,17 +666,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # explicit NOT NULL so BOTH the revenue branch and the scalar
+        # max branch carry it: the downstream supplier equi-join pushes
+        # isnotnull(l_suppkey) into only one branch otherwise, breaking
+        # canonical equality and with it AQE exchange reuse.
+        & F.col("l_suppkey").isNotNull()
     )
-    from pyspark.sql import Window
-
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _dsum(_revenue()).alias("total_revenue")
     )
     supp = _t(spark, sf_dir, "supplier")
-    # scalar max as a window over the (tiny) aggregate — single
-    # lineitem scan; a join with revenue.agg(max) would re-run the scan
+    # scalar max via a 1-row aggregate + broadcast NLJ — the window
+    # form (max OVER ()) pushes all O(suppliers) rows through one
+    # task; both branches share the groupBy exchange (ReusedExchange)
+    # so lineitem is still scanned/aggregated once.
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
-        revenue.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -1007,20 +981,22 @@ GROUP BY c_nationkey
 """,
 )
 def q22_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar threshold as a conditional window avg over the SAME
-    customer scan (avg ignores the nulls the WHEN leaves) — a
-    broadcast-agg branch would scan customer twice."""
-    from pyspark.sql import Window
-
+    """Scalar threshold = 1-row aggregate over positive balances,
+    attached with a broadcast nested-loop join.  The previous window
+    form (avg OVER ()) funneled the ENTIRE customer scan — raw fact
+    rows, not an aggregate — through one task; the second pruned
+    customer scan (c_acctbal only, map-side partial avg) is the
+    price of staying parallel, and the better trade at any scale."""
     cust = _t(spark, sf_dir, "customer")
-    avg_bal = F.avg(
-        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
-    ).over(Window.partitionBy())
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
     recent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     ).select("o_custkey")
     return (
-        cust.withColumn("avg_bal", avg_bal)
+        cust.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")

@@ -88,10 +88,7 @@ def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,table",
     [
-        ("q11_supplier_value", "lineitem"),
-        ("q15_top_supplier", "lineitem"),
         ("q17_small_qty_revenue", "lineitem"),
-        ("q22_acctbal_opportunity", "customer"),
         ("dedup_minhash_lsh", "documents"),
         ("ev_retention", "events"),
         ("q18_large_volume_cust", "lineitem"),
@@ -100,8 +97,8 @@ def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
 )
 def test_fact_table_scanned_once(name, table, spark, sf_dir):
     """Scalar-threshold shapes must not rescan the fact table for the
-    scalar branch (window-over-aggregate formulations) — a second
-    100 TB scan is the single most expensive plan regression."""
+    scalar branch — a second 100 TB scan is the single most expensive
+    plan regression."""
     import re
 
     plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
@@ -110,12 +107,57 @@ def test_fact_table_scanned_once(name, table, spark, sf_dir):
     assert n == 1, f"{name}: {table} scanned {n}x"
 
 
+@pytest.mark.parametrize("name", ["q11_supplier_value", "q15_top_supplier"])
+def test_scalar_threshold_reuses_exchange(name, spark, sf_dir):
+    """q11/q15 attach a global scalar threshold via a 1-row broadcast
+    aggregate whose groupBy branch is IDENTICAL to the main branch —
+    at runtime AQE replaces the duplicate with ReusedExchange, so the
+    fact table is scanned and aggregated ONCE.  (A partition-less
+    window would avoid the second logical scan but funnels all
+    O(groups) rows through one task — the worse trade at scale.)
+    Assert on the EXECUTED plan: exactly one surviving lineitem scan."""
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # AQE renders "== Final Plan ==" followed by "== Initial Plan ==";
+    # only the final section reflects what actually ran.
+    final = executed.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, f"{name}: no exchange reuse at runtime"
+    assert final.count("lineitem.parquet") <= 1, (
+        f"{name}: fact scan not deduplicated in executed plan"
+    )
+
+
+def test_q22_threshold_branch_is_pruned(spark, sf_dir):
+    """q22's scalar-threshold branch rescans customer, but that scan
+    must be column-pruned to c_acctbal alone (a ~1% column read, map-
+    side partial avg) — the price of not funneling the raw scan
+    through a partition-less window."""
+    import re
+
+    plan = plan_of(REGISTRY["q22_acctbal_opportunity"].spark(spark, sf_dir))
+    schemas = [
+        s for loc, s in re.findall(
+            r"Location: InMemoryFileIndex \[([^\]]+)[\s\S]*?ReadSchema: (\S+)", plan
+        )
+        if "customer.parquet" in loc
+    ]
+    assert len(schemas) == 2, f"expected 2 customer scans, got {len(schemas)}"
+    assert any(
+        s.count(",") == 0 and "c_acctbal" in s for s in schemas
+    ), f"threshold branch not pruned to c_acctbal: {schemas}"
+
+
 #: queries with a justified scan count above the default budget of 2
 #: (self-join verify passes, multi-leg set ops, two-level ANN assign)
 _SCAN_BUDGET_EXCEPTIONS = {
     "dedup_minhash_pairs": 3,   # candidates + wordset join per pair side
     "dedup_minhash_est": 3,     # candidates + signature join per pair side
     "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
+    "sim_knn_join": 4,          # corpus + broadcast probes for scoring, plus
+                                # two label-only scans (column-pruned to
+                                # (vec_id,label) — no embedding read) that
+                                # attach labels to the tiny winner set
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
 }
@@ -166,3 +208,58 @@ def test_topk_is_take_ordered(spark, sf_dir):
     of the full result to keep 10 rows is wrong at any scale."""
     plan = plan_of(REGISTRY["q3_shipping_priority"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_centroids_are_take_ordered(spark, sf_dir):
+    """The IVF centroid sample must plan TakeOrderedAndProject (bounded
+    per-task heap), not a partition-less Window/global sort pushing the
+    whole corpus through one task (the round-1/2 regression)."""
+    plan = plan_of(REGISTRY["sim_ivf_ann"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+#: queries allowed a global (partition-less) Window, each justified:
+#: the window runs over a PRE-AGGREGATED tiny frame (cardinality =
+#: group count, not row count), so one task holds a few thousand rows
+#: even at 100 TB input.
+_GLOBAL_WINDOW_EXCEPTIONS: dict[str, str] = {
+    "win_running_total": "cumsum over per-day aggregate (~2.4k rows @ any SF)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_partitionless_window(name, spark, sf_dir):
+    """No registered query may plan a partition-less Window over an
+    unaggregated input — a global window funnels the ENTIRE input
+    through one task, the canonical single-reducer scale bug.
+
+    Detection (probe-verified renderings of the optimized plan):
+    ``Window [exprs], [part], [order]`` = partitioned+ordered (ok);
+    ``Window [exprs], [part]``          = partitioned (ok);
+    ``Window [exprs], [order]``         = GLOBAL ordered (trailing
+    group carries ASC/DESC — partition specs never do);
+    ``Window [exprs]``                  = GLOBAL unordered scalar."""
+    import re
+
+    if name == "streaming_windowed_counts":
+        pytest.skip("streaming drain: plan not comparable")
+    if name in _GLOBAL_WINDOW_EXCEPTIONS:
+        pytest.skip(f"justified: {_GLOBAL_WINDOW_EXCEPTIONS[name]}")
+    opt = (
+        REGISTRY[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in opt.splitlines():
+        stripped = line.lstrip(" +-:").rstrip()
+        if not stripped.startswith("Window "):
+            continue
+        groups = re.findall(r", \[([^\[\]]*)\]", stripped)
+        is_global = len(groups) == 0 or (
+            len(groups) == 1 and (" ASC" in groups[0] or " DESC" in groups[0])
+        )
+        assert not is_global, (
+            f"{name}: partition-less Window in plan: {stripped[:160]}"
+        )
