@@ -27,6 +27,13 @@ ENV_DEFAULT_NAMENODE = "HDFS_DEFAULT_NAMENODE"
 ENV_HA_NAMENODES = "HDFS_HA_NAMENODES"
 ENV_SHORTCIRCUIT = "HDFS_SHORTCIRCUIT"
 ENV_DOMAIN_SOCKET_PATH = "HDFS_DOMAIN_SOCKET_PATH"
+#: kerberos env mirrors — the reference links kerberos/gsasl
+#: (CMake/FindKERBEROS.cmake, CMake/FindGSasl.cmake from
+#: CMakeLists.txt), so secured clusters are inside its envelope;
+#: libhdfs3 reads principal/ticket-cache settings of the same shape.
+ENV_KERBEROS_PRINCIPAL = "HDFS_KERBEROS_PRINCIPAL"
+ENV_KERBEROS_KEYTAB = "HDFS_KERBEROS_KEYTAB"
+ENV_KERBEROS_TICKET_CACHE = "HDFS_KERBEROS_TICKET_CACHE"
 
 
 def _normalize_namenode(namenode: str) -> str:
@@ -54,6 +61,14 @@ class HdfsParams:
     nameservice: str = "ns1"
     shortcircuit: bool = False
     domain_socket_path: str = ""
+    #: user principal for kerberized clusters (empty = simple auth);
+    #: setting it flips ``hadoop.security.authentication`` to kerberos
+    kerberos_principal: str = ""
+    #: keytab path for non-interactive login (driver + executors)
+    kerberos_keytab: str = ""
+    #: kinit ticket cache path (libhdfs3:
+    #: ``hadoop.security.kerberos.ticket.cache.path``)
+    kerberos_ticket_cache: str = ""
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "HdfsParams":
@@ -70,6 +85,12 @@ class HdfsParams:
             p.shortcircuit = env[ENV_SHORTCIRCUIT].strip().lower() == "true"
         if ENV_DOMAIN_SOCKET_PATH in env:
             p.domain_socket_path = env[ENV_DOMAIN_SOCKET_PATH]
+        if ENV_KERBEROS_PRINCIPAL in env:
+            p.kerberos_principal = env[ENV_KERBEROS_PRINCIPAL].strip()
+        if ENV_KERBEROS_KEYTAB in env:
+            p.kerberos_keytab = env[ENV_KERBEROS_KEYTAB].strip()
+        if ENV_KERBEROS_TICKET_CACHE in env:
+            p.kerberos_ticket_cache = env[ENV_KERBEROS_TICKET_CACHE].strip()
         return p
 
     def to_hadoop_conf(self) -> dict[str, str]:
@@ -94,10 +115,28 @@ class HdfsParams:
             conf["dfs.client.read.shortcircuit"] = "true"
             if self.domain_socket_path:
                 conf["dfs.domain.socket.path"] = self.domain_socket_path
+        if self.kerberos_principal:
+            conf["hadoop.security.authentication"] = "kerberos"
+            # RPC privacy: matches the reference's gsasl-backed SASL
+            # link (CMake/FindGSasl.cmake); auth-only is the client
+            # default, the server dictates the final QOP.
+            conf["hadoop.rpc.protection"] = "authentication"
+            if self.kerberos_ticket_cache:
+                conf["hadoop.security.kerberos.ticket.cache.path"] = (
+                    self.kerberos_ticket_cache
+                )
         return conf
 
     def to_spark_conf(self) -> dict[str, str]:
-        return {f"spark.hadoop.{k}": v for k, v in self.to_hadoop_conf().items()}
+        conf = {f"spark.hadoop.{k}": v for k, v in self.to_hadoop_conf().items()}
+        if self.kerberos_principal:
+            # Spark-level keytab login: the driver logs in and ships
+            # delegation tokens to executors; principal alone (no
+            # keytab) relies on an external kinit ticket cache.
+            conf["spark.kerberos.principal"] = self.kerberos_principal
+            if self.kerberos_keytab:
+                conf["spark.kerberos.keytab"] = self.kerberos_keytab
+        return conf
 
 
 def apply_hdfs_conf(builder, params: HdfsParams):

@@ -15,6 +15,7 @@ Parity map (reference method → here):
 - ``GetLastModifiedTime``                → :meth:`HadoopFs.mtime`
 - ``OpenFile``+``Read`` (positional)     → :meth:`HadoopFs.read_bytes`
 - ``Write``/``FileSync``                 → :meth:`HadoopFs.write_bytes`
+- ``Truncate`` (hadoopfs.hpp:188)        → :meth:`HadoopFs.truncate`
 
 These go through the same ``org.apache.hadoop.fs.FileSystem`` API the
 executors use, so they work identically for ``file://``, ``hdfs://``
@@ -116,30 +117,64 @@ class HadoopFs:
         return self._fs(path).getFileStatus(self._jpath(path)).getModificationTime()
 
     def read_bytes(self, path: str, offset: int = 0, length: int | None = None) -> bytes:
-        """Positional read (reference: ``ReadFromHDFS``, hadoopfs.hpp:178)."""
+        """Positional read (reference: ``ReadFromHDFS``, hadoopfs.hpp:178).
+
+        Buffer-based like the reference's ``hdfsPread`` loop: a single
+        ``readNBytes`` fills a JVM-side buffer and returns byte[],
+        which py4j ships back as Python bytes in ONE transfer — not
+        one JVM round-trip per byte.  (py4j passes primitive arrays
+        by VALUE, so readFully-into-a-Python-held-array silently reads
+        into a copy — readNBytes' return-the-buffer shape is the only
+        batched form visible from Python.)"""
         fs = self._fs(path)
-        n = length if length is not None else self.size(path) - offset
+        avail = self.size(path) - offset
+        n = min(length, avail) if length is not None else avail
+        if n <= 0:
+            return b""
         stream = fs.open(self._jpath(path))
         try:
             stream.seek(offset)
-            buf = bytearray()
-            while len(buf) < n:
-                b = stream.read()
-                if b < 0:
-                    break
-                buf.append(b)
-            return bytes(buf)
+            return bytes(stream.readNBytes(n))
         finally:
             stream.close()
 
     def write_bytes(self, path: str, data: bytes) -> None:
         """Create/overwrite + hsync (reference: Write+FileSync,
-        hadoopfs.hpp:182-186). Control-file scale only."""
+        hadoopfs.hpp:182-186). Control-file scale only.
+
+        py4j converts ``bytes`` to a JVM byte[] in one transfer;
+        ``hsync`` (not ``hflush``) matches FileSync's durability —
+        flush to the OS on every datanode, not just client buffers."""
         fs = self._fs(path)
         out = fs.create(self._jpath(path), True)
         try:
-            for byte in data:
-                out.write(byte)
-            out.hflush()
+            out.write(bytearray(data))
+            out.hsync()
         finally:
             out.close()
+
+    def truncate(self, path: str, new_length: int) -> bool:
+        """Reference: ``HadoopFileSystem::Truncate`` (hadoopfs.hpp:188).
+
+        Returns True if the file is immediately at ``new_length``;
+        False means the truncate is in progress (HDFS crash-recovery
+        path) — callers needing certainty poll ``size``.
+
+        ``hdfs://`` (DistributedFileSystem) truncates natively.
+        ``file://`` is a ChecksumFileSystem wrapper that rejects
+        truncate — fall through to its raw filesystem and drop the
+        now-stale checksum sidecar, preserving read-after-truncate."""
+        jp = self._jpath(path)
+        fs = self._fs(path)
+        try:
+            return fs.truncate(jp, new_length)
+        except Exception:
+            # ChecksumFileSystem (file://): truncate the raw file,
+            # remove the stale .crc so subsequent reads don't fail
+            # checksum verification.
+            raw = fs.getRawFileSystem()
+            ok = raw.truncate(jp, new_length)
+            crc = fs.getChecksumFile(jp)
+            if raw.exists(crc):
+                raw.delete(crc, False)
+            return ok
