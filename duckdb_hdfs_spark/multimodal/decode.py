@@ -151,7 +151,9 @@ def frame_sample_batches(media: DataFrame, max_frames: int = 4) -> DataFrame:
     """1:N batch shape (video frame sampling): each payload yields
     ``min(ceil(byte_len/256), max_frames)`` frame rows.  A real
     kernel would seek+decode keyframes; the fake derives each frame
-    digest from (payload, frame_idx).  Output cardinality is bounded
+    digest from (payload, frame_idx) via a text suffix — null-byte
+    free, so an engine whose md5 only takes VARCHAR (DuckDB) can
+    re-derive it for the oracle check.  Output cardinality is bounded
     by max_frames x items — the Spark-side contract a real sampler
     must also keep."""
 
@@ -165,7 +167,7 @@ def frame_sample_batches(media: DataFrame, max_frames: int = 4) -> DataFrame:
                     ids.append(doc_id)
                     idxs.append(i)
                     digests.append(
-                        hashlib.md5(raw + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(raw + f"-frame-{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}

@@ -191,9 +191,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("dedup_simhash", oracle=None)  # 60 bit-vote aggregates: rows-only
+def _simhash_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql, tokens_sql
+    from duckdb_hdfs_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tok
+    FROM documents
+),
+h AS (SELECT doc_id, {md5_int60_sql('tok')} AS h FROM tok),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {sim} AS simhash FROM votes)
+SELECT doc_id, simhash, simhash >> 48 AS bucket FROM sim
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash + 12-bit prefix bucket per document."""
+    """60-bit SimHash + 12-bit prefix bucket per document.  The md5
+    token hash makes the bit votes engine-portable, so the DuckDB
+    oracle reproduces the exact signature (hash-checked, not
+    rows-only)."""
     return simhash_docs(_t(spark, sf_dir, "documents"))
 
 
@@ -299,12 +330,36 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("dedup_cc_clusters", oracle=None)  # iterative label propagation
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+""",
+)
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     MinHash-LSH candidate pairs via iterative min-label propagation
-    (operators.dedup.connected_clusters).  The rows-only class the
-    driver allows for genuinely iterative algorithms."""
+    (operators.dedup.connected_clusters).  The fixpoint (each node's
+    min reachable doc_id) is execution-strategy-independent, so the
+    oracle can re-derive it with a recursive CTE and hash-match even
+    though the Spark side iterates."""
     from duckdb_hdfs_spark.operators.dedup import connected_clusters
 
     pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"))

@@ -40,7 +40,26 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("mm_decode_features", oracle=None)  # Python decode path: rows-only
+@query(
+    "mm_decode_features",
+    # the fake decoder is md5-deterministic (multimodal/decode.py:
+    # fake_decode = digest bytes / 255.0, stored as float32), so the
+    # oracle re-derives feature 0 from the hex digest and matches the
+    # float32 rounding with a CAST AS REAL before averaging.
+    oracle="""
+SELECT media_type, count(*) AS n_items,
+       round(avg(byte_len), 2) AS avg_bytes,
+       round(avg(CAST(CAST(('0x' || substr(content_md5, 1, 2)) AS INTEGER)
+                      / 255.0 AS REAL)), 6) AS mean_f0
+FROM (
+    SELECT 'text/plain' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+)
+GROUP BY media_type
+""",
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over the binary payloads (fake
     decoder — see multimodal/decode.py), aggregated to per-media-type
@@ -55,7 +74,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("mm_resize", oracle=None)  # Python resize path: rows-only
+@query(
+    "mm_resize",
+    # fake_resize tiles the md5 digest to exactly width*height bytes,
+    # so the output length is the constant 16*16 for every row.
+    oracle="""
+SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       CAST(256 AS INTEGER) AS resized_bytes
+FROM documents
+""",
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas 1:1 resize plumbing (fake kernel): output payload
     size fixed at width*height regardless of input size."""
@@ -67,7 +95,27 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("mm_frame_sample", oracle=None)  # Python 1:N path: rows-only
+@query(
+    "mm_frame_sample",
+    # the fake sampler hashes payload || '-frame-{i}'; frames per
+    # item = clamp(ceil(bytes/256), 1, 4) — both re-derivable.
+    oracle="""
+WITH media AS (
+    SELECT doc_id, text,
+           greatest((octet_length(encode(text)) + 255) // 256, 1) AS n_raw
+    FROM documents
+),
+frames AS (
+    SELECT m.doc_id, gs.i,
+           md5(m.text || '-frame-' || CAST(gs.i AS VARCHAR)) AS frame_md5
+    FROM media m
+    JOIN (SELECT unnest(generate_series(0, 3)) AS i) gs
+      ON gs.i < least(m.n_raw, 4)
+)
+SELECT doc_id, count(*) AS n_frames, min(frame_md5) AS first_frame_md5
+FROM frames GROUP BY doc_id
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas 1:N frame-sampling plumbing (fake kernel):
     per-item frame counts, bounded by max_frames."""

@@ -1,12 +1,12 @@
 """Similarity-search registry entries (SURVEY.md §2.6).
 
-``sim_bruteforce_topk`` and ``sim_knn_join`` are oracle-checked: the
-DuckDB side mirrors the sequential-fold dot product exactly
-(functions/vectors.py), so cosines are bit-identical and rank order
-(tie-broken on vec_id) matches.  The ANN variants are rows-only: the
-result is correct-by-construction exact search within buckets, but
-DuckDB re-derivation of the bucket assignment would duplicate the
-Spark plan without adding verification value.
+Every entry is oracle-checked: the DuckDB side mirrors the
+sequential-fold dot product exactly (functions/vectors.py), so
+cosines are bit-identical and rank order (tie-broken on vec_id)
+matches.  The ANN variants re-derive their candidate sets in SQL —
+band buckets via lsh_band_keys_sql (bit-identical sign tests) and
+IVF cells via the same md5-ordered centroid sample + argmax-cosine
+assignment — so buckets, candidates, and ranks all hash-match.
 """
 
 from __future__ import annotations
@@ -113,23 +113,153 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("sim_lsh_ann", oracle=None)  # bucket-internal exact search; rows-only
+def _lsh_cand_sql() -> str:
+    """Candidate CTE body shared by the lsh_ann oracle and the recall
+    oracle: DISTINCT (probe_id, vec_id) pairs sharing any band key."""
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys_sql
+
+    return f"""
+    SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+    FROM (SELECT vec_id, unnest({lsh_band_keys_sql('embedding')}) AS band_key
+          FROM embeddings) c
+    JOIN (SELECT vec_id, unnest({lsh_band_keys_sql('embedding')}) AS band_key
+          FROM embeddings WHERE {_PROBE_FILTER}) p
+      ON c.band_key = p.band_key
+    WHERE c.vec_id <> p.vec_id"""
+
+
+def _ivf_cand_sql(n_cells: int = 16, nprobe: int = 2) -> str:
+    """Candidate CTE body for the ivf_ann oracle: centroid sample by
+    md5 order (mirrors orderBy(md5).limit), argmax-cosine cell
+    assignment, probes visit their nprobe nearest cells."""
+    return f"""
+    SELECT pc.probe_id, cc.vec_id
+    FROM (
+        SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
+                                c.cent_id) AS crk
+            FROM embeddings e, (
+                SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+            ) c
+        ) WHERE crk = 1
+    ) cc
+    JOIN (
+        SELECT probe_id, cent_id FROM (
+            SELECT e.vec_id AS probe_id, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
+                                c.cent_id) AS crk
+            FROM embeddings e, (
+                SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+            ) c
+            WHERE e.{_PROBE_FILTER}
+        ) WHERE crk <= {nprobe}
+    ) pc ON cc.cent_id = pc.cent_id
+    WHERE cc.vec_id <> pc.probe_id"""
+
+
+def _ann_topk_sql(cand_sql: str, k: int = 5) -> str:
+    """Score + exact top-k over a candidate CTE — the oracle mirror
+    of operators/similarity.py:_topk_merge (rank on the unrounded
+    cosine, ties on vec_id, round(6) output-only)."""
+    return f"""
+WITH cand AS ({cand_sql}),
+scored AS (
+    SELECT cand.probe_id, cand.vec_id,
+           {cosine_sql('pe.embedding', 'ce.embedding')} AS cos_raw
+    FROM cand
+    JOIN embeddings pe ON pe.vec_id = cand.probe_id
+    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+)
+SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim, rk
+FROM (
+    SELECT probe_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_raw DESC, vec_id) AS rk
+    FROM scored
+) t WHERE rk <= {k}
+"""
+
+
+@query("sim_lsh_ann", oracle=_ann_topk_sql(_lsh_cand_sql()))
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (12 md5-seeded planes)."""
+    """Hyperplane-LSH ANN (12 md5-seeded planes).  Hash-checked: the
+    oracle re-derives the band buckets bit-identically
+    (lsh_band_keys_sql), so candidates, cosines, and ranks match."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_ann(_probes(emb), emb, k=5)
 
 
 # --------------------------------------------------------------------------
-@query("sim_ivf_ann", oracle=None)  # rows-only
+@query("sim_ivf_ann", oracle=_ann_topk_sql(_ivf_cand_sql()))
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 16 coarse cells, nprobe=2."""
+    """IVF-style ANN: 16 coarse cells, nprobe=2.  Hash-checked: the
+    oracle mirrors the md5-ordered centroid sample and argmax-cosine
+    cell assignment exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_ann(_probes(emb), emb, n_cells=16, nprobe=2, k=5)
 
 
 # --------------------------------------------------------------------------
-@query("sim_recall_eval", oracle=None)  # composes rows-only ANN paths
+def _recall_oracle() -> str:
+    truth = f"""
+    SELECT probe_id, vec_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {cosine_sql('p.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rk
+        FROM embeddings c, (SELECT * FROM embeddings WHERE {_PROBE_FILTER}) p
+        WHERE c.vec_id <> p.vec_id
+    ) WHERE rk <= 5"""
+    lsh_top = f"""
+    SELECT probe_id, vec_id FROM (
+        SELECT cand.probe_id, cand.vec_id,
+               row_number() OVER (PARTITION BY cand.probe_id
+                   ORDER BY {cosine_sql('pe.embedding', 'ce.embedding')} DESC,
+                            cand.vec_id) AS rk
+        FROM ({_lsh_cand_sql()}) cand
+        JOIN embeddings pe ON pe.vec_id = cand.probe_id
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ) WHERE rk <= 5"""
+    ivf_top = f"""
+    SELECT probe_id, vec_id FROM (
+        SELECT cand.probe_id, cand.vec_id,
+               row_number() OVER (PARTITION BY cand.probe_id
+                   ORDER BY {cosine_sql('pe.embedding', 'ce.embedding')} DESC,
+                            cand.vec_id) AS rk
+        FROM ({_ivf_cand_sql()}) cand
+        JOIN embeddings pe ON pe.vec_id = cand.probe_id
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ) WHERE rk <= 5"""
+    return f"""
+WITH truth AS ({truth}),
+lsh AS ({lsh_top}),
+ivf AS ({ivf_top}),
+rec_lsh AS (
+    SELECT t.probe_id, CAST(count(l.vec_id) AS DOUBLE) / count(*) AS r
+    FROM truth t LEFT JOIN lsh l
+      ON t.probe_id = l.probe_id AND t.vec_id = l.vec_id
+    GROUP BY t.probe_id
+),
+rec_ivf AS (
+    SELECT t.probe_id, CAST(count(i.vec_id) AS DOUBLE) / count(*) AS r
+    FROM truth t LEFT JOIN ivf i
+      ON t.probe_id = i.probe_id AND t.vec_id = i.vec_id
+    GROUP BY t.probe_id
+)
+SELECT 'lsh' AS method, count(*) AS n_probes,
+       round(avg(r), 4) AS recall_at_5 FROM rec_lsh
+UNION ALL
+SELECT 'ivf' AS method, count(*) AS n_probes,
+       round(avg(r), 4) AS recall_at_5 FROM rec_ivf
+"""
+
+
+@query("sim_recall_eval", oracle=_recall_oracle())
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@5 of the LSH and IVF paths
     against the exact brute-force top-5 — the measurement that

@@ -21,7 +21,22 @@ from duckdb_hdfs_spark.sources.catalog import load_table
 _run_counter = itertools.count()
 
 
-@query("streaming_windowed_counts", oracle=None)
+@query(
+    "streaming_windowed_counts",
+    # complete-mode + availableNow drains EVERY row into epoch-aligned
+    # 1-day windows, so the streaming result equals the batch tumbling
+    # aggregation — which IS SQL-expressible; the decimal-accumulated
+    # sum makes the value deterministic across engines.
+    oracle="""
+SELECT date_trunc('day', ts) AS win_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+       event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream → 1-day watermarked tumbling windows →
     complete-mode memory sink, drained with availableNow.  The events

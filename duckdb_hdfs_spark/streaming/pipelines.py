@@ -86,13 +86,17 @@ def windowed_counts(
     events: DataFrame, window: str = "1 day", watermark: str = "1 day"
 ) -> DataFrame:
     """Tumbling-window counts + value sums per event_type — the
-    streaming twin of the batch ``ev_tumbling_counts`` query."""
+    streaming twin of the batch ``ev_tumbling_counts`` query.  The
+    sum accumulates in DECIMAL so the result is order-independent
+    (mergeable partial state) and engine-portable for the oracle."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),

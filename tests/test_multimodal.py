@@ -69,5 +69,5 @@ def test_frame_sample_bounds_and_determinism(spark, media):
     one = frames.filter(F.col("frame_idx") == 0).limit(5).collect()
     src = {r.doc_id: bytes(r.payload) for r in media.collect()}
     for r in one:
-        want = hashlib.md5(src[r.doc_id] + (0).to_bytes(4, "big")).hexdigest()
+        want = hashlib.md5(src[r.doc_id] + b"-frame-0").hexdigest()
         assert r.frame_md5 == want
