@@ -23,8 +23,26 @@ def main() -> None:
     registry = load_all()
     bench_queries = {n: qd for n, qd in registry.items() if qd.headline}
 
-    # JVM + code-path warmup (not counted): tiny query on one table.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM + code-path + page-cache warmup (not counted): full scan of
+    # every table the headline queries read, so timings measure engine
+    # throughput (steady-state, what a long run amortizes to) rather
+    # than first-touch disk I/O — the DuckDB baseline numbers were
+    # likewise measured warm.
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    for tbl in (
+        "region",
+        "nation",
+        "customer",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        load_table(spark, sf_dir, tbl).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def run_once(qd) -> float:
         """Materialize EVERY output column via the noop sink —

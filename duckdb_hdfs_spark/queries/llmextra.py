@@ -1,0 +1,285 @@
+"""Round-3 LLM-data-pipeline additions (SURVEY.md §2.11): repetition
+signals, benchmark contamination, prefix-fingerprint dedup, filtered
+ANN, and int8 embedding quantization — the remaining passes a
+training-data curation pipeline runs that §2.5-2.7 did not yet cover.
+
+All five are oracle-checked.  Registered LAST in ``_QUERY_MODULES``:
+the driver's 50-entry CORRECTNESS window is already allocated to the
+§2.5-2.10 surface this round (queries/__init__.py), so these are
+covered by the repo's sf0.001/sf0.01 pytest sweep now and rotate into
+the driver window next round.
+
+Scale notes per query are in the docstrings; the common theme is
+map-only per-document feature extraction (zero shuffle) and
+broadcast-bounded joins for the set-membership passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import tokens, tokens_sql, word_kgrams
+from duckdb_hdfs_spark.functions.vectors import cosine_sql
+from duckdb_hdfs_spark.operators.similarity import brute_topk
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries._helpers import _t
+
+_TOKS = tokens_sql("text")
+
+# DuckDB mirror of word_kgrams(toks, k) (functions/hashing.py:60):
+# unconditional single-space joins with ''-coalesced out-of-range
+# tails, n = greatest(len - (k-1), 1) — the same construction the
+# text_fingerprint oracle uses, probe-verified bit-identical.
+_G2 = "tk[i] || ' ' || coalesce(tk[i+1], '')"
+_G3 = "tk[i] || ' ' || coalesce(tk[i+1], '') || ' ' || coalesce(tk[i+2], '')"
+
+
+def _dup_frac(arr):
+    """1 - distinct/total over an array column, rounded — the Gopher-
+    style duplicate-fraction repetition signal."""
+    return F.round(
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr), 4
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (
+    SELECT doc_id, tk,
+           list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                          i -> {_G2}) AS g2,
+           list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                          i -> {_G3}) AS g3
+    FROM t
+)
+SELECT doc_id, len(tk) AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4)
+           AS dup_word_frac,
+       round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+           AS dup_2gram_frac,
+       round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+           AS dup_3gram_frac
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate word / 2-gram /
+    3-gram fractions (the Gopher repetition filters).  A document
+    whose token stream is mostly repeats is boilerplate or spam.
+
+    Scale: pure map work over the documents scan — zero shuffle, all
+    JVM-side array expressions, trivially linear at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _dup_frac(toks).alias("dup_word_frac"),
+        _dup_frac(word_kgrams(toks, 2)).alias("dup_2gram_frac"),
+        _dup_frac(word_kgrams(toks, 3)).alias("dup_3gram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_contamination",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+g AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)), i -> {_G3}))
+               AS grams
+    FROM t
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE source = 'src0'),
+cand AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+         FROM g WHERE source <> 'src0')
+SELECT cand.doc_id, any_value(n_grams) AS n_grams,
+       count(b.gram) AS n_contaminated,
+       round(CAST(count(b.gram) AS DOUBLE) / any_value(n_grams), 4)
+           AS contamination
+FROM cand LEFT JOIN bench b ON cand.gram = b.gram
+GROUP BY cand.doc_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each candidate
+    document's distinct word 3-grams that appear anywhere in the
+    held-out set (source = 'src0' stands in for the eval benchmark).
+    The decontamination pass every training corpus needs before a
+    model ships.
+
+    Scale: the benchmark gram set is DISTINCT-reduced and broadcast
+    (eval benchmarks are tiny next to a 100 TB corpus); candidates
+    explode their distinct grams map-side, probe the broadcast set,
+    and reduce per doc_id with map-side partial counts — one shuffle
+    on doc_id, no corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_kgrams(tokens(F.col("text")), 3))
+    base = docs.select("doc_id", "source", grams.alias("grams"))
+    bench = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = base.filter(F.col("source") != "src0").select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_prefix_groups",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source,
+           md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS prefix_hash
+    FROM documents
+)
+SELECT prefix_hash, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources, min(doc_id) AS min_doc_id
+FROM t GROUP BY prefix_hash HAVING count(*) > 1
+""",
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: documents sharing the same first-8-
+    token prefix (md5-keyed) — the cheap head-dedup pass that catches
+    boilerplate headers and mirrored articles before the expensive
+    MinHash stage.
+
+    Scale: one md5 per document map-side, one hash-partitioned
+    group-by on the 16-byte key with map-side partial aggregation —
+    the same single-shuffle shape as dedup_exact."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
+    return (
+        docs.select(
+            F.md5(prefix).alias("prefix_hash"), "source", "doc_id"
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ann_filtered",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT p.probe_id, c.vec_id,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM (SELECT * FROM embeddings WHERE label < 3) c, p
+    WHERE c.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim, rk
+FROM (
+    SELECT probe_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_raw DESC, vec_id) AS rk
+    FROM scored
+) t WHERE rk <= 3
+""",
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered similarity search: exact top-3 neighbors restricted
+    to a metadata predicate (label < 3) — the "search within a
+    namespace/filter" query every vector store serves.
+
+    Scale: the predicate is applied BEFORE scoring, so it pushes to
+    the parquet scan (PushedFilters) and shrinks the scored corpus ~
+    3/10; then the standard broadcast-probes + per-partition partial
+    top-k shape (operators/similarity.py:_topk_merge) — no full
+    score-set shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("label") < 3)
+    return brute_topk(probes, corpus, k=3, exclude_self=True)
+
+
+# --------------------------------------------------------------------------
+_ABS_D = "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))"
+_QERR = (
+    "list_max(list_transform(generate_series(1, len(embedding)), i -> "
+    "abs(CAST(embedding[i] AS DOUBLE) "
+    "- floor(CAST(embedding[i] AS DOUBLE) * 127.0 / scale + 0.5) "
+    "* scale / 127.0)))"
+)
+
+
+@query(
+    "emb_int8_quantize",
+    oracle=f"""
+WITH s AS (
+    SELECT label, list_max({_ABS_D}) AS scale, embedding FROM embeddings
+),
+e AS (SELECT label, scale, {_QERR} AS max_err FROM s)
+SELECT label, count(*) AS n_vecs,
+       round(avg(scale), 6) AS mean_scale,
+       round(avg(max_err), 6) AS mean_max_err,
+       round(max(max_err), 6) AS worst_err
+FROM e GROUP BY label
+""",
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error audit: per-vector max-abs
+    scale, q = round(x·127/scale), reconstruction error = |x −
+    q·scale/127|; per-label mean/worst error — the accuracy gate
+    before shipping a quantized ANN index (4× smaller, 4× faster
+    dot products).
+
+    Scale: map-only per-vector array math (scale computed once per
+    row in a prior projection, NOT inside the lambda — an outer
+    aggregate referenced inside a higher-order-function lambda is
+    re-evaluated per element), then one partial-aggregated group-by
+    on the 10-value label key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    s = emb.select("label", e, scale.alias("scale"))
+    sc = F.col("scale")
+    max_err = F.array_max(
+        F.zip_with(
+            e,
+            F.transform(e, lambda x: F.floor(x.cast("double") * 127.0 / sc + 0.5)),
+            lambda x, q: F.abs(x.cast("double") - q * sc / 127.0),
+        )
+    )
+    return (
+        s.select("label", "scale", max_err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("mean_scale"),
+            F.round(F.avg("max_err"), 6).alias("mean_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+    )
