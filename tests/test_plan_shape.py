@@ -218,6 +218,58 @@ def test_ivf_centroids_are_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _exchange_nodes(plan: str) -> int:
+    """Count Exchange NODES in a formatted plan (each node renders as
+    '(n) Exchange' once in the tree; substring-counting 'Exchange'
+    double-counts the details section)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_repetition_is_map_only(spark, sf_dir):
+    """Per-document repetition signals are pure map work — ZERO
+    exchanges.  Any shuffle here is a regression (the operator's
+    100 TB cost model is 'one scan, no data movement')."""
+    plan = plan_of(REGISTRY["text_repetition"].spark(spark, sf_dir))
+    assert _exchange_nodes(plan) == 0, "text_repetition must not shuffle"
+
+
+def test_contamination_bench_is_broadcast(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval sets are tiny next
+    to the corpus) and the source predicates must push to the scan —
+    no sort-merge join of the full corpus gram explosion."""
+    plan = plan_of(REGISTRY["text_contamination"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(source,src0)" in plan, "bench filter not pushed"
+
+
+def test_ann_filter_pushed_to_scan(spark, sf_dir):
+    """Filtered ANN must apply the metadata predicate AT THE SCAN
+    (shrinking the scored corpus) — not post-filter the score set."""
+    plan = plan_of(REGISTRY["sim_ann_filtered"].spark(spark, sf_dir))
+    assert "LessThan(label,3)" in plan, "label predicate not pushed to scan"
+
+
+def test_quantize_single_shuffle(spark, sf_dir):
+    """int8 quantization audit: all array math map-side, then ONE
+    partially-aggregated shuffle on the label key."""
+    plan = plan_of(REGISTRY["emb_int8_quantize"].spark(spark, sf_dir))
+    assert _exchange_nodes(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_prefix_dedup_shuffle_bounded(spark, sf_dir):
+    """Prefix-hash dedup: count(DISTINCT source) plans the standard
+    two-phase distinct aggregate — at most two exchanges, both keyed
+    on the 16-byte hash (never a row-level shuffle of the text)."""
+    plan = plan_of(REGISTRY["dedup_prefix_groups"].spark(spark, sf_dir))
+    assert _exchange_nodes(plan) <= 2
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
 #: queries allowed a global (partition-less) Window, each justified:
 #: the window runs over a PRE-AGGREGATED tiny frame (cardinality =
 #: group count, not row count), so one task holds a few thousand rows
