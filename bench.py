@@ -40,9 +40,9 @@ def main() -> None:
         "documents",
         "embeddings",
     ):
-        load_table(spark, sf_dir, tbl).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        df = load_table(spark, sf_dir, tbl)
+        df.rdd.getNumPartitions()  # JIT-warm the partition probe path
+        df.write.format("noop").mode("overwrite").save()
 
     def run_once(qd) -> float:
         """Materialize EVERY output column via the noop sink —

@@ -57,7 +57,10 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
     the shuffle carries only (doc_id, NUM_PERM ints) per document
     regardless of document length.  Same math as the oracle's
     ``minhash_sigints_sql``."""
-    sh = docs.select(
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    base = rebalance_cpu_heavy(docs.select("doc_id", "text"))
+    sh = base.select(
         "doc_id", word_shingles(tokens(F.col("text")), k=2).alias("shingles")
     )
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -214,9 +217,16 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     Implemented as explode → 60 conditional sums → bit reassembly
     (all JVM-side; one shuffle on doc_id).  Bucketing on the top 12
     bits gives hamming-neighbor candidate buckets."""
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    ).withColumn("h", md5_int60(F.col("tok")))
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    tok = (
+        rebalance_cpu_heavy(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .withColumn("h", md5_int60(F.col("tok")))
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(

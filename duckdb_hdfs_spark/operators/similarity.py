@@ -145,9 +145,11 @@ def brute_topk(
         F.col("embedding").alias("pe"),
         norm(F.col("embedding")).alias("pn"),
     )
-    c = corpus.select(
-        "vec_id", F.col("embedding").alias("ce"), norm(F.col("embedding")).alias("cn")
-    )
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    c = rebalance_cpu_heavy(
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+    ).select("vec_id", "ce", norm(F.col("ce")).alias("cn"))
     joined = c.join(F.broadcast(p))
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
@@ -161,11 +163,15 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     deduplicated candidates only.  Scale: corpus explodes x LSH_BANDS
     on the band key, probes broadcast — the join is bucket-bounded,
     and the candidate dedup shuffles only (probe, candidate) pairs."""
-    banded_corpus = corpus.select(
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    banded_corpus = rebalance_cpu_heavy(
+        corpus.select("vec_id", F.col("embedding").alias("ce"))
+    ).select(
         "vec_id",
-        F.col("embedding").alias("ce"),
-        norm(F.col("embedding")).alias("cn"),
-        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
+        "ce",
+        norm(F.col("ce")).alias("cn"),
+        F.explode(lsh_band_keys(F.col("ce"))).alias("band_key"),
     )
     banded_probes = probes.select(
         F.col("vec_id").alias("probe_id"),
@@ -220,12 +226,12 @@ def ivf_ann(
             .drop("cent_cos", "crk")
         )
 
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
     corpus_cells = assign(
-        corpus.select(
-            "vec_id",
-            F.col("embedding").alias("ce"),
-            norm(F.col("embedding")).alias("cn"),
-        ),
+        rebalance_cpu_heavy(
+            corpus.select("vec_id", F.col("embedding").alias("ce"))
+        ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
         "vec_id",
         "ce",
         "cn",

@@ -263,12 +263,16 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.functions.vectors import dot, norm
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = rebalance_cpu_heavy(
+        emb.select("vec_id", F.col("embedding").alias("e"))
+    ).select(
         "vec_id",
-        F.col("embedding").alias("e"),
-        norm(F.col("embedding")).alias("nrm"),
-        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
+        "e",
+        norm(F.col("e")).alias("nrm"),
+        F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
     )
     a = v.select(
         F.col("vec_id").alias("vec_a"),
