@@ -14,11 +14,30 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.sources.catalog import load_table
 
 _run_counter = itertools.count()
+
+
+def _rewrite_events(
+    spark: SparkSession, sf_dir: str, n_files: int, tag: str
+) -> str:
+    """Materialize the events table as ``n_files`` parquet files for
+    the file-source stream (normalizes the TIMESTAMP(NANOS) column on
+    the way; multiple files => multiple micro-batches under
+    maxFilesPerTrigger=1, so cross-batch state is actually
+    exercised)."""
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{tag}",
+        os.path.basename(sf_dir),
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(src)
+    return src
 
 
 @query(
@@ -49,11 +68,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts,
     )
 
-    src = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream_src", os.path.basename(sf_dir)
-    )
-    shutil.rmtree(src, ignore_errors=True)
-    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    src = _rewrite_events(spark, sf_dir, n_files=1, tag="src")
 
     name = f"t_streaming_windowed_counts_{next(_run_counter)}"
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
@@ -61,3 +76,47 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts(stream), name, output_mode="complete"
     )
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_dedup_users",
+    # the state store keeps exactly one row per (event_type, user_id)
+    # key regardless of arrival order or batch boundaries, so the
+    # per-type count of surviving rows equals the batch COUNT(DISTINCT)
+    # — a fully deterministic, SQL-expressible result.
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store dedup: file-source stream split into 4
+    micro-batches (maxFilesPerTrigger=1 over a 4-file rewrite) →
+    ``dropDuplicates`` on (event_type, user_id) → append-mode memory
+    sink; the batch tail counts survivors per type.  Duplicates that
+    span micro-batches are dropped by the state store, which is the
+    property under test (a batch distinct can't show it).
+
+    Scale: dedup state is one compact key per distinct pair,
+    hash-partitioned across executors by the state store; production
+    unbounded streams would add ``dropDuplicatesWithinWatermark`` to
+    bound retention (streaming/pipelines.py:dedup_stream)."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=4, tag="dedup")
+
+    name = f"t_streaming_dedup_users_{next(_run_counter)}"
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    deduped = stream.dropDuplicates(["event_type", "user_id"]).select(
+        "event_type", "user_id"
+    )
+    run_available_now_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )

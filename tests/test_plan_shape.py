@@ -171,7 +171,7 @@ def test_scan_budget(name, spark, sf_dir):
     import re
     from collections import Counter
 
-    if name == "streaming_windowed_counts":
+    if name.startswith("streaming_"):
         pytest.skip("streaming drain: plan not comparable")
     plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
     locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)", plan)
@@ -293,7 +293,7 @@ def test_no_partitionless_window(name, spark, sf_dir):
     ``Window [exprs]``                  = GLOBAL unordered scalar."""
     import re
 
-    if name == "streaming_windowed_counts":
+    if name.startswith("streaming_"):
         pytest.skip("streaming drain: plan not comparable")
     if name in _GLOBAL_WINDOW_EXCEPTIONS:
         pytest.skip(f"justified: {_GLOBAL_WINDOW_EXCEPTIONS[name]}")
