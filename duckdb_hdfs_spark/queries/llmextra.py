@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import tokens, tokens_sql, word_kgrams
-from duckdb_hdfs_spark.functions.vectors import cosine_sql
+from duckdb_hdfs_spark.functions.text import quality_score, quality_score_sql
+from duckdb_hdfs_spark.functions.vectors import cosine, cosine_sql
 from duckdb_hdfs_spark.operators.similarity import brute_topk
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
@@ -223,6 +224,138 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding")
     corpus = emb.filter(F.col("label") < 3)
     return brute_topk(probes, corpus, k=3, exclude_self=True)
+
+
+# --------------------------------------------------------------------------
+_Q_SQL = quality_score_sql("text", _TOKS)
+_DUPF_SQL = f"1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})"
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, len({_TOKS}) AS n_tokens,
+           {_DUPF_SQL} AS dupf, {_Q_SQL} AS q
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tokens < 16 THEN 'too_short'
+            WHEN dupf > 0.65 THEN 'repetitive'
+            WHEN q < 0.7 THEN 'low_quality'
+            ELSE 'ok' END AS reason,
+       CASE WHEN n_tokens >= 16 AND dupf <= 0.65 AND q >= 0.7
+            THEN TRUE ELSE FALSE END AS keep
+FROM m
+""",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision: compose the cheap per-document
+    signals (token count, duplicate-word fraction, composite quality)
+    into a keep/drop verdict with a reason code — the materialized
+    filter pass a corpus pipeline writes before training, and the
+    audit trail reviewers read ("why was this dropped?").
+
+    Scale: single map-only pass — every signal derives from one token
+    split, zero shuffles; at 100 TB this is scan-bound."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "dupf"
+        ),
+        quality_score(F.col("text"), toks).alias("q"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 16, "too_short")
+        .when(F.col("dupf") > 0.65, "repetitive")
+        .when(F.col("q") < 0.7, "low_quality")
+        .otherwise("ok")
+    )
+    return m.select(
+        "doc_id",
+        reason.alias("reason"),
+        (
+            (F.col("n_tokens") >= 16) & (F.col("dupf") <= 0.65) & (F.col("q") >= 0.7)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "emb_kmeans_update",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+assign AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
+                            c.cent_id) AS crk
+        FROM embeddings e, cents c
+    ) WHERE crk = 1
+)
+SELECT cent_id, CAST(i AS BIGINT) AS dim, count(*) AS n_members,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM assign, generate_series(1, 8) t(i)
+GROUP BY cent_id, i
+""",
+)
+def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=8, cosine assignment), the
+    building block of embedding clustering / IVF index training:
+    deterministic md5-ordered centroid seed, argmax-cosine assignment,
+    distributed per-dimension mean update (first 8 dims emitted in
+    long form to keep the audit result compact).
+
+    Scale: centroids broadcast (k rows); assignment is map-side
+    scoring + a partially-aggregated argmax groupBy — the shuffle
+    carries ONE row per vector (max-struct combiner), not k; the mean
+    update shuffles (k x dims) partial sums.  No partition-less
+    window, no corpus self-join; iterating = re-running with the
+    output means as the next seed."""
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(8)
+    )
+    v = rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cent")).alias("cc"),
+    )
+    # argmax via max-struct: (cc DESC, cent_id ASC) == max (cc, -cent_id);
+    # partial-aggregates map-side so the shuffle is one row per vector
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cc").alias("cc"), (-F.col("cent_id")).alias("neg"))
+            ).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", (-F.col("best.neg")).alias("cent_id"), "embedding")
+    )
+    sliced = assigned.select(
+        "cent_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
+    )
+    return (
+        sliced.groupBy("cent_id", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

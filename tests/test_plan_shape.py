@@ -270,6 +270,22 @@ def test_prefix_dedup_shuffle_bounded(spark, sf_dir):
     assert "n_chars" not in read_schema and "lang" not in read_schema
 
 
+def test_quality_filter_is_map_only(spark, sf_dir):
+    """The composite keep/drop pass derives every signal from one
+    token split in a single projection — ZERO exchanges."""
+    plan = plan_of(REGISTRY["pipeline_quality_filter"].spark(spark, sf_dir))
+    assert _exchange_nodes(plan) == 0
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """The k-means update must broadcast the k centroids against the
+    corpus (BroadcastNestedLoopJoin on the keyless score join) — never
+    a shuffle join of the corpus — and must not plan a sort-merge."""
+    plan = plan_of(REGISTRY["emb_kmeans_update"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 #: queries allowed a global (partition-less) Window, each justified:
 #: the window runs over a PRE-AGGREGATED tiny frame (cardinality =
 #: group count, not row count), so one task holds a few thousand rows
