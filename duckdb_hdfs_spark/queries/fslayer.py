@@ -158,3 +158,25 @@ def fs_describe_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, pos bigint"
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_csv_gzip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def fs_read_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV round-trip: write nation as gzip csv, read it
+    back with an explicit schema — parity with the reference serving
+    DuckDB's transparent ``.csv.gz`` reads over HDFS.  Gzip is not
+    splittable, so at scale one file = one task; real pipelines shard
+    into many gz files (as this partitioned write does) or use a
+    splittable codec for large inputs."""
+    path = os.path.join(_SCRATCH, "nation_csv_gz")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.option("compression", "gzip").option("header", "true").csv(path)
+    return spark.read.option("header", "true").schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).csv(path)
