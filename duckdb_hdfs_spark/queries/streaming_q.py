@@ -120,3 +120,62 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_user_totals",
+    # the final emission per user carries the complete running state,
+    # so picking each user's highest-n_events update row reproduces
+    # the batch per-user aggregate; round(4) absorbs the float
+    # accumulation-order delta between the Python state op (pandas
+    # pairwise sum per batch) and DuckDB's sequential sum.
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the driver contract:
+    ``applyInPandasWithState`` keeps one (count, sum) pair per user,
+    emitting the running totals every micro-batch (update semantics,
+    4 micro-batches); the batch tail selects each user's FINAL update
+    (argmax on the monotone n_events) — which must equal the batch
+    aggregate.  Exercises Arrow-batched Python state, not just
+    built-in streaming aggs.
+
+    Scale: state is bounded by key cardinality (one tiny tuple per
+    user), hash-partitioned across executors; the update stream into
+    the sink carries only keys seen in each batch."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+        running_user_totals,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=4, tag="totals")
+
+    name = f"t_streaming_user_totals_{next(_run_counter)}"
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        running_user_totals(stream), name, output_mode="update"
+    )
+    updates = spark.table(name)
+    final = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_events").alias("n_events"),
+                    F.col("total_value").alias("total_value"),
+                )
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.n_events").alias("n_events"),
+            F.round(F.col("last.total_value"), 4).alias("total_value"),
+        )
+    )
+    return final
