@@ -359,6 +359,47 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@query(
+    "skew_salted_event_stats",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation through the driver contract: per-type
+    event stats via the salted two-stage aggregate
+    (operators/skew.py:salted_agg, 16 salt shards).  event_type has
+    only 5 values — exactly the degenerate-key shape where a plain
+    groupBy funnels ~20% of a 100 TB stream through one reducer; the
+    salt spreads each key over 16 reducers and a second aggregate over
+    5x16 tiny rows merges the partials.  The decimal value sum makes
+    the two-stage result bit-equal to the one-stage oracle."""
+    from duckdb_hdfs_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("n_events", F.count(F.lit(1)), "sum"),
+            ("sum_dec", F.sum(F.col("value").cast("decimal(18,6)")), "sum"),
+            ("max_value", F.max("value"), "max"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+        F.round(F.col("max_value"), 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 _ABS_D = "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))"
 _QERR = (
     "list_max(list_transform(generate_series(1, len(embedding)), i -> "
