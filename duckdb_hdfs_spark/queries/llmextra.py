@@ -400,6 +400,80 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, df,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic distributed
+    keyword-extraction pass (smoothed idf = ln((N+1)/(df+1)) + 1).
+
+    Scale shape: explode is map-side; the (doc_id, term) and term
+    group-bys both partial-aggregate before their shuffles, so the
+    hot stopword keys arrive at reducers as one partial row per map
+    task, not one row per occurrence.  The tf⋈df join shuffles on
+    term (AQE splits the heavy-tail vocab keys); document count N is
+    a driver scalar (metadata-cheap count, no per-row work).  The
+    final top-k window partitions by doc_id — bounded by per-document
+    vocabulary, never by corpus size.  Ranking orders on the ROUNDED
+    score with a term tie-break so Spark and the oracle rank
+    identically despite last-ulp ln() differences."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 _ABS_D = "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))"
 _QERR = (
     "list_max(list_transform(generate_series(1, len(embedding)), i -> "
