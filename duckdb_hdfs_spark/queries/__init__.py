@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     # (this round's window is allocated to §2.5-2.10); pytest-covered
     # now, rotate into the driver window next round.
     "duckdb_hdfs_spark.queries.llmextra",
+    "duckdb_hdfs_spark.queries.layout",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of
