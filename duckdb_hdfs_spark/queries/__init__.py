@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     # now, rotate into the driver window next round.
     "duckdb_hdfs_spark.queries.llmextra",
     "duckdb_hdfs_spark.queries.layout",
+    "duckdb_hdfs_spark.queries.cdc",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of

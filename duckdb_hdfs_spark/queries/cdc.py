@@ -1,0 +1,164 @@
+"""Incremental-ingest (CDC) registry entries (SURVEY.md §2.11):
+MERGE/upsert semantics and SCD type-2 history building.
+
+A 100 TB corpus is never rebuilt from scratch — it is maintained by
+applying change batches to a snapshot (the reference serves exactly
+this pattern: DuckDB queries over an HDFS directory that ingest jobs
+keep appending to).  These operators express the two canonical
+incremental shapes as pure DataFrame plans:
+
+- ``cdc_merge_orders``: MERGE INTO (upsert) without a join — union
+  the snapshot and the change batch with a priority tag and keep the
+  max-priority row per key via ``max_by`` (ONE hash-aggregate
+  shuffle, map-side partial agg; a join-based MERGE shuffles both
+  sides AND re-shuffles the output).  When the batch is small
+  relative to the snapshot — the common nightly-CDC case — swap the
+  aggregate for a broadcast anti-join union; the union+max_by form
+  is the safe default when batch size is unbounded.
+- ``cdc_scd2_priority_history``: slowly-changing-dimension type 2 —
+  collapse each key's attribute timeline into validity intervals
+  (gaps-and-islands: lag-change flag → running version sum → group).
+  Two window passes over the SAME (key, time) sort order, so Spark
+  performs one shuffle+sort and reuses it for both windows.
+
+Registered past the driver's 50-entry window this round (the window
+is allocated to §2.5-2.10); oracle-checked by the local sf0.001 and
+sf0.01 sweeps, rotating into the driver window next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries._helpers import _dsum, _osum, _t
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_merge_orders",
+    oracle=f"""
+WITH snap AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS pri
+    FROM orders WHERE o_orderkey % 3 <> 0
+), batch AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+           1 AS pri
+    FROM orders WHERE o_orderkey % 5 = 0
+), merged AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM batch)
+)
+SELECT CASE WHEN pri = 1 AND o_orderkey % 3 <> 0 THEN 'update'
+            WHEN pri = 1 THEN 'insert'
+            ELSE 'keep' END AS action,
+       count(*) AS n_rows,
+       {_osum('o_totalprice')} AS total_price
+FROM merged WHERE rn = 1
+GROUP BY action
+""",
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): apply a simulated CDC batch (every 5th
+    order re-priced +10.0, status 'U') onto a snapshot (orders not
+    divisible by 3).  Batch rows replace snapshot rows on key
+    conflict; unmatched batch keys insert.  Audited per action
+    (keep / update / insert) with row counts and decimal-summed
+    totals.
+
+    Spark-first MERGE: union + ``max_by(struct, priority)`` — a
+    single hash-aggregate shuffle on the merge key with map-side
+    partial aggregation, instead of the join + re-shuffle a naive
+    MERGE compiles to.  At 100 TB the aggregate partitions by key
+    hash, so AQE splits any hot key; no sort is required (contrast
+    the oracle's row_number formulation, which sorts)."""
+    ods = _t(spark, sf_dir, "orders")
+    snap = ods.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("pri")
+    )
+    batch = ods.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit(1).alias("pri"),
+    )
+    merged = (
+        snap.unionByName(batch)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "o_totalprice", "pri"), F.col("pri")
+            ).alias("r")
+        )
+        .select("o_orderkey", "r.*")
+    )
+    action = (
+        F.when((F.col("pri") == 1) & (F.col("o_orderkey") % 3 != 0), "update")
+        .when(F.col("pri") == 1, "insert")
+        .otherwise("keep")
+    )
+    return merged.groupBy(action.alias("action")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_scd2_priority_history",
+    oracle="""
+WITH seq AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM orders WHERE o_custkey % 53 = 1
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), ver AS (
+    SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS version
+    FROM seq
+)
+SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderpriority,
+       min(o_orderdate) AS valid_from, max(o_orderdate) AS valid_to,
+       count(*) AS n_orders
+FROM ver
+GROUP BY o_custkey, version, o_orderpriority
+""",
+)
+def cdc_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: collapse each customer's order-
+    priority timeline into validity intervals.  Gaps-and-islands:
+    a lag-based change flag, a running sum over the same (date, key)
+    order to number versions, then one group-by per (customer,
+    version) emitting [valid_from, valid_to] and the run length.
+
+    Scale: both windows share one (o_custkey) partitioning and one
+    (o_orderdate, o_orderkey) sort, so Spark plans a single
+    shuffle+sort and pipelines the two WindowExecs; the final
+    aggregate partial-aggregates map-side.  Per-customer history
+    fits a partition at any corpus size (keys partition hash-wise)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 53 == 1)
+        .withColumn(
+            "chg",
+            F.when(
+                ~F.lag("o_orderpriority")
+                .over(w)
+                .eqNullSafe(F.col("o_orderpriority")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return seq.groupBy("o_custkey", "version", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.max("o_orderdate").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

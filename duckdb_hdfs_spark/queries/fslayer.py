@@ -180,3 +180,22 @@ def fs_read_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("header", "true").schema(
         "n_nationkey int, n_name string, n_regionkey int"
     ).csv(path)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def fs_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back round trip — the second columnar format
+    the Hadoop ecosystem serves alongside parquet (the reference's
+    VFS is format-agnostic: DuckDB reads whatever bytes HDFS holds;
+    Spark's native ORC source adds the same predicate-pushdown /
+    column-pruning path parquet gets)."""
+    path = os.path.join(_SCRATCH, "nation_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.orc(path)
+    return spark.read.orc(path)

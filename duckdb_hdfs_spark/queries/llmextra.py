@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.hashing import tokens, tokens_sql, word_kgrams
+from duckdb_hdfs_spark.functions.hashing import (
+    md5_int60,
+    md5_int60_sql,
+    tokens,
+    tokens_sql,
+    word_kgrams,
+    word_shingles,
+    word_shingles_sql,
+)
 from duckdb_hdfs_spark.functions.text import quality_score, quality_score_sql
 from duckdb_hdfs_spark.functions.vectors import cosine, cosine_sql
 from duckdb_hdfs_spark.operators.similarity import brute_topk
@@ -529,5 +537,67 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("scale"), 6).alias("mean_scale"),
             F.round(F.avg("max_err"), 6).alias("mean_max_err"),
             F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_span_dedup",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, {tokens_sql("text")} AS tk FROM documents
+), sh AS (
+    SELECT doc_id, {word_shingles_sql("tk", 3)} AS gs FROM tk
+), ex AS (
+    SELECT doc_id, {md5_int60_sql("g")} AS h
+    FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+), counts AS (
+    SELECT h, count(*) AS ndocs FROM ex GROUP BY h
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM ex JOIN counts USING (h)
+GROUP BY doc_id
+""",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile: for each document, the
+    fraction of its distinct word 3-gram spans that occur in at least
+    one OTHER place in the corpus — the exact-substring duplication
+    signal behind span-level train-set dedup (cf. "Deduplicating
+    Training Data Makes Language Models Better": repeated spans get
+    memorized disproportionately).
+
+    Scale shape: spans explode map-side and hash to 60-bit ints
+    (bounded width, no string shuffle); the span-frequency group-by
+    partial-aggregates before its shuffle, so a span repeated a
+    million times arrives at its reducer as one partial count per map
+    task.  The frequency join back to the exploded spans shuffles on
+    the same hash key (AQE splits heavy boilerplate spans); the final
+    per-document rollup is bounded by per-doc vocabulary.  No
+    self-join, no all-pairs — linear in corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("g"),
+    ).select("doc_id", md5_int60(F.col("g")).alias("h"))
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        ex.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4
+            ).alias("dup_frac"),
         )
     )

@@ -331,3 +331,37 @@ def test_no_partitionless_window(name, spark, sf_dir):
         assert not is_global, (
             f"{name}: partition-less Window in plan: {stripped[:160]}"
         )
+
+
+def test_cdc_merge_is_join_free(spark, sf_dir):
+    """The MERGE/upsert applies the batch via union + max_by — ONE
+    hash-aggregate shuffle on the merge key plus the final tiny
+    action rollup.  No join operator of any kind: a join-based MERGE
+    would shuffle both inputs AND the output."""
+    plan = plan_of(REGISTRY["cdc_merge_orders"].spark(spark, sf_dir))
+    assert "Join" not in plan, "MERGE must be join-free (union + max_by)"
+    assert _exchange_nodes(plan) <= 2
+    assert plan.count("HashAggregate") >= 2  # partial + final on the key
+
+
+def test_scd2_windows_share_one_sort(spark, sf_dir):
+    """Both SCD2 windows (lag flag, running version sum) declare the
+    same (custkey)/(date, key) partitioning+ordering, so the plan
+    must contain exactly ONE Sort node feeding both WindowExecs —
+    a second sort would double the operator's shuffle cost."""
+    import re
+
+    plan = plan_of(REGISTRY["cdc_scd2_priority_history"].spark(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert plan.count("Window") >= 1
+    assert _exchange_nodes(plan) <= 2  # window shuffle + rollup shuffle
+
+
+def test_span_dedup_reads_only_needed_columns(spark, sf_dir):
+    """Span-dedup explodes 3-gram hashes from (doc_id, text) only —
+    the scan must prune every other document column, and the span
+    frequency aggregate must partial-aggregate before its shuffle."""
+    plan = plan_of(REGISTRY["text_span_dedup"].spark(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+    assert plan.count("HashAggregate") >= 2
