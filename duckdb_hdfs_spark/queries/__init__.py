@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.llmextra",
     "duckdb_hdfs_spark.queries.layout",
     "duckdb_hdfs_spark.queries.cdc",
+    "duckdb_hdfs_spark.queries.sketches",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of

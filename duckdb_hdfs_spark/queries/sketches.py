@@ -1,0 +1,175 @@
+"""Mergeable-sketch registry entries (SURVEY.md §2.11): HyperLogLog
+distinct sketches and Misra-Gries heavy hitters.
+
+At 100 TB, exact global statistics are re-computed constantly unless
+the engine keeps MERGEABLE partial summaries: a sketch per partition
+/ day / source that unions into any rollup without re-scanning raw
+data.  Two families:
+
+- ``sketch_hll_distinct``: Apache DataSketches HLL via the built-in
+  ``hll_sketch_agg`` / ``hll_union_agg`` (JVM-side, map-side partial
+  aggregation).  Per-group sketches union into the global sketch —
+  the raw table is scanned once, ever.  The estimate is verified
+  against the exact distinct count with a relative-error bound, so
+  the oracle check is deterministic (the bound boolean hashes, the
+  estimate itself does not need to).
+- ``sketch_heavy_hitters``: distributed Misra-Gries.  Each partition
+  builds a capacity-m summary (mapInPandas, vectorized batch merge:
+  add exact batch counts, then subtract the (m+1)-th largest and
+  drop non-positives — the mergeable-summaries formulation of
+  Agarwal/Cormode et al. 2012, which preserves the n/m error bound
+  under merging).  Partials sum by key (one tiny shuffle), candidates
+  with estimate above ``threshold - n/m`` are exact-verified with one
+  broadcast-semi-joined re-scan.  Because every item with true
+  frequency > threshold is GUARANTEED to survive the sketch (error
+  <= n/m < threshold), the final output equals the exact
+  GROUP BY / HAVING answer — bit-identical to the oracle — while the
+  shuffled state is bounded by m per partition instead of one row
+  per distinct key.
+
+Registered past the driver's 50-entry window this round; locally
+oracle-checked at sf0.001/sf0.01, rotating into the window next
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries._helpers import _t
+
+#: Misra-Gries summary capacity.  The heavy-hitter threshold is
+#: n // HH_INV_FRAC; MG_CAPACITY > HH_INV_FRAC guarantees the sketch
+#: error n/MG_CAPACITY stays strictly below the threshold at EVERY
+#: scale, so no true heavy hitter can be evicted.
+MG_CAPACITY = 256
+HH_INV_FRAC = 125
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_ok
+FROM events
+""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user sketches, unioned into the
+    global sketch WITHOUT re-scanning events — the mergeable-rollup
+    pattern (daily sketches → monthly rollup for free).  Emits the
+    exact count plus a boolean asserting the HLL estimate lands
+    within 5% relative error (lgConfigK=12 ⇒ ~1.6% standard error),
+    so the comparison is deterministic.
+
+    Scale: ``hll_sketch_agg`` partial-aggregates map-side (a sketch
+    per task, merged at the reducer — constant bytes per group, never
+    one row per distinct user); the union of the 5 per-type sketches
+    is driver-trivial.  The exact countDistinct alongside is the
+    AUDIT (it shuffles one row per distinct (type, user)); production
+    rollups would carry only the sketch column."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    # global sketch = union of the per-type sketches (no events rescan);
+    # the exact global distinct is the audit and does rescan.  Joined on
+    # a literal key so the two single-row aggregates broadcast-hash-join
+    # (a crossJoin would plan a CartesianProduct).
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).withColumn("k", F.lit(1))
+    total_exact = ev.agg(F.count_distinct("user_id").alias("n_exact")).withColumn(
+        "k", F.lit(1)
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= 0.05 * F.col("n_exact")
+    ).alias("hll_ok")
+    per_rows = per.select("event_type", "n_exact", ok)
+    all_rows = total.join(F.broadcast(total_exact), "k").select(
+        F.lit("__all__").alias("event_type"), "n_exact", ok
+    )
+    return per_rows.unionByName(all_rows)
+
+
+# --------------------------------------------------------------------------
+def _mg_partial_factory(capacity: int):
+    """Per-partition Misra-Gries summary as a vectorized mapInPandas
+    function: exact value_counts per Arrow batch merged into the
+    running summary, then the mergeable-summaries prune (subtract the
+    (capacity+1)-th largest weight, drop non-positives).  Total
+    subtracted weight across all prunes is <= n_partition/capacity —
+    the MG error bound."""
+    import numpy as np
+    import pandas as pd
+
+    def mg_partial(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for uid, cnt in pdf["user_id"].value_counts().items():
+                counters[int(uid)] = counters.get(int(uid), 0) + int(cnt)
+            if len(counters) > capacity:
+                w = np.fromiter(counters.values(), dtype=np.int64)
+                # (capacity+1)-th largest = capacity-th index from top
+                sub = int(np.partition(w, -capacity - 1)[-capacity - 1])
+                counters = {
+                    k: v - sub for k, v in counters.items() if v - sub > 0
+                }
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(list(counters), dtype="int64"),
+                "w": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    return mg_partial
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+HAVING count(*) > (SELECT count(*) // {HH_INV_FRAC} FROM events)
+""",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with more than n/125 of all events, found via
+    distributed Misra-Gries: capacity-256 per-partition summaries
+    (bounded state — 256 rows shuffle per partition, NOT one row per
+    distinct user), summed by key, pruned at ``threshold - n/256``,
+    then exact-verified with one broadcast-semi-joined re-scan.  The
+    MG guarantee (estimate >= true - n/256, and n/256 < n/125) means
+    every true heavy hitter survives to the verify step, so the
+    output is bit-identical to the exact GROUP BY/HAVING oracle.
+
+    Scale: pass 1 shuffles ≤ 256 rows per map task regardless of key
+    cardinality (billions of users cost the same as thousands); the
+    candidate set is ≤ a few hundred keys → broadcast; pass 2 is a
+    scan + broadcast-hash semi-join + partial-aggregated count on the
+    few surviving keys.  Exactly-correct answer, sketch-bounded
+    memory."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    thr = n // HH_INV_FRAC
+    partials = ev.select("user_id").mapInPandas(
+        _mg_partial_factory(MG_CAPACITY), "user_id long, w long"
+    )
+    cands = (
+        partials.groupBy("user_id")
+        .agg(F.sum("w").alias("est"))
+        .filter(F.col("est") > F.lit(float(thr) - n / MG_CAPACITY))
+        .select("user_id")
+    )
+    return (
+        ev.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > thr)
+    )

@@ -179,3 +179,70 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_session_windows",
+    # complete-mode + availableNow merges every event into its final
+    # session, so the streaming result equals the batch gaps-and-islands
+    # sessionization: a new session starts when the gap to the previous
+    # event reaches 2 hours (session_window spans [first, last + gap)),
+    # and the decimal-accumulated sum is order-independent.
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), v AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+    FROM s
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 2 HOUR AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
+FROM v GROUP BY user_id, sess
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization: file-source stream in 4
+    micro-batches → ``session_window`` (2-hour gap) with watermarked
+    state-store session merging → complete-mode memory sink.  Events
+    of one session arriving in DIFFERENT micro-batches must merge in
+    the state store — the cross-batch property the batch twin
+    (ev_sessionize) cannot exercise.
+
+    The 4-file rewrite is round-robin, so micro-batches arrive OUT of
+    event-time order; the watermark is therefore set wider than the
+    table's time span — with a production 1-day watermark the first
+    batch (which spans the whole month) would advance event time past
+    later batches and drop their rows as late.  That is correct
+    streaming semantics (watermarks assume bounded disorder), but the
+    oracle needs the no-drop regime.
+
+    Scale: session state is keyed by (user, session), hash-partitioned
+    across executors; a production watermark closes sessions once event
+    time passes last_ts + gap + watermark, so state size tracks ACTIVE
+    sessions, not history."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+        session_windows,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=4, tag="sessions")
+
+    name = f"t_streaming_session_windows_{next(_run_counter)}"
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_available_now_to_memory(
+        session_windows(stream, gap="2 hours", watermark="60 days"),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)

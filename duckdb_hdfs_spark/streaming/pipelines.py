@@ -113,13 +113,17 @@ def session_windows(
 ) -> DataFrame:
     """Gap-based sessionization via ``session_window`` — the
     streaming twin of the batch ``ev_sessionize`` query (which uses
-    the lag + cumulative-sum formulation; same session boundaries)."""
+    the lag + cumulative-sum formulation; same session boundaries).
+    The value sum accumulates in DECIMAL so merged session state is
+    order-independent and engine-portable for the oracle."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",

@@ -160,6 +160,10 @@ _SCAN_BUDGET_EXCEPTIONS = {
                                 # attach labels to the tiny winner set
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
+    "sketch_hll_distinct": 3,   # audit query: per-type branch + sketch-union
+                                # branch + global exact-distinct audit; the
+                                # production form carries only the sketch
+                                # column (one scan, ever)
 }
 
 
@@ -365,3 +369,23 @@ def test_span_dedup_reads_only_needed_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "n_chars" not in read_schema
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_sketches_partial_aggregate(spark, sf_dir):
+    """HLL sketch aggregation must partial-aggregate map-side (a
+    sketch per task, merged at the reducer — constant bytes per
+    group) and the single-row audit join must broadcast, never
+    cartesian."""
+    plan = plan_of(REGISTRY["sketch_hll_distinct"].spark(spark, sf_dir))
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitter_verify_is_broadcast(spark, sf_dir):
+    """The Misra-Gries exact-verify pass must broadcast the tiny
+    candidate set against events — a shuffle join would move the full
+    fact table to verify a few hundred keys."""
+    plan = plan_of(REGISTRY["sketch_heavy_hitters"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -118,7 +118,9 @@ def test_session_windows_match_batch(spark, event_files):
         .groupBy(F.session_window("ts", "2 hours").alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
     want = {
