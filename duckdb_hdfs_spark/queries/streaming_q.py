@@ -183,6 +183,61 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "streaming_view_purchase_join",
+    # availableNow + a watermark wider than the table's span emits every
+    # matching (view, purchase) pair exactly once, so the streaming
+    # inner interval join equals the batch self-join; pair-level output
+    # passes values through untouched — deterministic across engines.
+    oracle="""
+SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution: two file-source streams over the
+    same 4-file events rewrite (views / purchases), inner-joined on
+    user within a 1-hour event-time horizon, append-mode memory sink.
+    A view arriving in micro-batch 1 must sit in the join state store
+    until its purchase arrives in batch 3 — the cross-batch buffering
+    a batch join never exercises.
+
+    The watermark is wider than the table's span for the same reason
+    as ``streaming_session_windows``: the 4-file rewrite makes
+    micro-batches arrive out of event-time order, and the oracle
+    needs the no-drop regime.  Production uses the default tight
+    watermark so view state is evicted one horizon+delay after its
+    event time (see ``interval_join_views_purchases``)."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        interval_join_views_purchases,
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=4, tag="ssjoin")
+
+    name = f"t_streaming_view_purchase_join_{next(_run_counter)}"
+    views = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    run_available_now_to_memory(
+        interval_join_views_purchases(
+            views, purchases, horizon="1 hour", watermark="60 days"
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+@query(
     "streaming_session_windows",
     # complete-mode + availableNow merges every event into its final
     # session, so the streaming result equals the batch gaps-and-islands

@@ -135,6 +135,41 @@ def session_windows(
     )
 
 
+def interval_join_views_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream attribution join: each purchase matches every
+    view by the same user in the preceding ``horizon``.  Both sides
+    are watermarked and the join condition carries the event-time
+    range, so the state store can evict a buffered view once event
+    time passes ``view_ts + horizon + watermark`` — state size tracks
+    the ACTIVE horizon window, not stream history.
+
+    Scale: the join shuffles both streams by ``user_id`` (state and
+    matching are co-partitioned per key); per-key buffered state is
+    bounded by the horizon, so a 1000-executor cluster holds
+    |active users x horizon events| state, independent of days run."""
+    v = views.withWatermark("ts", watermark).select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""user_id = p_user_id
+                AND purchase_ts >= view_ts
+                AND purchase_ts < view_ts + INTERVAL {horizon}"""
+        ),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+
+
 RUNNING_TOTALS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
