@@ -199,3 +199,69 @@ def fs_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     ).write.orc(path)
     return spark.read.orc(path)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_schema_merge",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS INTEGER) AS n_name_len
+FROM nation WHERE n_nationkey < 13
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, CAST(length(n_name) AS INTEGER) AS n_name_len
+FROM nation WHERE n_nationkey >= 13
+""",
+)
+def fs_read_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations under one
+    directory — generation 1 with the original 3 columns, generation
+    2 with an added ``n_name_len`` column — unified by
+    ``mergeSchema`` so old files surface NULL for the new column.
+    The reference serves evolving datasets the same way (DuckDB's
+    ``union_by_name`` over an HDFS glob); Spark resolves the merged
+    schema from the parquet footers only, so at 100 TB the schema
+    merge is a footer-metadata operation, not a data scan."""
+    path = os.path.join(_SCRATCH, "nation_evolved")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.filter(F.col("n_nationkey") < 13).write.parquet(f"{path}/gen=1")
+    nation.filter(F.col("n_nationkey") >= 13).withColumn(
+        "n_name_len", F.length("n_name").cast("int")
+    ).write.parquet(f"{path}/gen=2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_partitioned_prune",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def fs_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-PRUNED read-back: events
+    land partitioned by ``event_type``; the read-back filter on the
+    partition column never touches non-matching directories (the scan
+    shows ``PartitionFilters`` and one matching partition — pinned in
+    tests/test_plan_shape.py).  At 100 TB this is the difference
+    between scanning 1/5th of the lake and scanning all of it; the
+    same layout serves the reference's hive-style HDFS datasets."""
+    path = os.path.join(_SCRATCH, "events_by_type", os.path.basename(sf_dir))
+    shutil.rmtree(path, ignore_errors=True)
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -389,3 +389,19 @@ def test_heavy_hitter_verify_is_broadcast(spark, sf_dir):
     plan = plan_of(REGISTRY["sketch_heavy_hitters"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """fs_partitioned_prune's read-back filter on the hive partition
+    column must become a PartitionFilter (directory pruning — the
+    scan never lists non-matching event_type directories) and must
+    NOT appear as a data filter: at 100 TB the difference is scanning
+    one partition vs the whole lake."""
+    plan = plan_of(REGISTRY["fs_partitioned_prune"].spark(spark, sf_dir))
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "no PartitionFilters in scan"
+    assert any("event_type" in l and "purchase" in l for l in part_lines), (
+        "partition filter on event_type=purchase not pushed: "
+        + part_lines[0][:200]
+    )
