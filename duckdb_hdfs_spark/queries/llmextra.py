@@ -16,7 +16,7 @@ broadcast-bounded joins for the set-membership passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
@@ -600,4 +600,189 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4
             ).alias("dup_frac"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "emb_gram_matrix",
+    oracle="""
+WITH u AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(round(sum(CAST(a.x * b.x AS DECIMAL(27,12))), 4) AS DOUBLE) AS g
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+""",
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Σ x·xᵀ over the embedding corpus — the
+    accumulation step behind PCA / whitening of embedding spaces
+    (d=64 → 2080 upper-triangle cells).  1-based (i, j) indices.
+
+    Scale shape: the d(d+1)/2 per-row products are built MAP-SIDE by
+    one nested-transform expression over the array column (no join,
+    no second scan — DuckDB's oracle self-join is the semantic spec,
+    not the plan); hash partial aggregation collapses each map task's
+    contribution to one 2080-row partial BEFORE the only shuffle, so
+    the exchange moves d²·n_partitions rows regardless of corpus
+    size.  Decimal(27,12) accumulation keeps the sum order-
+    independent — the IEEE per-element products are bit-identical
+    across engines, the decimal add is associative-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                    transform(slice(embedding, i + 1, size(embedding) - i),
+                              (y, j) ->
+                        struct(i + 1 AS i, i + 1 + j AS j,
+                               CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))
+                """
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return cells.groupBy("i", "j").agg(
+        F.round(F.sum(F.col("p").cast("decimal(27,12)")), 4)
+        .cast("double")
+        .alias("g")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+g AS (
+    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS pair
+    FROM t WHERE len(tk) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM g GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's statistics pass: corpus-wide
+    adjacent-token-pair frequencies, top-20 by (count desc, pair asc)
+    — the merge-candidate ranking a distributed tokenizer trainer
+    computes each round (Sennrich et al. 2016, alg. 1 inner loop).
+
+    Scale shape: pairs are built map-side by the zip-with k-gram
+    construction (word_kgrams, k=2 — exactly len-1 adjacent pairs,
+    no tail sentinel for len≥2), partial-aggregated before the one
+    count shuffle, and the global top-20 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-
+    row heaps — never a global sort of the pair vocabulary)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    pairs = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2).select(
+        F.explode(word_kgrams(F.col("tk"), 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "time_decay_engagement",
+    oracle="""
+WITH m AS (SELECT CAST(max(ts) AS DATE) AS ref FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(
+           value / (1 + date_diff('day', CAST(ts AS DATE), ref))
+           AS DECIMAL(18,6))), 4) AS DOUBLE) AS decay_score
+FROM events, m
+GROUP BY user_id
+""",
+)
+def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hyperbolically time-decayed engagement score:
+    Σ value / (1 + age_days) relative to the corpus's latest event
+    day — the recency-weighted activity feature ranking pipelines
+    derive (hyperbolic instead of exp(-λt): pure integer+IEEE
+    arithmetic, bit-identical across engines — libm exp() is not).
+
+    Scale shape: the reference day is a 1-row aggregate broadcast
+    into the scan (literal cross of a scalar — no shuffle of the
+    fact side); the decayed value is a map-side expression; one
+    partial-aggregated group-by on user_id.  Two scans of events
+    (max + agg) — at 100 TB the max(ts) pass is a metadata-cheap
+    column-statistics read under parquet min/max."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts")).cast("date").alias("ref"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "decayed",
+            F.col("value")
+            / (1 + F.datediff(F.col("ref"), F.col("ts").cast("date"))),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("decayed").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("decay_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_stratified_topk",
+    oracle="""
+SELECT event_type, event_id, user_id, rk
+FROM (
+    SELECT event_type, event_id, user_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS rk
+    FROM events
+)
+WHERE rk <= 50
+""",
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 50 rows per
+    event_type stratum, ranked by md5(event_id) — a seeded uniform
+    draw that is reproducible across engines and runs (train/eval
+    splits must be; RNG sampling is not).
+
+    Scale shape: two-phase rank so no reducer ever sees a full
+    stratum — phase 1 ranks within (stratum, 32-way md5 salt) and
+    keeps ≤50 per salted group, so each of the 5·32 window tasks
+    handles 1/32nd of a stratum; phase 2 re-ranks the ≤50·32
+    survivors per stratum — bounded input regardless of corpus size.
+    The single-window oracle is the semantic spec: both phases
+    preserve the global md5 order, so survivors are identical."""
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+        (md5_int60(F.col("event_id").cast("string")) % 32).alias("salt"),
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hk", "event_id")
+    pruned = hashed.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= 50
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 50)
+        .select("event_type", "event_id", "user_id", "rk")
     )

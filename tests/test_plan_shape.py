@@ -405,3 +405,24 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
         "partition filter on event_type=purchase not pushed: "
         + part_lines[0][:200]
     )
+
+
+# --------------------------------------------------------------------------
+def test_gram_matrix_is_join_free_single_scan(spark, sf_dir):
+    """emb_gram_matrix must build the d(d+1)/2 products map-side from
+    ONE embeddings scan — no self-join (the oracle's join is the
+    semantic spec, not the plan) — and partial-aggregate before its
+    only exchange."""
+    plan = plan_of(REGISTRY["emb_gram_matrix"].spark(spark, sf_dir))
+    assert "Join" not in plan, "gram matrix plans a join"
+    assert plan.count("Location:") == 1, "gram matrix scans more than once"
+    assert "partial" in plan.lower(), "no partial aggregation before shuffle"
+
+
+# --------------------------------------------------------------------------
+def test_bpe_topk_avoids_global_sort(spark, sf_dir):
+    """bpe_pair_counts' top-20 must plan TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global Sort of the
+    whole pair vocabulary."""
+    plan = plan_of(REGISTRY["bpe_pair_counts"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
