@@ -786,3 +786,76 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .select("event_type", "event_id", "user_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+@query("emb_pca_project", oracle=None)  # eigendecomposition: no DuckDB analogue
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components — the step
+    after ``emb_gram_matrix``: embedding-space dimensionality
+    reduction for visualization / clustering / whitening.
+
+    Scale split, mirroring distributed PCA practice (e.g. the
+    tree-aggregated Gramian behind Spark MLlib's RowMatrix PCA):
+    the d×d Gram matrix is a DISTRIBUTED single-scan partial-agg
+    rollup (2080 cells at d=64 — size independent of corpus);
+    eigendecomposition of that tiny symmetric matrix is driver-side
+    numpy (O(d³), microseconds — collecting it is a bounded reduced
+    aggregate, not a data collect); the projection back over the
+    corpus is a map-only broadcast of 2 × 64 literal coefficients.
+    Eigenvector signs are canonicalized (largest-|component| entry
+    positive) so the output is deterministic across runs/platforms;
+    rows-only because DuckDB has no eigensolver (the Gram input IS
+    oracle-checked as emb_gram_matrix; the projection's variance
+    contract is pinned in tests/test_functions_properties.py)."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    # distributed Gram accumulation (same map-side shape as
+    # emb_gram_matrix, unrounded), then densify upper → full matrix
+    cells = (
+        e.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(embedding, (x, i) ->
+                        transform(slice(embedding, i + 1, size(embedding) - i),
+                                  (y, j) ->
+                            struct(i AS i, i + j AS j,
+                                   CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS p))))
+                    """
+                )
+            ).alias("c")
+        )
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.p").alias("g"))
+        .collect()
+    )
+    d = max(r["j"] for r in cells) + 1
+    gram = np.zeros((d, d))
+    for r in cells:
+        gram[r["i"], r["j"]] = r["g"]
+        gram[r["j"], r["i"]] = r["g"]
+    vals, vecs = np.linalg.eigh(gram)  # ascending
+    comps = []
+    for k in (1, 2):
+        v = vecs[:, -k]
+        if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+            v = -v
+        comps.append(v)
+    proj = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"pc{k}")
+        for k, comp in ((1, comps[0]), (2, comps[1]))
+    ]
+    return e.select("vec_id", "label", *proj)

@@ -173,3 +173,43 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") > thr)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sketch_quantiles_approx",
+    # the oracle states the exact quantiles and asserts the bound
+    # holds (within_bound TRUE) — the Spark side must land its
+    # sketch estimates inside the +/-1%-rank corridor around the
+    # exact quantile for the hash to match (same contract as
+    # sketch_hll_distinct / distinct_users_approx).
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH with a verified rank-error bound:
+    ``approx_percentile`` (Greenwald-Khanna; mergeable per-partition
+    summaries, map-side partial aggregation — one scan, tiny shuffle)
+    next to the exact interpolated quantile, emitting the exact p50
+    and a boolean asserting the sketch landed within the +/-1%-rank
+    corridor [quantile(0.49), quantile(0.51)].
+
+    At 100 TB the exact-percentile branch (full sort per group) is
+    the audit, the sketch is the product: GK summaries are the only
+    way to serve per-group quantiles from a single pass with bounded
+    state (accuracy 10000 -> ~0.01% rank error, ~KB per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50_exact"),
+        (
+            F.expr("approx_percentile(l_extendedprice, 0.50, 10000)")
+            .between(
+                F.expr("percentile(l_extendedprice, 0.49)"),
+                F.expr("percentile(l_extendedprice, 0.51)"),
+            )
+        ).alias("within_bound"),
+    )

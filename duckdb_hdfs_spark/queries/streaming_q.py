@@ -301,3 +301,50 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_static_enrich",
+    # stream-static joins are stateless (each micro-batch joins the
+    # static snapshot), so the availableNow drain equals the batch
+    # join — which is the oracle.
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joins
+    the static customer table (broadcast — the stream side never
+    shuffles for the join), then aggregates per market segment in
+    complete mode.  The canonical streaming-ETL enrichment shape: at
+    100 TB/day of events the dimension is the small side, re-read
+    per micro-batch and broadcast to every task; no state store is
+    involved because stream-static joins are stateless."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=2, tag="enrich")
+    customers = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    name = f"t_streaming_static_enrich_{next(_run_counter)}"
+    enriched = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .join(customers, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    run_available_now_to_memory(enriched, name, output_mode="complete")
+    return spark.table(name)

