@@ -35,6 +35,14 @@ BROADCAST_DIMS = ("region", "nation")
 #: microsecond timestamps (matching DuckDB's ``epoch_us`` floor).
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+#: Naive (isAdjustedToUTC=false) parquet timestamps read as
+#: TIMESTAMP_NTZ under Spark 4's default NTZ inference, which the
+#: timestamp function surface (``unix_micros``, ``window`` …) rejects.
+#: DuckDB reads the same columns as plain TIMESTAMP, so for oracle
+#: parity we pin the pre-3.4 behavior: naive parquet micros ==
+#: session-local TIMESTAMP (session tz is UTC — value-identity).
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
@@ -42,17 +50,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     nano_cols = _NANO_TS_COLUMNS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(_NTZ_CONF, "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nano_cols:
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    # belt-and-braces for externally built sessions where the conf
+    # was captured before this call: NTZ → session-tz timestamp is a
+    # wall-clock identity under the pinned UTC session timezone.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
