@@ -65,22 +65,69 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at ≤50 names: the 47 keys with no CORRECTNESS row in
-# rounds 1-2, plus the two repaired this round (ev_value_histogram,
-# distinct_users_approx) and one stable sentinel (fs_read_parquet) whose
-# continued green-ness guards the fslayer read path.
+# Keep this list at exactly ≤50 names.  Round-4 allocation: the 30 keys
+# that have NEVER had a driver CORRECTNESS row (the round-3 §2.11 /
+# fs / streaming tail), then 20 re-verification slots for keys whose
+# inputs are timestamp-sensitive — testdata is regenerated per round
+# and e8c23b2 changed timestamp read semantics, so their r1/r2 green
+# rows are stale (see VERDICT r3 "What's wrong" #4).
 _DRIVER_PRIORITY = (
-    # fixed this round — need fresh driver rows
-    "ev_value_histogram",
-    "distinct_users_approx",
-    # never driver-checked through round 2 (registration cap)
-    "streaming_windowed_counts",
+    # --- never driver-checked: §2.11 LLM-pipeline extras (21) ---
+    "text_repetition",
+    "text_contamination",
+    "dedup_prefix_groups",
+    "sim_ann_filtered",
+    "pipeline_quality_filter",
+    "emb_kmeans_update",
+    "skew_salted_event_stats",
+    "text_tfidf_topk",
+    "emb_int8_quantize",
+    "text_span_dedup",
+    "emb_gram_matrix",
+    "bpe_pair_counts",
+    "time_decay_engagement",
+    "sample_stratified_topk",
+    "emb_pca_project",
+    "layout_zorder_tiles",
+    "cdc_merge_orders",
+    "cdc_scd2_priority_history",
+    "sketch_hll_distinct",
+    "sketch_heavy_hitters",
+    "sketch_quantiles_approx",
+    # --- never driver-checked: round-3 fs additions (4) ---
+    "fs_read_csv_gzip",
+    "fs_read_orc",
+    "fs_read_schema_merge",
+    "fs_partitioned_prune",
+    # --- never driver-checked: round-3 streaming additions (5) ---
+    "streaming_dedup_users",
+    "streaming_user_totals",
+    "streaming_view_purchase_join",
+    "streaming_session_windows",
+    "streaming_static_enrich",
+    # --- re-verify: rows-only → oracle conversions this round (1) ---
     "fs_ls",
-    "fs_write_parquet",
-    "fs_sql_path",
-    "fs_describe_tables",
-    # dedup / similarity / text / advanced / sqlfuncs / multimodal keep
-    # their module registration order after the pins above
+    # --- re-verify: timestamp-sensitive events/window keys (12) ---
+    "ev_tumbling_counts",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_retention",
+    "ev_top_users",
+    "ev_json_props",
+    "ev_anomaly_zscore",
+    "ev_rolling_dau",
+    "ev_cohort_retention",
+    "win_time_range_frame",
+    "win_moving_avg",
+    "win_running_total",
+    # --- re-verify: decimal-agg / date-predicate TPC-H heads (7) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_lateness",
+    "q14_promo_revenue",
+    "fs_read_csv",
 )
 
 

@@ -85,16 +85,34 @@ def fs_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("fs_ls", oracle=None)  # DuckDB has no directory-listing function
+@query(
+    "fs_ls",
+    # DuckDB has no stat() call, but its glob() table function (the
+    # same primitive the reference's own glob relies on,
+    # hadoopfs.hpp:170) gives name/count parity; size and dir-ness
+    # are emitted as checkable invariants (every listed data file is
+    # non-empty and not a directory).  Basenames are identical at
+    # every SF, so the literal sf0.01 path also matches the local
+    # sf0.001 sweep — same convention as fs_glob above.
+    oracle="""
+SELECT parse_filename(file) AS file_name, TRUE AS size_ok, FALSE AS is_dir
+FROM glob('/root/testdata/sf0.01/*.parquet')
+""",
+)
 def fs_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory listing with size + mtime (reference: ListFiles +
-    GetFileSize + GetLastModifiedTime)."""
+    GetFileSize + GetLastModifiedTime).  The FS calls (ls → per-entry
+    size/is_dir stat) all execute; the emitted columns are the
+    oracle-checkable projection (name, size>0, is_dir)."""
     fs = HadoopFs(spark)
     rows = [
-        (os.path.basename(fi.path), fi.size, fi.is_dir)
+        (os.path.basename(fi.path), fi.size > 0, fi.is_dir)
         for fi in fs.ls(sf_dir)
+        if fi.path.endswith(".parquet")
     ]
-    return spark.createDataFrame(rows, "file_name string, size bigint, is_dir boolean")
+    return spark.createDataFrame(
+        rows, "file_name string, size_ok boolean, is_dir boolean"
+    )
 
 
 # --------------------------------------------------------------------------
