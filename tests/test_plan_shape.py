@@ -426,3 +426,23 @@ def test_bpe_topk_avoids_global_sort(spark, sf_dir):
     whole pair vocabulary."""
     plan = plan_of(REGISTRY["bpe_pair_counts"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+def test_rebalance_gated_on_volume(spark, sf_dir):
+    """rebalance_cpu_heavy must be a NO-OP on a small input even when
+    the scan is single-partition (round-3 regression: the exchange
+    cost 22-50% on the headline bench), yet still fire on a large
+    single-partition input where per-slot work amortizes it."""
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    before = docs.rdd.getNumPartitions()
+    assert rebalance_cpu_heavy(docs).rdd.getNumPartitions() == before
+
+    target = spark.sparkContext.defaultParallelism
+    big = spark.range(0, 50_000_000, 1, 1).selectExpr(
+        "id", "repeat('x', 16) AS text"
+    )
+    assert rebalance_cpu_heavy(big).rdd.getNumPartitions() == target
