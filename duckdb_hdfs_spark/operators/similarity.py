@@ -214,16 +214,34 @@ def ivf_ann(
         .orderBy(F.md5(F.col("cent_id").cast("string")))
         .limit(n_cells)
     )
+    # Fold the n_cells centroids into ONE array row and broadcast it,
+    # so cell assignment is a pure map-side expression: score all
+    # centroids per vector inside `transform`, then `sort_array` +
+    # `slice` picks the nearest `top`.  The previous formulation
+    # (broadcast join then row_number over Window.partitionBy(vec))
+    # moved N x n_cells scored rows through an Exchange just to take
+    # each vector's argmax — a 16x data-movement tax on the corpus at
+    # scale.  Tiebreak (cos desc, cent_id asc) is preserved exactly:
+    # structs sort lexicographically on (neg_cos, cent_id).
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
+    )
 
-    def assign(df: DataFrame, id_col: str, emb_col: str, n_col: str, top: int) -> DataFrame:
-        j = df.join(F.broadcast(cents))
-        cos = dot(F.col(emb_col), F.col("cent")) / (F.col(n_col) * F.col("cent_n"))
-        w = Window.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    def assign(df: DataFrame, emb_col: str, n_col: str, top: int) -> DataFrame:
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    -(dot(F.col(emb_col), c["cent"]) / (F.col(n_col) * c["cent_n"]))
+                ).alias("neg_cos"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
         return (
-            j.select(df["*"], F.col("cent_id"), cos.alias("cent_cos"))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= top)
-            .drop("cent_cos", "crk")
+            df.join(F.broadcast(cent_arr))
+            .withColumn("_near", F.explode(F.slice(F.sort_array(scored), 1, top)))
+            .withColumn("cent_id", F.col("_near.cent_id"))
+            .drop("cents", "_near")
         )
 
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
@@ -232,7 +250,6 @@ def ivf_ann(
         rebalance_cpu_heavy(
             corpus.select("vec_id", F.col("embedding").alias("ce"))
         ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
-        "vec_id",
         "ce",
         "cn",
         1,
@@ -243,7 +260,6 @@ def ivf_ann(
             F.col("embedding").alias("pe"),
             norm(F.col("embedding")).alias("pn"),
         ),
-        "probe_id",
         "pe",
         "pn",
         nprobe,

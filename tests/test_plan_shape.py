@@ -446,3 +446,14 @@ def test_rebalance_gated_on_volume(spark, sf_dir):
         "id", "repeat('x', 16) AS text"
     )
     assert rebalance_cpu_heavy(big).rdd.getNumPartitions() == target
+
+
+# --------------------------------------------------------------------------
+def test_ivf_cell_assignment_is_map_side(spark, sf_dir):
+    """IVF corpus cell assignment must be a map-side expression over
+    the broadcast centroid array — never a shuffle of the corpus on
+    its own key to window-argmax the nearest cell (the round-3 shape
+    moved N x n_cells scored rows through an Exchange).  The only
+    exchanges allowed are probe_id-keyed (the bounded top-k merge)."""
+    plan = plan_of(REGISTRY["sim_ivf_ann"].spark(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan
