@@ -156,22 +156,30 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     few surviving keys.  Exactly-correct answer, sketch-bounded
     memory."""
     ev = _t(spark, sf_dir, "events")
-    n = ev.count()
-    thr = n // HH_INV_FRAC
+    # The n-derived threshold is folded INTO the plan as a broadcast
+    # 1-row aggregate (same pattern as time_decay_engagement's
+    # reference-day scalar) instead of a driver-side ev.count() —
+    # one Spark job instead of a separate full-scan action, and the
+    # count branch reads no data columns (row-group metadata count).
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    thr = F.floor(F.col("n_total") / HH_INV_FRAC)
     partials = ev.select("user_id").mapInPandas(
         _mg_partial_factory(MG_CAPACITY), "user_id long, w long"
     )
     cands = (
         partials.groupBy("user_id")
         .agg(F.sum("w").alias("est"))
-        .filter(F.col("est") > F.lit(float(thr) - n / MG_CAPACITY))
+        .join(F.broadcast(tot))
+        .filter(F.col("est") > thr - F.col("n_total") / MG_CAPACITY)
         .select("user_id")
     )
     return (
         ev.join(F.broadcast(cands), "user_id")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(tot))
         .filter(F.col("n_events") > thr)
+        .select("user_id", "n_events")
     )
 
 
