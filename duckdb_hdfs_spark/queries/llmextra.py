@@ -789,11 +789,10 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query("emb_pca_project", oracle=None)  # eigendecomposition: no DuckDB analogue
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection onto the top-2 principal components — the step
-    after ``emb_gram_matrix``: embedding-space dimensionality
-    reduction for visualization / clustering / whitening.
+def pca_projection(spark: SparkSession, sf_dir: str):
+    """Top-2 PCA projection over the embeddings table: returns
+    ``(proj_df, comps)`` where ``proj_df`` has columns (vec_id, label,
+    pc1, pc2, norm2) and ``comps`` are the two unit eigenvectors.
 
     Scale split, mirroring distributed PCA practice (e.g. the
     tree-aggregated Gramian behind Spark MLlib's RowMatrix PCA):
@@ -804,10 +803,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not a data collect); the projection back over the
     corpus is a map-only broadcast of 2 × 64 literal coefficients.
     Eigenvector signs are canonicalized (largest-|component| entry
-    positive) so the output is deterministic across runs/platforms;
-    rows-only because DuckDB has no eigensolver (the Gram input IS
-    oracle-checked as emb_gram_matrix; the projection's variance
-    contract is pinned in tests/test_functions_properties.py)."""
+    positive) so the output is deterministic across runs/platforms."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
@@ -858,4 +854,65 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"pc{k}")
         for k, comp in ((1, comps[0]), (2, comps[1]))
     ]
-    return e.select("vec_id", "label", *proj)
+    from duckdb_hdfs_spark.functions.vectors import dot
+
+    norm2 = dot(F.col("embedding"), F.col("embedding")).alias("norm2")
+    return e.select("vec_id", "label", *proj, norm2), comps
+
+
+@query(
+    "emb_pca_project",
+    # DuckDB has no eigensolver, so the pc VALUES cannot be re-derived
+    # in SQL; the driver-checkable contract is the set of algebraic
+    # invariants any valid top-2 PCA must satisfy, emitted as booleans
+    # computed in-plan (the `TRUE AS ok` pattern, like
+    # sketch_hll_distinct).  The Gram input itself IS value-checked as
+    # emb_gram_matrix; the projection's full variance contract is
+    # additionally pinned in tests/test_functions_properties.py.
+    oracle="""
+SELECT vec_id, label, TRUE AS bessel_ok, TRUE AS var_ok, TRUE AS orth_ok
+FROM embeddings
+""",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components, emitting a
+    per-row + global invariant contract the oracle can assert:
+
+    - ``bessel_ok`` (per row): pc1² + pc2² ≤ ‖v‖² — Bessel's
+      inequality for projections onto orthonormal vectors;
+    - ``var_ok`` (global, broadcast 1-row aggregate): captured
+      variance Σ(pc1²+pc2²) / Σ‖v‖² lies in [2/d · (1−ε), 1+ε] —
+      the top-2 eigenvalues capture at least the average 2/d share
+      of the Gram trace and never exceed it;
+    - ``orth_ok``: the two eigenvectors are orthonormal
+      (|v1·v2| ≤ 1e-9, |‖vi‖−1| ≤ 1e-9; driver-side on the 64-dim
+      literals).
+
+    The projection math (distributed Gram → driver eigh → broadcast
+    map-only projection) lives in :func:`pca_projection`."""
+    import numpy as np
+
+    proj_df, comps = pca_projection(spark, sf_dir)
+    orth_ok = bool(
+        abs(float(np.dot(comps[0], comps[1]))) <= 1e-9
+        and max(abs(float(np.linalg.norm(c)) - 1.0) for c in comps) <= 1e-9
+    )
+    energy = F.col("pc1") * F.col("pc1") + F.col("pc2") * F.col("pc2")
+    cap = proj_df.agg(
+        F.sum(energy).alias("cap"), F.sum("norm2").alias("tot")
+    )
+    d = len(comps[0])
+    return (
+        proj_df.join(F.broadcast(cap))
+        .select(
+            "vec_id",
+            "label",
+            # 1e-6 absolute slack absorbs the round(pc, 6) quantization
+            (energy <= F.col("norm2") * (1 + 1e-9) + 1e-6).alias("bessel_ok"),
+            (
+                (F.col("cap") / F.col("tot") >= (2.0 / d) * (1 - 1e-9))
+                & (F.col("cap") / F.col("tot") <= 1 + 1e-9)
+            ).alias("var_ok"),
+            F.lit(orth_ok).alias("orth_ok"),
+        )
+    )

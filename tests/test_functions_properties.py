@@ -81,9 +81,9 @@ def test_pca_projection_variance_contract(spark, sf_dir):
     (Σ pc1² = λ1 ≥ Σ pc2² = λ2 > 0) — catches wrong eigenvector
     ordering, non-canonical signs flipping per run, and projection /
     Gram drift."""
-    from duckdb_hdfs_spark.queries import load_all
+    from duckdb_hdfs_spark.queries.llmextra import pca_projection
 
-    df = load_all()["emb_pca_project"].spark(spark, sf_dir)
+    df, _comps = pca_projection(spark, sf_dir)
     row = df.select(
         F.sum(F.col("pc1") * F.col("pc1")).alias("e1"),
         F.sum(F.col("pc2") * F.col("pc2")).alias("e2"),
