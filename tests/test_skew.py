@@ -100,3 +100,18 @@ def test_connected_clusters_consistent_with_pairs(spark, sf_dir):
         .filter(F.col("cluster_id") != F.col("mn"))
     )
     assert bad_min.count() == 0, "cluster id is not the min member"
+
+
+def test_connected_clusters_chain_converges_in_log_rounds(spark):
+    """A 64-node chain has diameter 63: plain min-label propagation
+    needs ~63 rounds, so converging (to the correct single cluster)
+    within max_iters=10 proves the pointer-jumping shortcut halves
+    chain depth per round (O(log diameter))."""
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_clusters(pairs, max_iters=10).collect()}
+    assert got == {i: 0 for i in range(n)}
