@@ -38,6 +38,7 @@ from duckdb_hdfs_spark.queries._helpers import _dsum, _osum, _t
 # --------------------------------------------------------------------------
 @query(
     "cdc_merge_orders",
+    headline=True,
     oracle=f"""
 WITH snap AS (
     SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS pri

@@ -410,6 +410,7 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_tfidf_topk",
+    headline=True,
     oracle=f"""
 WITH tok AS (
     SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -133,6 +133,7 @@ def _mg_partial_factory(capacity: int):
 
 @query(
     "sketch_heavy_hitters",
+    headline=True,
     oracle=f"""
 SELECT user_id, count(*) AS n_events
 FROM events GROUP BY user_id
