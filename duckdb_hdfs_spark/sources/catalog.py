@@ -64,7 +64,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     # belt-and-braces for externally built sessions where the conf
     # was captured before this call: NTZ → session-tz timestamp is a
-    # wall-clock identity under the pinned UTC session timezone.
+    # wall-clock identity ONLY under a UTC session timezone, so pin
+    # it here too (an externally built session may carry any tz).
+    # Top-level fields only — the test tables are flat; nested NTZ
+    # inside struct/array would need a recursive rewrite.
+    if any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
