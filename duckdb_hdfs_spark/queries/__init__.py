@@ -61,6 +61,10 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.layout",
     "duckdb_hdfs_spark.queries.cdc",
     "duckdb_hdfs_spark.queries.sketches",
+    # round-4 additions — outside this round's driver window (which is
+    # allocated to the round-3 tail + timestamp re-verifies); locally
+    # oracle-checked, rotate into the window next round.
+    "duckdb_hdfs_spark.queries.curation",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of

@@ -1,0 +1,269 @@
+"""Round-4 corpus-curation additions (SURVEY.md §2.11): unigram-LM
+log-probability scoring, asymmetric containment over LSH candidates,
+per-document token entropy, and quality-weighted deterministic
+resampling — the statistical-filtering passes a training-data
+pipeline runs after the structural dedup/quality passes.
+
+All four are oracle-checked.  Registered after ``sketches`` in
+``_QUERY_MODULES`` — outside the driver's round-4 CORRECTNESS window
+(allocated to the round-3 tail + timestamp re-verifies); covered by
+the sf0.001/sf0.01 pytest sweep now, rotating into the window next
+round.
+
+Determinism notes (the driver compare is a value hash):
+- log-probabilities round to 6 decimals BEFORE the per-document sum,
+  and the sum runs in DECIMAL — decimal addition is exact and
+  order-independent, so reducer ordering cannot flip the hash (the
+  repo-wide ``_dsum`` discipline, applied to log-space values);
+- sampling uses the md5-uniform draw (md5_int60 / 2^60), never RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.functions.hashing import (
+    md5_int60,
+    md5_int60_sql,
+    tokens,
+    tokens_sql,
+)
+from duckdb_hdfs_spark.functions.text import quality_score, quality_score_sql
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries._helpers import _t
+
+_TOKS = tokens_sql("text")
+
+#: shared token-frequency CTE: one row per (doc_id, distinct token)
+#: with multiplicity — the working set for both LM scoring and
+#: entropy (corpus rows collapse to per-doc vocab size immediately).
+_TF_SQL = f"""
+tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS n_t
+    FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+)
+"""
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH {_TF_SQL},
+vocab AS (SELECT tok, sum(n_t) AS c FROM tf GROUP BY tok),
+tot AS (SELECT sum(c) AS tot FROM vocab)
+SELECT doc_id,
+       CAST(sum(n_t) AS BIGINT) AS n_tokens,
+       round(CAST(sum(
+           CAST(n_t AS DECIMAL(20, 8))
+           * CAST(round(ln(CAST(c AS DOUBLE)) - ln(CAST(tot AS DOUBLE)), 6)
+                  AS DECIMAL(20, 8))
+       ) AS DOUBLE) / sum(n_t), 4) AS mean_logprob
+FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram LM — the perplexity-proxy quality signal (CCNet-style
+    filtering ranks documents by LM score; a full KenLM is the
+    production upgrade, the unigram LM is the engine-native floor).
+
+    Scale shape: the unigram LM (vocab counts) is built in ONE corpus
+    pass and materialized with an eager localCheckpoint — it is
+    VOCABULARY-sized (Heaps-law sublinear in corpus size), so both
+    its reuse as the join side and the 1-row corpus total derive
+    from the materialized copy without re-tokenizing the corpus
+    (Spark re-executes shared lineage otherwise; measured 3 corpus
+    scans for the naive 3-branch plan).  The (doc, token) group-by
+    partial-aggregates before its shuffle; the vocab join shuffles
+    on token (AQE splits hot stopword keys; AQE broadcasts the vocab
+    side outright while it fits).  Per-term log-probs round to 6
+    decimals then sum in DECIMAL per document, so the result is
+    order-independent and engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_t"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = vocab.agg(F.sum("c").alias("tot"))
+    term = F.col("n_t").cast("decimal(20,8)") * F.round(
+        F.log(F.col("c").cast("double")) - F.log(F.col("tot").cast("double")), 6
+    ).cast("decimal(20,8)")
+    return (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_t").alias("n_tokens"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("n_t"), 4
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_token_entropy",
+    oracle=f"""
+WITH {_TF_SQL}
+SELECT doc_id,
+       CAST(sum(n_t) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(ln(CAST(sum(n_t) AS DOUBLE))
+             - CAST(sum(
+                   CAST(n_t AS DECIMAL(20, 8))
+                   * CAST(round(ln(CAST(n_t AS DOUBLE)), 6) AS DECIMAL(20, 8))
+               ) AS DOUBLE) / sum(n_t), 4) AS entropy
+FROM tf
+GROUP BY doc_id
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) − (Σ c·ln c)/n — low entropy flags keyword-stuffed /
+    template / repeated-token documents that length and stopword
+    heuristics miss (complements text_repetition's n-gram dup
+    fraction with a distributional signal).
+
+    Scale shape: single (doc_id, token) partial-aggregated shuffle,
+    then a per-document aggregate — no joins, no corpus-global state.
+    Same decimal log-sum discipline as text_unigram_logprob."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    clogc = F.col("n_t").cast("decimal(20,8)") * F.round(
+        F.log(F.col("n_t").cast("double")), 6
+    ).cast("decimal(20,8)")
+    return tf.groupBy("doc_id").agg(
+        F.sum("n_t").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("n_t").cast("double"))
+            - F.sum(clogc).cast("double") / F.sum("n_t"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH ws AS (
+    SELECT doc_id, lang, source, list_distinct({_TOKS}) AS words
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / len(a.words), 4) AS contain_a_in_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / len(b.words), 4) AS contain_b_in_a,
+       (CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / least(len(a.words), len(b.words))) >= 0.9 AS near_superset
+FROM ws a
+JOIN ws b ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words)) > 0
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment |A∩B| / |A| per candidate pair —
+    catches near-SUPERSET duplicates (a document embedded inside a
+    longer one) that symmetric Jaccard under-scores: a 50-word doc
+    fully contained in a 500-word doc has Jaccard ≤ 0.1 but
+    containment 1.0.  Pairs are blocked on (lang, source) like
+    dedup_ngram_jaccard; at 100 TB the block key would be an LSH
+    band bucket instead of metadata (the join stays bucket-bounded
+    either way — never all-pairs).
+
+    Scale shape: token sets build map-side; one equi-join on the
+    block key; intersection sizes are array expressions on the
+    joined rows."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tokens(F.col("text"))).alias("words"),
+    )
+    a = ws.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("words").alias("words_a"),
+    )
+    b = ws.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("words").alias("words_b"),
+    )
+    inter = F.size(F.array_intersect("words_a", "words_b")).cast("double")
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.size(F.array_intersect("words_a", "words_b")) > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("words_a"), 4).alias("contain_a_in_b"),
+            F.round(inter / F.size("words_b"), 4).alias("contain_b_in_a"),
+            (
+                inter / F.least(F.size("words_a"), F.size("words_b")) >= 0.9
+            ).alias("near_superset"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sample_quality_resample",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       round({quality_score_sql('text', _TOKS)}, 4) AS keep_w
+FROM documents
+WHERE CAST({md5_int60_sql('CAST(doc_id AS VARCHAR)')} AS DOUBLE)
+      / 1152921504606846976.0 < {quality_score_sql('text', _TOKS)}
+""",
+)
+def sample_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: keep each document
+    with probability equal to its quality score (the data-mixing
+    move that up-weights clean text without hard thresholds), using
+    the md5-uniform draw u = md5_int60(doc_id)/2^60 so the kept set
+    is deterministic, reproducible across engines/runs, and stable
+    under corpus repartitioning — properties RNG sampling lacks and
+    train/eval hygiene requires.
+
+    Scale shape: pure map-side filter (zero shuffle, zero state);
+    the quality score and the draw are per-row expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    q = quality_score(F.col("text"), toks)
+    u = md5_int60(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.filter(u < q)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(q, 4).alias("keep_w"),
+        )
+    )
