@@ -105,13 +105,20 @@ def _mg_partial_factory(capacity: int):
     running summary, then the mergeable-summaries prune (subtract the
     (capacity+1)-th largest weight, drop non-positives).  Total
     subtracted weight across all prunes is <= n_partition/capacity —
-    the MG error bound."""
+    the MG error bound.
+
+    The summary CARRIES ITS OWN MASS: one sentinel row
+    (user_id NULL, w = exact partition row count) per partition, so
+    the global n — and hence the n-derived threshold — falls out of
+    the same pass with no separate counting scan of the input."""
     import numpy as np
     import pandas as pd
 
     def mg_partial(batches):
         counters: dict[int, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for uid, cnt in pdf["user_id"].value_counts().items():
                 counters[int(uid)] = counters.get(int(uid), 0) + int(cnt)
             if len(counters) > capacity:
@@ -123,8 +130,10 @@ def _mg_partial_factory(capacity: int):
                 }
         yield pd.DataFrame(
             {
-                "user_id": pd.Series(list(counters), dtype="int64"),
-                "w": pd.Series(list(counters.values()), dtype="int64"),
+                "user_id": pd.Series(list(counters) + [None], dtype="Int64"),
+                "w": pd.Series(
+                    list(counters.values()) + [n_rows], dtype="int64"
+                ),
             }
         )
 
@@ -157,18 +166,25 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     few surviving keys.  Exactly-correct answer, sketch-bounded
     memory."""
     ev = _t(spark, sf_dir, "events")
-    # The n-derived threshold is folded INTO the plan as a broadcast
-    # 1-row aggregate (same pattern as time_decay_engagement's
-    # reference-day scalar) instead of a driver-side ev.count() —
-    # one Spark job instead of a separate full-scan action, and the
-    # count branch reads no data columns (row-group metadata count).
-    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    thr = F.floor(F.col("n_total") / HH_INV_FRAC)
-    partials = ev.select("user_id").mapInPandas(
-        _mg_partial_factory(MG_CAPACITY), "user_id long, w long"
+    # ONE sketch pass produces both the summaries and the exact total
+    # (each partition's sentinel row carries its row count), so the
+    # n-derived threshold needs no separate counting scan or driver
+    # action.  The partials are sketch-bounded (≤ capacity+1 rows per
+    # partition), so the eager localCheckpoint materializes a tiny
+    # set once and both consumers read it without re-running the
+    # mapInPandas pass.
+    partials = (
+        ev.select("user_id")
+        .mapInPandas(_mg_partial_factory(MG_CAPACITY), "user_id long, w long")
+        .localCheckpoint(eager=True)
     )
+    tot = partials.filter(F.isnull("user_id")).agg(
+        F.sum("w").alias("n_total")
+    )
+    thr = F.floor(F.col("n_total") / HH_INV_FRAC)
     cands = (
-        partials.groupBy("user_id")
+        partials.filter(F.isnotnull("user_id"))
+        .groupBy("user_id")
         .agg(F.sum("w").alias("est"))
         .join(F.broadcast(tot))
         .filter(F.col("est") > thr - F.col("n_total") / MG_CAPACITY)

@@ -457,3 +457,31 @@ def test_ivf_cell_assignment_is_map_side(spark, sf_dir):
     exchanges allowed are probe_id-keyed (the bounded top-k merge)."""
     plan = plan_of(REGISTRY["sim_ivf_ann"].spark(spark, sf_dir))
     assert "hashpartitioning(vec_id" not in plan
+
+
+# --------------------------------------------------------------------------
+def test_quality_resample_is_map_only(spark, sf_dir):
+    """sample_quality_resample is a pure per-row filter — ZERO
+    exchanges: the quality score and the md5-uniform draw are row
+    expressions; nothing aggregates or joins."""
+    plan = plan_of(REGISTRY["sample_quality_resample"].spark(spark, sf_dir))
+    assert _exchange_nodes(plan) == 0
+
+
+def test_token_entropy_single_scan_two_shuffles(spark, sf_dir):
+    """text_token_entropy reads the corpus once and shuffles twice
+    ((doc,token) partial-agg, then per-doc agg) — no joins, no
+    corpus-global state."""
+    plan = plan_of(REGISTRY["text_token_entropy"].spark(spark, sf_dir))
+    assert plan.count("Location:") == 1
+    assert _exchange_nodes(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_unigram_logprob_single_corpus_scan_in_plan(spark, sf_dir):
+    """text_unigram_logprob's main plan tokenizes the corpus exactly
+    once; the vocab + total branches read the checkpointed
+    vocabulary-sized aggregate (Scan ExistingRDD), never re-scan the
+    parquet (the naive 3-branch plan re-tokenized the corpus 3x)."""
+    plan = plan_of(REGISTRY["text_unigram_logprob"].spark(spark, sf_dir))
+    assert plan.count("Location:") == 1

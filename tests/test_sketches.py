@@ -12,12 +12,18 @@ from duckdb_hdfs_spark.queries.sketches import _mg_partial_factory
 
 
 def _run_mg(values, capacity, batch_size=997):
+    """Returns (estimates, sentinel_mass): the summary rows keyed by
+    item, and the NULL-keyed sentinel row carrying the partition's
+    exact input row count."""
     batches = (
         pd.DataFrame({"user_id": values[i : i + batch_size]})
         for i in range(0, len(values), batch_size)
     )
     (out,) = list(_mg_partial_factory(capacity)(batches))
-    return dict(zip(out["user_id"], out["w"]))
+    sentinel = out[out["user_id"].isna()]
+    assert len(sentinel) == 1, "exactly one sentinel row per partition"
+    items = out[out["user_id"].notna()]
+    return dict(zip(items["user_id"], items["w"])), int(sentinel["w"].iloc[0])
 
 
 def test_mg_error_bound_under_eviction():
@@ -30,7 +36,8 @@ def test_mg_error_bound_under_eviction():
     values.sort(key=lambda v: (hash((v, values.count(v))) % 7919, v))
     n, m = len(values), 8
     exact = pd.Series(values).value_counts().to_dict()
-    est = _run_mg(values, m)
+    est, mass = _run_mg(values, m)
+    assert mass == n, "sentinel must carry the exact partition count"
     assert len(est) <= m
     for item, w in est.items():
         assert w <= exact[item], f"overestimate for {item}"
@@ -44,5 +51,6 @@ def test_mg_error_bound_under_eviction():
 def test_mg_exact_when_under_capacity():
     """With cardinality <= capacity the summary is exact counts."""
     values = [1] * 10 + [2] * 5 + [3] * 1
-    est = _run_mg(values, capacity=8)
+    est, mass = _run_mg(values, capacity=8)
     assert est == {1: 10, 2: 5, 3: 1}
+    assert mass == 16
