@@ -267,3 +267,107 @@ def sample_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(q, 4).alias("keep_w"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NTOK_SQL = f"len(list_filter({_TOKS}, t -> t <> ''))"
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(count(DISTINCT {_NORM_SQL}) AS DOUBLE) / count(*), 4)
+           AS dup_rate,
+       round(CAST(sum(CAST(round({quality_score_sql('text', _TOKS)}, 4)
+                           AS DECIMAL(10, 4))) AS DOUBLE) / count(*), 4)
+           AS mean_quality,
+       round(quantile_cont(n_chars, 0.50), 2) AS p50_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card rollup — the summary table a
+    corpus release ships: document and token counts, exact-duplicate
+    rate (1 − distinct normalized texts / docs), mean quality score,
+    and median length.  One scan, one shuffle on the card key.
+
+    Determinism: quality scores round to 4 decimals then sum in
+    DECIMAL (order-independent); the median is the exact interpolated
+    percentile (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit, the stats_quantiles precedent).  The distinct-count
+    shuffles one md5-normalized string per doc inside its group —
+    at 100 TB swap the string for its md5 (same cardinality,
+    16 bytes); kept as the raw norm here to match the oracle."""
+    from duckdb_hdfs_spark.operators.dedup import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ntok = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    q4 = F.round(quality_score(F.col("text"), toks), 4).cast("decimal(10,4)")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            norm_text(F.col("text")).alias("norm"),
+            ntok.alias("ntok"),
+            q4.alias("q4"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.round(
+                1.0 - F.count_distinct(F.col("norm")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.sum("q4").cast("double") / F.count(F.lit(1)), 4).alias(
+                "mean_quality"
+            ),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 2).alias("p50_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_length_histogram",
+    oracle="""
+SELECT source, length(bin(n_chars)) AS log2_bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY source, length(bin(n_chars))
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the
+    length-distribution panel of a dataset card (truncation and
+    packing decisions read off it).  The bucket is the binary-string
+    length of n_chars (= ⌊log2⌋+1), computed with integer/string ops
+    only — ``bin()`` exists identically in both engines, so bucket
+    edges are engine-exact with no floating log.
+
+    Scale shape: map-side bucket expression + one partial-aggregated
+    group-by; cardinality is sources × ~40 buckets regardless of
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.length(F.expr("bin(n_chars)")).cast("bigint").alias("log2_bucket"),
+            "n_chars",
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
