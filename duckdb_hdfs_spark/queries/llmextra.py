@@ -445,7 +445,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot stopword keys arrive at reducers as one partial row per map
     task, not one row per occurrence.  The tf⋈df join shuffles on
     term (AQE splits the heavy-tail vocab keys); document count N is
-    a driver scalar (metadata-cheap count, no per-row work).  The
+    a broadcast 1-row aggregate inside the plan (row-group-metadata
+    count — no separate driver action or per-row work).  The
     final top-k window partitions by doc_id — bounded by per-document
     vocabulary, never by corpus size.  Ranking orders on the ROUNDED
     score with a term tie-break so Spark and the oracle rank
@@ -453,7 +454,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # document count folded into the plan as a broadcast 1-row
+    # aggregate (row-group-metadata count) — not a separate driver
+    # count() action/job
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
@@ -461,16 +465,20 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            4,
-        ).alias("score"),
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -790,26 +798,16 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def pca_projection(spark: SparkSession, sf_dir: str):
-    """Top-2 PCA projection over the embeddings table: returns
-    ``(proj_df, comps)`` where ``proj_df`` has columns (vec_id, label,
-    pc1, pc2, norm2) and ``comps`` are the two unit eigenvectors.
-
-    Scale split, mirroring distributed PCA practice (e.g. the
-    tree-aggregated Gramian behind Spark MLlib's RowMatrix PCA):
-    the d×d Gram matrix is a DISTRIBUTED single-scan partial-agg
-    rollup (2080 cells at d=64 — size independent of corpus);
-    eigendecomposition of that tiny symmetric matrix is driver-side
-    numpy (O(d³), microseconds — collecting it is a bounded reduced
-    aggregate, not a data collect); the projection back over the
-    corpus is a map-only broadcast of 2 × 64 literal coefficients.
-    Eigenvector signs are canonicalized (largest-|component| entry
-    positive) so the output is deterministic across runs/platforms."""
+def _gram_eigh(spark: SparkSession, sf_dir: str):
+    """Distributed Gram accumulation over the embeddings table (the
+    emb_gram_matrix map-side shape, unrounded) + driver-side
+    eigendecomposition of the tiny d×d result.  Returns
+    ``(embeddings_df, eigvals_ascending, eigvecs, d)``.  The collect
+    is a d²-bounded reduced aggregate (2080 cells at d=64), not a
+    data collect."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
-    # distributed Gram accumulation (same map-side shape as
-    # emb_gram_matrix, unrounded), then densify upper → full matrix
     cells = (
         e.select(
             F.explode(
@@ -834,12 +832,37 @@ def pca_projection(spark: SparkSession, sf_dir: str):
         gram[r["i"], r["j"]] = r["g"]
         gram[r["j"], r["i"]] = r["g"]
     vals, vecs = np.linalg.eigh(gram)  # ascending
-    comps = []
-    for k in (1, 2):
-        v = vecs[:, -k]
-        if v[np.argmax(np.abs(v))] < 0:  # canonical sign
-            v = -v
-        comps.append(v)
+    return e, vals, vecs, d
+
+
+def _canonical_eigvec(vecs, k: int):
+    """k-th largest eigenvector with canonical sign (largest-|entry|
+    component positive) — deterministic across runs/platforms."""
+    import numpy as np
+
+    v = vecs[:, -k]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return v
+
+
+def pca_projection(spark: SparkSession, sf_dir: str):
+    """Top-2 PCA projection over the embeddings table: returns
+    ``(proj_df, comps)`` where ``proj_df`` has columns (vec_id, label,
+    pc1, pc2, norm2) and ``comps`` are the two unit eigenvectors.
+
+    Scale split, mirroring distributed PCA practice (e.g. the
+    tree-aggregated Gramian behind Spark MLlib's RowMatrix PCA):
+    the d×d Gram matrix is a DISTRIBUTED single-scan partial-agg
+    rollup (2080 cells at d=64 — size independent of corpus);
+    eigendecomposition of that tiny symmetric matrix is driver-side
+    numpy (O(d³), microseconds — collecting it is a bounded reduced
+    aggregate, not a data collect); the projection back over the
+    corpus is a map-only broadcast of 2 × 64 literal coefficients.
+    Eigenvector signs are canonicalized (largest-|component| entry
+    positive) so the output is deterministic across runs/platforms."""
+    e, vals, vecs, _d = _gram_eigh(spark, sf_dir)
+    comps = [_canonical_eigvec(vecs, k) for k in (1, 2)]
     proj = [
         F.round(
             F.aggregate(
@@ -916,4 +939,78 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_ok"),
             F.lit(orth_ok).alias("orth_ok"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+WHITEN_K = 8
+
+
+@query(
+    "emb_whitening_check",
+    # Whitening is eigen-derived like PCA, so values cannot be
+    # re-derived in SQL; the contract is the DEFINING property of a
+    # whitening transform, checked in-plan: the Gram matrix of the
+    # whitened coordinates equals the identity.  The oracle asserts
+    # the K x K upper triangle of booleans is all TRUE.
+    oracle=f"""
+SELECT a.i, b.j, TRUE AS cov_ok
+FROM generate_series(0, {WHITEN_K - 1}) a(i)
+JOIN generate_series(0, {WHITEN_K - 1}) b(j) ON b.j >= a.i
+""",
+)
+def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening onto the top-8 components, verified by its
+    defining identity: the whitened coordinates w_k = <v, u_k>/√λ_k
+    must satisfy  Σ_rows w_i·w_j = δ_ij  (their Gram matrix is the
+    identity) — decorrelation plus unit variance, the normalization
+    embedding pipelines apply before cosine retrieval or clustering.
+
+    Scale split (same as emb_pca_project): distributed d²-bounded
+    Gram → driver eigh → the whitening matrix returns as 8×64 literal
+    coefficients in a map-only projection; the verification Gram of
+    the whitened coords is again a single-scan partial-agg rollup
+    (K(K+1)/2 = 36 cells), so the whole check is one corpus scan +
+    one bounded shuffle."""
+    e, vals, vecs, _d = _gram_eigh(spark, sf_dir)
+    comps = []
+    for k in range(1, WHITEN_K + 1):
+        v = _canonical_eigvec(vecs, k)
+        lam = max(float(vals[-k]), 1e-300)  # full-rank in practice
+        comps.append(v / lam**0.5)
+    w = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in comps
+        ]
+    )
+    cells = (
+        e.select(w.alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(w, (x, i) ->
+                        transform(slice(w, i + 1, size(w) - i), (y, j) ->
+                            struct(i AS i, i + j AS j, x * y AS p))))
+                    """
+                )
+            ).alias("c")
+        )
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.p").alias("g"))
+    )
+    ident = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(0.0))
+    return cells.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        (F.abs(F.col("g") - ident) <= 1e-6).alias("cov_ok"),
     )
