@@ -54,9 +54,8 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.events",
     "duckdb_hdfs_spark.queries.windows",
     "duckdb_hdfs_spark.queries.tpch",
-    # round-3 additions — registered past the driver's 50-entry window
-    # (this round's window is allocated to §2.5-2.10); pytest-covered
-    # now, rotate into the driver window next round.
+    # round-3 additions — rotated into the driver window in round 4
+    # via _DRIVER_PRIORITY below.
     "duckdb_hdfs_spark.queries.llmextra",
     "duckdb_hdfs_spark.queries.layout",
     "duckdb_hdfs_spark.queries.cdc",

@@ -21,9 +21,8 @@ incremental shapes as pure DataFrame plans:
   Two window passes over the SAME (key, time) sort order, so Spark
   performs one shuffle+sort and reuses it for both windows.
 
-Registered past the driver's 50-entry window this round (the window
-is allocated to §2.5-2.10); oracle-checked by the local sf0.001 and
-sf0.01 sweeps, rotating into the driver window next round.
+Round 4 rotated these keys into the driver's 50-entry window;
+the sf0.001/sf0.01 pytest sweep covers them every round regardless.
 """
 
 from __future__ import annotations

@@ -3,11 +3,10 @@ signals, benchmark contamination, prefix-fingerprint dedup, filtered
 ANN, and int8 embedding quantization — the remaining passes a
 training-data curation pipeline runs that §2.5-2.7 did not yet cover.
 
-All five are oracle-checked.  Registered LAST in ``_QUERY_MODULES``:
-the driver's 50-entry CORRECTNESS window is already allocated to the
-§2.5-2.10 surface this round (queries/__init__.py), so these are
-covered by the repo's sf0.001/sf0.01 pytest sweep now and rotate into
-the driver window next round.
+All are oracle-checked.  Round 4 rotated this module's keys into
+the driver's 50-entry CORRECTNESS window (queries/__init__.py
+_DRIVER_PRIORITY); the sf0.001/sf0.01 pytest sweep covers them every
+round regardless.
 
 Scale notes per query are in the docstrings; the common theme is
 map-only per-document feature extraction (zero shuffle) and

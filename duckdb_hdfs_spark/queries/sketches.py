@@ -27,9 +27,8 @@ data.  Two families:
   shuffled state is bounded by m per partition instead of one row
   per distinct key.
 
-Registered past the driver's 50-entry window this round; locally
-oracle-checked at sf0.001/sf0.01, rotating into the window next
-round.
+Round 4 rotated these keys into the driver's 50-entry window;
+the sf0.001/sf0.01 pytest sweep covers them every round regardless.
 """
 
 from __future__ import annotations
