@@ -164,6 +164,11 @@ _SCAN_BUDGET_EXCEPTIONS = {
                                 # branch + global exact-distinct audit; the
                                 # production form carries only the sketch
                                 # column (one scan, ever)
+    "text_tfidf_topk": 3,       # tf branch + df-from-tf branch + the N
+                                # branch, which reads ZERO data columns
+                                # (row-group metadata count) — it replaced
+                                # a driver-side count() action that always
+                                # ran but never showed in the plan
 }
 
 
