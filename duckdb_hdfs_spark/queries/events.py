@@ -393,3 +393,44 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_user_lifetime",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       strftime(CAST(min(ts) AS DATE), '%Y-%m-%d') AS first_day,
+       strftime(CAST(max(ts) AS DATE), '%Y-%m-%d') AS last_day,
+       date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS lifetime_days,
+       round(CAST(count(*) AS DOUBLE)
+             / count(DISTINCT CAST(ts AS DATE)), 4) AS events_per_active_day
+FROM events
+GROUP BY user_id
+""",
+)
+def ev_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime engagement summary: first/last active day,
+    active-day count, calendar lifetime, and events per active day —
+    the user-level panel behind retention and LTV reporting.
+
+    Scale: one partial-aggregated shuffle on user_id; the distinct
+    day count shuffles one (user, day) pair per active day, bounded
+    by calendar days x users, not by event volume."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(d).alias("active_days"),
+        F.date_format(F.min(d), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max(d), "yyyy-MM-dd").alias("last_day"),
+        (F.datediff(F.max(d), F.min(d)) + 1).cast("bigint").alias(
+            "lifetime_days"
+        ),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.count_distinct(d), 4
+        ).alias("events_per_active_day"),
+    )

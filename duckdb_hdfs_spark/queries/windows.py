@@ -458,3 +458,43 @@ def grouping_id_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "o_orderpriority", "g_nation", "g_prio", "n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_et,
+       last_value(event_type)  OVER w AS last_et,
+       nth_value(event_type, 2) OVER w AS second_et
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition
+    frame: each user's first, last, and second event type — the
+    boundary-navigation window functions the rank/lag family doesn't
+    cover (entry-point and exit-point analysis per keyed stream).
+    The (ts, event_id) ordering pins ties, so results are
+    deterministic; the identical per-user rows collapse via DISTINCT
+    on both sides.
+
+    Scale: one shuffle on user_id (the window partitioning); the
+    unbounded frame is computed in a single pass per partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(w).alias("last_et"),
+        F.nth_value("event_type", 2).over(w).alias("second_et"),
+    ).distinct()
