@@ -192,3 +192,48 @@ def sql_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_higher_order_funcs",
+    oracle="""
+SELECT vec_id,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(greatest(x, 0) AS DOUBLE))),
+             (acc, x) -> acc + x), 6) AS relu_sum,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_slice(embedding, 1, 3),
+                            x -> CAST(x AS DOUBLE))),
+             (acc, x) -> acc + x), 6) AS head3_sum,
+       len(list_filter(embedding, x -> abs(x) > 2.0)) > 0 AS any_extreme,
+       len(list_filter(embedding, x -> NOT (abs(x) < 1e6))) = 0 AS all_finite
+FROM embeddings
+""",
+)
+def sql_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function class: transform, filter, aggregate
+    (sequential fold), exists, forall over array columns — the lambda
+    surface DuckDB expresses as list_transform / list_filter /
+    list_reduce.  Folds run left-to-right in double precision on both
+    engines (the functions/vectors.py determinism discipline), so
+    even the float reductions hash-match."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    relu_sum = F.aggregate(
+        F.transform(emb, lambda x: F.greatest(x, F.lit(0)).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    head3_sum = F.aggregate(
+        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(relu_sum, 6).alias("relu_sum"),
+        F.round(head3_sum, 6).alias("head3_sum"),
+        F.exists(emb, lambda x: F.abs(x) > 2.0).alias("any_extreme"),
+        F.forall(emb, lambda x: F.abs(x) < 1e6).alias("all_finite"),
+    )
