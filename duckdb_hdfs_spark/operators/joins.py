@@ -73,6 +73,60 @@ def asof_backward(
     return out
 
 
+def asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    SMALLEST ``right_ts >= left_ts`` within the same ``on`` key
+    (DuckDB: ``l ASOF JOIN r ON l.on = r.on AND l.ts <= r.ts``) — the
+    forward/next-event direction of :func:`asof_backward`, same
+    union-sort shape: one shuffle, per-key sort, no pair explosion.
+    The only difference is the DESCENDING time order, so the carried
+    ``last(..., ignorenulls)`` payload is the nearest LATER right row
+    (right still sorts before left at equal ts ⇒ '>=' semantics)."""
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    rt = rt.withColumn("__payload", F.struct(*[F.col(c) for c in payload]))
+
+    left_cols = list(left.columns)
+    payload_t = rt.schema["__payload"].dataType
+    left_sel = lt.select(
+        *left_cols, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
+    )
+    right_sel = rt.select(
+        F.col(on),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+        "__side",
+        "__ts",
+        "__payload",
+    )
+    unioned = left_sel.unionByName(right_sel)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
+    )
+    if how == "inner":
+        out = out.filter(F.col(payload[0]).isNotNull())
+    return out
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

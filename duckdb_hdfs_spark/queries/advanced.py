@@ -363,3 +363,59 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1)).alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "asof_view_next_purchase",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts AS p_ts, min(event_id) AS p_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, v.ts, p.p_event_id, p.p_ts,
+       epoch_us(p.p_ts) - epoch_us(v.ts) AS lead_us
+FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.p_ts
+""",
+)
+def asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (FORWARD) join: each view matched to the user's next
+    purchase at-or-after it — time-to-conversion attribution, the
+    other direction of DuckDB's ``ASOF JOIN`` (``l.ts <= r.ts``
+    picks the smallest later right row).  Same union-sort shape as
+    the backward op: one shuffle, per-key descending sort, no
+    per-key pair explosion (operators/joins.py:asof_forward).
+    Purchase ties per (user, ts) resolve to min event_id on both
+    engines."""
+    from duckdb_hdfs_spark.operators.joins import asof_forward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.min("event_id").alias("p_event_id"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = asof_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_event_id", "p_ts"],
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "p_event_id",
+        "p_ts",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("ts"))).alias(
+            "lead_us"
+        ),
+    )
