@@ -421,3 +421,39 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches.cast("double") / NUM_PERM).alias("est_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+WITH {_BANDED_SQL}
+SELECT band_idx, sz AS bucket_size, count(*) AS n_buckets
+FROM (
+    SELECT band_idx, band_key, count(*) AS sz
+    FROM banded GROUP BY band_idx, band_key
+)
+GROUP BY band_idx, sz
+""",
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket size histogram — the dedup pipeline's scale
+    monitor: in-bucket pair cost grows quadratically with bucket
+    size, so a fat bucket (boilerplate shingles hashing together) is
+    THE thing that blows up banded dedup at 100 TB.  This per-band
+    distribution is the dashboard panel that catches it before the
+    pair stage runs.
+
+    Scale shape: reuses the one-pass banded build (signatures →
+    4 md5 band keys per doc), two partial-aggregated group-bys —
+    bucket count then histogram — with outputs bounded by distinct
+    bucket sizes, not corpus size."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_banded
+
+    banded = minhash_banded(_t(spark, sf_dir, "documents"))
+    return (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy(F.col("band_idx").cast("bigint").alias("band_idx"), "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )

@@ -345,3 +345,70 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_norm_outliers",
+    oracle=f"""
+WITH r AS (
+    SELECT vec_id, label,
+           CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                (acc, x) -> acc + x), 6) AS DECIMAL(12, 6)) AS nr
+    FROM embeddings
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(nr) AS DOUBLE) AS s1,
+           CAST(sum(nr * nr) AS DOUBLE) AS s2
+    FROM r
+)
+SELECT vec_id, label,
+       CAST(nr AS DOUBLE) AS l1_norm,
+       round((CAST(nr AS DOUBLE) - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z,
+       abs((CAST(nr AS DOUBLE) - s1 / n)
+           / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0 AS is_outlier
+FROM r, s
+""",
+)
+def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: per-vector L1-norm z-score against the corpus
+    distribution, flagging |z| > 3 outliers.  The vectors are
+    unit-L2-normalized upstream, so the L2 norm is constant — the L1
+    norm is the discriminating statistic (L1/L2 concentration: a
+    spiky / truncated / corrupted vector has mass in few components
+    and a low L1), surfacing bad vectors before they poison ANN
+    recall.
+
+    Determinism discipline: norms round to 6 decimals then enter the
+    moment sums as DECIMAL (exact, order-independent); mean/variance
+    derive from those exact sums in identical double arithmetic on
+    both engines, so even the boolean threshold cannot flip between
+    engines.  Scale shape: map-side norms, one 3-value moment
+    aggregate broadcast back — one scan plus a 1-row join."""
+    e = _t(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nr = F.round(l1, 6).cast("decimal(12,6)")
+    rows = e.select("vec_id", "label", nr.alias("nr"))
+    mom = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nr").cast("double").alias("s1"),
+        F.sum(F.col("nr") * F.col("nr")).cast("double").alias("s2"),
+    )
+    z = (F.col("nr").cast("double") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return rows.join(F.broadcast(mom)).select(
+        "vec_id",
+        "label",
+        F.col("nr").cast("double").alias("l1_norm"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 3.0).alias("is_outlier"),
+    )
