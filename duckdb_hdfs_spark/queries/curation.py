@@ -371,3 +371,70 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: per-source token budget for the greedy selection op (small enough
+#: that every SF exercises both kept and dropped documents)
+TOKEN_BUDGET = 1000
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+WITH scored AS (
+    SELECT source, doc_id,
+           {_NTOK_SQL} AS ntok,
+           round({quality_score_sql('text', _TOKS)}, 4) AS q
+    FROM documents
+),
+ranked AS (
+    SELECT source, doc_id, ntok, q,
+           sum(ntok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM scored
+)
+SELECT source, doc_id, CAST(ntok AS BIGINT) AS ntok, q,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget selection: order each source's
+    documents by quality (descending, doc_id tiebreak) and keep the
+    prefix whose cumulative token count fits the budget — the
+    data-mixing planner's allocation step (fill each source's quota
+    with its best documents first).
+
+    Determinism: the ordering key is the ROUNDED quality score, so
+    both engines sort identically; token counts are integers, so the
+    running sum is exact.  Scale shape: one shuffle on source for the
+    cumulative window (per-source sequential dependency is inherent
+    to greedy packing); the map side computes tokens/quality, and the
+    kept set is budget-bounded per source."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("ntok"),
+        F.round(quality_score(F.col("text"), toks), 4).alias("q"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("ntok").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            F.col("ntok").cast("bigint").alias("ntok"),
+            "q",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
