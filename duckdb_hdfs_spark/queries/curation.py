@@ -1,10 +1,12 @@
-"""Round-4 corpus-curation additions (SURVEY.md §2.11): unigram-LM
+"""Round-4 corpus-curation additions (SURVEY.md §2.12): unigram-LM
 log-probability scoring, asymmetric containment over LSH candidates,
-per-document token entropy, and quality-weighted deterministic
-resampling — the statistical-filtering passes a training-data
+per-document token entropy, quality-weighted deterministic
+resampling, the per-(source, lang) dataset-card rollup, the log2
+length histogram, and greedy token-budget selection — the
+statistical-filtering and release-reporting passes a training-data
 pipeline runs after the structural dedup/quality passes.
 
-All four are oracle-checked.  Registered after ``sketches`` in
+All are oracle-checked.  Registered after ``sketches`` in
 ``_QUERY_MODULES`` — outside the driver's round-4 CORRECTNESS window
 (allocated to the round-3 tail + timestamp re-verifies); covered by
 the sf0.001/sf0.01 pytest sweep now, rotating into the window next
