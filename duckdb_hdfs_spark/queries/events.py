@@ -434,3 +434,106 @@ def ev_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.count_distinct(d), 4
         ).alias("events_per_active_day"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_markov_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+pair_counts AS (
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM pair_counts
+""",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user streams:
+    counts and row-normalized probabilities of each (from → to) pair —
+    the empirical Markov chain behind next-action prediction and
+    anomalous-sequence detection.
+
+    Scale shape: one shuffle on user_id for the lag window, one
+    partial-aggregated group-by on the (from, to) pair (cardinality =
+    |event types|², tiny), and the row normalization windows over the
+    from_type groups of that tiny matrix.  Probabilities divide
+    integer counts and round — engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pair_counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pair_counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 4).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_inter_event_times",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       round(quantile_cont(gap_us, 0.50), 2) AS p50_gap_us,
+       round(quantile_cont(gap_us, 0.90), 2) AS p90_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def ev_inter_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event arrival statistics (count, min, exact
+    p50/p90 of the gap in microseconds) — the cadence features behind
+    bot detection and engagement scoring, and the input for choosing
+    sessionization gaps.
+
+    Scale shape: one shuffle on user_id shared by the lag window and
+    the group-by (same key → Spark reuses the partitioning); gaps are
+    integer microseconds, and the exact interpolated percentile is
+    the engine-portable stats_quantiles recipe."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.50)"), 2).alias("p50_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.90)"), 2).alias("p90_gap_us"),
+    )
