@@ -412,3 +412,124 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 3.0).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (PQ_M * PQ_DSUB = DIM)
+PQ_K = 16       # codes per subspace
+
+
+def _pq_dist_sql(m: int) -> str:
+    """DuckDB mirror of the Spark per-subspace squared-L2 fold:
+    sequential left fold over the m-th 8-dim slice, double precision,
+    identical operation order — bit-identical distances."""
+    base = m * PQ_DSUB
+    diff = (
+        f"(CAST(e.embedding[{base} + i] AS DOUBLE)"
+        f" - CAST(c.cent[{base} + i] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {PQ_DSUB}), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_oracle() -> str:
+    dists = ",\n           ".join(
+        f"{_pq_dist_sql(m)} AS d{m}" for m in range(PQ_M)
+    )
+    branches = ",\n".join(
+        f"""b{m} AS (
+    SELECT vec_id, cent_id AS code_{m}, d{m} FROM (
+        SELECT vec_id, cent_id, d{m},
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d{m}, cent_id) AS rn
+        FROM x
+    ) WHERE rn = 1
+)"""
+        for m in range(PQ_M)
+    )
+    joins = " ".join(f"JOIN b{m} USING (vec_id)" for m in range(1, PQ_M))
+    codes = ", ".join(f"code_{m}" for m in range(PQ_M))
+    err = " + ".join(f"d{m}" for m in range(PQ_M))
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent
+    FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+),
+x AS (
+    SELECT e.vec_id, c.cent_id,
+           {dists}
+    FROM embeddings e CROSS JOIN cents c
+),
+{branches}
+SELECT b0.vec_id, {codes}, round({err}, 6) AS pq_err
+FROM b0 {joins}
+"""
+
+
+@query("emb_pq_codes", oracle=_pq_oracle())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: encode each 64-dim embedding as 8
+    subspace codes (argmin squared-L2 against a 16-entry per-subspace
+    codebook) plus the total reconstruction error — the compression
+    step that makes 100 TB vector search feasible (8 bytes per vector
+    instead of 256; ADC distance tables scan codes, not floats).
+    The codebook here is the deterministic md5-ordered sample (the
+    IVF centroid recipe — TakeOrderedAndProject, bounded heap);
+    production would refine it with emb_kmeans_update iterations.
+
+    Scale shape: the codebook folds into ONE broadcast array row and
+    every assignment is a map-side expression (the sim_ivf_ann
+    pattern) — ZERO shuffles for encoding, regardless of corpus
+    size.  Distances are sequential double folds, identical on both
+    engines; ties break on centroid id."""
+    from duckdb_hdfs_spark.functions.vectors import dot  # noqa: F401  (module convention)
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(PQ_K)
+    )
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent")).alias("cents")
+    )
+
+    def sub_dist(emb_col, cent_col, m: int):
+        a = F.slice(emb_col, m * PQ_DSUB + 1, PQ_DSUB)
+        b = F.slice(cent_col, m * PQ_DSUB + 1, PQ_DSUB)
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def scorer(m: int):
+        # single-arg lambda: a two-arg lambda would be interpreted by
+        # F.transform as the (element, index) form
+        return lambda c: F.struct(
+            sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
+            c["cent_id"].alias("cent_id"),
+        )
+
+    base = e.join(F.broadcast(cent_arr))
+    bests = [
+        F.array_min(F.transform(F.col("cents"), scorer(m)))
+        for m in range(PQ_M)
+    ]
+    err = sum(b["d"] for b in bests[1:]) + bests[0]["d"]
+    return base.select(
+        "vec_id",
+        *[b["cent_id"].alias(f"code_{m}") for m, b in enumerate(bests)],
+        F.round(err, 6).alias("pq_err"),
+    )

@@ -490,3 +490,13 @@ def test_unigram_logprob_single_corpus_scan_in_plan(spark, sf_dir):
     parquet (the naive 3-branch plan re-tokenized the corpus 3x)."""
     plan = plan_of(REGISTRY["text_unigram_logprob"].spark(spark, sf_dir))
     assert plan.count("Location:") == 1
+
+
+# --------------------------------------------------------------------------
+def test_pq_encoding_is_map_side(spark, sf_dir):
+    """PQ code assignment must be a map-side expression over the
+    broadcast codebook — no hashpartitioning of the corpus on its own
+    key (the sim_ivf_ann rule applied to encoding); the only exchange
+    allowed is the bounded TakeOrdered codebook sample."""
+    plan = plan_of(REGISTRY["emb_pq_codes"].spark(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan
