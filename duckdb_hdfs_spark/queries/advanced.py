@@ -419,3 +419,74 @@ def asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lead_us"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_rfm_scores",
+    oracle="""
+WITH ref AS (SELECT max(o_orderdate) AS ref_day FROM orders),
+agg AS (
+    SELECT o_custkey,
+           date_diff('day', max(o_orderdate), any_value(ref_day)) AS recency_days,
+           count(*) AS frequency,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS monetary
+    FROM orders, ref
+    GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+FROM agg
+""",
+)
+def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency (days since last order, vs the
+    corpus's latest order day), frequency, monetary (decimal-summed),
+    and quartile ranks for each — the classic segmentation panel.
+
+    Determinism: every ntile orders on (metric, o_custkey), so the
+    quartile assignment is total-order stable on both engines; the
+    reference day is a broadcast 1-row aggregate in-plan.  Scale
+    note: the ntile windows are partition-less BY DESIGN — they rank
+    the per-customer AGGREGATE (one row per customer, orders of
+    magnitude smaller than the fact table); at extreme customer
+    counts the two-phase ranked-sample recipe (sample_stratified_topk)
+    is the swap-in."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_day"))
+    agg = (
+        o.join(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_day"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    return agg.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )

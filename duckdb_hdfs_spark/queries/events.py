@@ -537,3 +537,39 @@ def ev_inter_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.50)"), 2).alias("p50_gap_us"),
         F.round(F.expr("percentile(gap_us, 0.90)"), 2).alias("p90_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_hourly_profile",
+    oracle="""
+SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour_utc,
+       count(*) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type), 4) AS share
+FROM events
+GROUP BY event_type, hour_utc
+""",
+)
+def ev_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (counts + share of
+    the type's daily cycle) — the seasonality panel behind anomaly
+    baselines and traffic-shifting decisions.  Hours are UTC (the
+    pinned session timezone), so bucketing is engine-identical.
+
+    Scale shape: one partial-aggregated group-by to a bounded
+    (types × 24) matrix; the share normalization windows over that
+    tiny result."""
+    ev = _t(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_utc")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return grp.select(
+        "event_type",
+        "hour_utc",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias(
+            "share"
+        ),
+    )
