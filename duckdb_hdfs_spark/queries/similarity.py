@@ -436,6 +436,36 @@ def _pq_dist_sql(m: int) -> str:
     )
 
 
+def _pq_sub_dist(emb_col, cent_col, m: int):
+    """Squared L2 over the m-th PQ_DSUB-dim slice — sequential
+    zip_with/aggregate fold in double precision (engine-portable)."""
+    a = F.slice(emb_col, m * PQ_DSUB + 1, PQ_DSUB)
+    b = F.slice(cent_col, m * PQ_DSUB + 1, PQ_DSUB)
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_cent_arr(e: DataFrame) -> DataFrame:
+    """The PQ codebook folded into ONE broadcastable array row
+    (md5-ordered deterministic sample, TakeOrderedAndProject)."""
+    cents = (
+        e.select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(PQ_K)
+    )
+    return cents.agg(F.collect_list(F.struct("cent_id", "cent")).alias("cents"))
+
+
 def _pq_oracle() -> str:
     dists = ",\n           ".join(
         f"{_pq_dist_sql(m)} AS d{m}" for m in range(PQ_M)
@@ -489,36 +519,13 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.functions.vectors import dot  # noqa: F401  (module convention)
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = (
-        e.select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-        )
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(PQ_K)
-    )
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("cent_id", "cent")).alias("cents")
-    )
-
-    def sub_dist(emb_col, cent_col, m: int):
-        a = F.slice(emb_col, m * PQ_DSUB + 1, PQ_DSUB)
-        b = F.slice(cent_col, m * PQ_DSUB + 1, PQ_DSUB)
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    cent_arr = _pq_cent_arr(e)
 
     def scorer(m: int):
         # single-arg lambda: a two-arg lambda would be interpreted by
         # F.transform as the (element, index) form
         return lambda c: F.struct(
-            sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
+            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
             c["cent_id"].alias("cent_id"),
         )
 
@@ -532,4 +539,174 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[b["cent_id"].alias(f"code_{m}") for m, b in enumerate(bests)],
         F.round(err, 6).alias("pq_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _adc_oracle() -> str:
+    """DuckDB mirror of the full ADC path: PQ-encode the corpus
+    (reusing the emb_pq_codes derivation), build per-probe
+    probe-to-centroid distance tables, and sum the entries the codes
+    select.  Per-subspace distances round to 9 decimals and sum in
+    DECIMAL (matching the Spark side exactly), so the ADC total is
+    order-independent and engine-exact.  The code/table match is ONE
+    long-form join + group-by — an 8-way join formulation lets the
+    join reorderer cross-multiply the table instances on probe_id
+    (measured: planner blowup)."""
+    dists = ",\n           ".join(
+        f"{_pq_dist_sql(m)} AS d{m}" for m in range(PQ_M)
+    )
+    branches = ",\n".join(
+        f"""b{m} AS (
+    SELECT vec_id, cent_id AS code_{m} FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d{m}, cent_id) AS rn
+        FROM x
+    ) WHERE rn = 1
+)"""
+        for m in range(PQ_M)
+    )
+    code_joins = " ".join(f"JOIN b{m} USING (vec_id)" for m in range(1, PQ_M))
+    codes = ", ".join(f"code_{m}" for m in range(PQ_M))
+    codes_long = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+        for m in range(PQ_M)
+    )
+    pc_long = " UNION ALL ".join(
+        f"SELECT probe_id, cent_id, {m} AS m, "
+        f"CAST(round(d{m}, 9) AS DECIMAL(20, 10)) AS dd FROM pc"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent
+    FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+),
+x AS (
+    SELECT e.vec_id, c.cent_id,
+           {dists}
+    FROM embeddings e CROSS JOIN cents c
+),
+{branches},
+codes AS (SELECT b0.vec_id, {codes} FROM b0 {code_joins}),
+codes_long AS ({codes_long}),
+pc AS (
+    SELECT e.vec_id AS probe_id, c.cent_id,
+           {dists}
+    FROM embeddings e CROSS JOIN cents c
+    WHERE {_PROBE_FILTER}
+),
+pc_long AS ({pc_long}),
+scored AS (
+    SELECT pl.probe_id, cl.vec_id, sum(pl.dd) AS adc
+    FROM codes_long cl
+    JOIN pc_long pl ON pl.m = cl.m AND pl.cent_id = cl.code
+    WHERE cl.vec_id <> pl.probe_id
+    GROUP BY pl.probe_id, cl.vec_id
+)
+SELECT probe_id, vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rk
+FROM (
+    SELECT probe_id, vec_id, adc,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query("sim_pq_adc_topk", oracle=_adc_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 per probe over PQ codes — the
+    search path product quantization exists for: each probe computes
+    one 8×16 distance table against the codebook, and every corpus
+    vector's approximate distance is 8 TABLE LOOKUPS on its codes
+    (no float vector is touched at scan time — at 100 TB the scan
+    reads 8-byte codes instead of 256-byte vectors, a 32× I/O cut).
+
+    Scale shape: the probe tables materialize as a tiny DataFrame
+    (probes × codebook rows with the 8 per-subspace distances) and
+    attach to the encoded corpus through 8 BROADCAST hash joins, one
+    per subspace, keyed on that subspace's code — small constant
+    build sides, no giant per-row expressions (a map-lookup
+    formulation was measured to explode Catalyst planning), and no
+    shuffle until the bounded partial top-k merge
+    (operators/similarity._topk_merge).  The ADC sum runs
+    left-to-right m = 0..7 on both engines — deterministic."""
+    from duckdb_hdfs_spark.operators.similarity import _topk_merge
+
+    e = _t(spark, sf_dir, "embeddings")
+    # the codebook row and the probe tables are TINY (1 row; P x 16
+    # rows) but feed many plan branches — eager checkpoints pin them
+    # to one computation each, instead of re-deriving the codebook
+    # sample scan per joined branch (measured 18 file scans without)
+    cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
+
+    def scorer(m: int):
+        return lambda c: F.struct(
+            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
+            c["cent_id"].alias("cent_id"),
+        )
+
+    enc = e.join(F.broadcast(cent_arr))
+    codes = enc.select(
+        "vec_id",
+        *[
+            F.array_min(F.transform(F.col("cents"), scorer(m)))["cent_id"].alias(
+                f"code_{m}"
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    # probe-to-centroid distance tables: one row per (probe, centroid)
+    # with the 8 subspace distances — P x 16 rows, broadcastable
+    ptab = (
+        _probes(e)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+        .join(F.broadcast(cent_arr))
+        .select(
+            "probe_id",
+            F.explode("cents").alias("c"),
+            F.col("pe"),
+        )
+        .select(
+            "probe_id",
+            F.col("c.cent_id").alias("cent_id"),
+            *[
+                F.round(_pq_sub_dist(F.col("pe"), F.col("c.cent"), m), 9)
+                .cast("decimal(20,10)")
+                .alias(f"d{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    joined = codes
+    for m in range(PQ_M):
+        side = ptab.select(
+            F.col("probe_id").alias(f"p{m}"),
+            F.col("cent_id").alias(f"c{m}"),
+            f"d{m}",
+        )
+        cond = joined[f"code_{m}"] == side[f"c{m}"]
+        if m > 0:
+            cond = cond & (joined["p0"] == side[f"p{m}"])
+        joined = joined.join(F.broadcast(side), cond).drop(f"c{m}")
+    # decimal sum (exact, order-independent — matches the oracle's
+    # group-by sum), then one cast to double for the ranking struct
+    adc = sum(F.col(f"d{m}") for m in range(1, PQ_M)) + F.col("d0")
+    scored = (
+        joined.filter(F.col("vec_id") != F.col("p0"))
+        .select(
+            F.col("p0").alias("probe_id"),
+            "vec_id",
+            (-adc.cast("double")).alias("cos_sim"),
+        )
+    )
+    ranked = _topk_merge(scored, k=5)
+    return ranked.select(
+        "probe_id",
+        "vec_id",
+        F.round(-F.col("cos_sim"), 6).alias("adc_dist"),
+        "rk",
     )
