@@ -162,3 +162,73 @@ def cdc_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("valid_to"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_merge_with_deletes",
+    oracle=f"""
+WITH snap AS (
+    SELECT o_orderkey, o_totalprice, 0 AS pri, 'K' AS op
+    FROM orders WHERE o_orderkey % 3 <> 0
+), batch AS (
+    SELECT o_orderkey,
+           o_totalprice + 10.0 AS o_totalprice,
+           1 AS pri,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM orders WHERE o_orderkey % 5 = 0
+), merged AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY pri DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM batch)
+)
+SELECT op AS action, count(*) AS n_rows,
+       {_osum("CASE WHEN op = 'D' THEN 0.0 ELSE o_totalprice END")}
+           AS total_price
+FROM merged WHERE rn = 1
+GROUP BY op
+""",
+)
+def cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with DELETE semantics — the full CDC op-code triple
+    (keep / upsert / delete): batch rows tagged D tombstone their key
+    out of the result; U rows replace; unmatched snapshot rows keep.
+    The audit reports surviving rows per action plus the tombstone
+    count (deletes contribute no price mass).
+
+    Same scale shape as cdc_merge_orders: union + max_by on the merge
+    key — ONE hash-aggregate shuffle with map-side partials, no join;
+    the action rollup is a single aggregate over the merged keys with
+    a CASE'd price (tombstones contribute zero), so deletes add no
+    extra pass."""
+    ods = _t(spark, sf_dir, "orders")
+    snap = ods.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("pri"),
+        F.lit("K").alias("op"),
+    )
+    batch = ods.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit(1).alias("pri"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    merged = (
+        snap.unionByName(batch)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("o_totalprice", "pri", "op"), F.col("pri")
+            ).alias("r")
+        )
+        .select("o_orderkey", "r.*")
+    )
+    return merged.groupBy(F.col("op").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(
+            F.when(F.col("op") == "D", F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            )
+        ).alias("total_price"),
+    )

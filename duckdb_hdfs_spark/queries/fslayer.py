@@ -283,3 +283,54 @@ def fs_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_binary",
+    # read_blob is DuckDB's raw-bytes surface (the reference's
+    # OpenFile/Read path, hadoopfs.hpp:164-178); hashing the hex
+    # encoding side-steps the engines' differing blob→string rules.
+    # Basenames + content are SF-independent only at the same SF, so
+    # this oracle (like fs_glob) binds to the driver's sf0.01 files
+    # via content equality — the local sweep reads the same dir.
+    oracle="""
+SELECT parse_filename(filename) AS file_name,
+       CAST(octet_length(content) AS BIGINT) AS size_bytes,
+       md5(lower(hex(content))) AS content_md5,
+       substring(hex(content), 1, 8) = '50415231'
+           AND right(hex(content), 8) = '50415231' AS parquet_magic_ok
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+""",
+)
+def fs_read_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary read parity — the raw OpenFile/Read surface:
+    Spark's binaryFile source streams each file's bytes; the op emits
+    name, exact byte count, an md5 over the hex encoding (engine-
+    portable: DuckDB lacks a blob md5, and blob→varchar casts
+    escape), and the parquet magic check (PAR1 header AND trailer).
+    At 100 TB you would hash raw bytes per split instead of hex — the
+    hex detour is the cross-engine equality trick, not the scale
+    path.
+
+    NOTE the driver comparison hashes CONTENT, so this op pins that
+    Spark's Hadoop-FS byte stream delivers bit-identical files to
+    DuckDB's read_blob.  Unlike the name-only fs ops, content is NOT
+    SF-independent, so BOTH sides bind to the same literal sf0.01
+    directory (the oracle's read_blob path cannot be parameterized;
+    the driver runs there, and the local sweep reads the same files —
+    the ``sf_dir`` argument is deliberately unused)."""
+    del sf_dir  # bound to the oracle's literal directory (see above)
+    df = spark.read.format("binaryFile").load(
+        "/root/testdata/sf0.01/*.parquet"
+    )
+    hexstr = F.lower(F.hex(F.col("content")))
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("size_bytes"),
+        F.md5(hexstr).alias("content_md5"),
+        (
+            (F.substring(F.upper(hexstr), 1, 8) == "50415231")
+            & (F.substring(F.upper(hexstr), -8, 8) == "50415231")
+        ).alias("parquet_magic_ok"),
+    )
