@@ -68,69 +68,69 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-4 allocation: the 30 keys
-# that have NEVER had a driver CORRECTNESS row (the round-3 §2.11 /
-# fs / streaming tail), then 20 re-verification slots for keys whose
-# inputs are timestamp-sensitive — testdata is regenerated per round
-# and e8c23b2 changed timestamp read semantics, so their r1/r2 green
-# rows are stale (see VERDICT r3 "What's wrong" #4).
+# Keep this list at exactly ≤50 names.  Round-5 allocation: the 22
+# round-4 additions that have NEVER had a driver CORRECTNESS row, then
+# the 28 keys whose last driver-green row is round 2 — testdata is
+# regenerated per round, so a two-round-old row is re-verified only by
+# the local sf0.001 pytest sweep (VERDICT r4 "What's missing" #2).
 _DRIVER_PRIORITY = (
-    # --- never driver-checked: §2.11 LLM-pipeline extras (21) ---
-    "text_repetition",
-    "text_contamination",
-    "dedup_prefix_groups",
-    "sim_ann_filtered",
-    "pipeline_quality_filter",
-    "emb_kmeans_update",
-    "skew_salted_event_stats",
-    "text_tfidf_topk",
-    "emb_int8_quantize",
-    "text_span_dedup",
-    "emb_gram_matrix",
-    "bpe_pair_counts",
-    "time_decay_engagement",
-    "sample_stratified_topk",
-    "emb_pca_project",
-    "layout_zorder_tiles",
-    "cdc_merge_orders",
-    "cdc_scd2_priority_history",
-    "sketch_hll_distinct",
-    "sketch_heavy_hitters",
-    "sketch_quantiles_approx",
-    # --- never driver-checked: round-3 fs additions (4) ---
-    "fs_read_csv_gzip",
-    "fs_read_orc",
-    "fs_read_schema_merge",
-    "fs_partitioned_prune",
-    # --- never driver-checked: round-3 streaming additions (5) ---
-    "streaming_dedup_users",
-    "streaming_user_totals",
-    "streaming_view_purchase_join",
-    "streaming_session_windows",
-    "streaming_static_enrich",
-    # --- re-verify: rows-only → oracle conversions this round (1) ---
-    "fs_ls",
-    # --- re-verify: timestamp-sensitive events/window keys (12) ---
-    "ev_tumbling_counts",
-    "ev_sessionize",
-    "ev_funnel",
-    "ev_retention",
-    "ev_top_users",
-    "ev_json_props",
-    "ev_anomaly_zscore",
-    "ev_rolling_dau",
-    "ev_cohort_retention",
-    "win_time_range_frame",
-    "win_moving_avg",
-    "win_running_total",
-    # --- re-verify: decimal-agg / date-predicate TPC-H heads (7) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_priority_lateness",
-    "q14_promo_revenue",
-    "fs_read_csv",
+    # --- never driver-checked: §2.12 curation (round 4, 8 keys) ---
+    "text_unigram_logprob",
+    "text_token_entropy",
+    "dedup_containment",
+    "sample_quality_resample",
+    "corpus_dataset_card",
+    "text_length_histogram",
+    "corpus_token_budget",
+    "emb_whitening_check",
+    # --- never driver-checked: round-4 similarity / dedup (5) ---
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_norm_outliers",
+    "dedup_lsh_bucket_stats",
+    "cdc_merge_with_deletes",
+    # --- never driver-checked: round-4 events / windows / SQL (6) ---
+    "win_first_last",
+    "sql_higher_order_funcs",
+    "ev_user_lifetime",
+    "ev_markov_transitions",
+    "ev_inter_event_times",
+    "ev_hourly_profile",
+    # --- never driver-checked: round-4 relational / fs (3) ---
+    "asof_view_next_purchase",
+    "orders_rfm_scores",
+    "fs_read_binary",
+    # --- re-verify: r2-stale TPC-H keys (16) ---
+    "q2_part_supplier_stats",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_supplier_value",
+    "q13_cust_order_distribution",
+    "q15_top_supplier",
+    "q16_brand_type_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_cust",
+    "q19_disjunctive_preds",
+    "q20_part_supplier_ship",
+    "q21_waiting_orders",
+    "q22_acctbal_opportunity",
+    # --- re-verify: r2-stale window/advanced-SQL keys (10) ---
+    "win_topk_per_group",
+    "win_lag_delta",
+    "rollup_sales",
+    "cube_sales",
+    "grouping_sets_sales",
+    "pivot_event_types",
+    "distinct_users_exact",
+    "sql_cte_chain",
+    "win_rank_functions",
+    "grouping_id_sales",
+    # --- re-verify: r2-stale fs keys (2) ---
+    "fs_read_json",
+    "fs_glob",
 )
 
 
