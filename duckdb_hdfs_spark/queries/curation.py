@@ -163,62 +163,62 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@query(
-    "dedup_containment",
-    oracle=f"""
-WITH ws AS (
-    SELECT doc_id, lang, source, list_distinct({_TOKS}) AS words
-    FROM documents
+def _containment_oracle() -> str:
+    from duckdb_hdfs_spark.queries.dedup import _BANDED_SQL
+
+    return f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+ws AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS words FROM documents
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT p.doc_a, p.doc_b,
        round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
              / len(a.words), 4) AS contain_a_in_b,
        round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
              / len(b.words), 4) AS contain_b_in_a,
        (CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
             / least(len(a.words), len(b.words))) >= 0.9 AS near_superset
-FROM ws a
-JOIN ws b ON a.lang = b.lang AND a.source = b.source
-         AND a.doc_id < b.doc_id
+FROM pairs p
+JOIN ws a ON p.doc_a = a.doc_id
+JOIN ws b ON p.doc_b = b.doc_id
 WHERE len(list_intersect(a.words, b.words)) > 0
-""",
-)
+"""
+
+
+@query("dedup_containment", oracle=_containment_oracle())
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric set containment |A∩B| / |A| per candidate pair —
     catches near-SUPERSET duplicates (a document embedded inside a
     longer one) that symmetric Jaccard under-scores: a 50-word doc
     fully contained in a 500-word doc has Jaccard ≤ 0.1 but
-    containment 1.0.  Pairs are blocked on (lang, source) like
-    dedup_ngram_jaccard; at 100 TB the block key would be an LSH
-    band bucket instead of metadata (the join stays bucket-bounded
-    either way — never all-pairs).
+    containment 1.0.  Candidate pairs come from the MinHash-LSH band
+    buckets (operators.dedup.minhash_candidate_pairs), the same
+    bounded pair source dedup_minhash_pairs / dedup_ngram_jaccard
+    score — earlier rounds blocked on (lang, source) metadata, which
+    is O(block²) with blocks growing linearly in corpus size.
 
-    Scale shape: token sets build map-side; one equi-join on the
-    block key; intersection sizes are array expressions on the
-    joined rows."""
+    Scale shape: one banded pass emits pairs bounded by bucket size;
+    two hash joins attach each side's distinct token set;
+    intersection sizes are array expressions on the joined rows."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
     docs = _t(spark, sf_dir, "documents")
     ws = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(tokens(F.col("text"))).alias("words"),
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("words")
     )
-    a = ws.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "source",
-        F.col("words").alias("words_a"),
-    )
-    b = ws.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
-        F.col("words").alias("words_b"),
-    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
     inter = F.size(F.array_intersect("words_a", "words_b")).cast("double")
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        minhash_candidate_pairs(docs)
+        .join(wa, "doc_a")
+        .join(wb, "doc_b")
         .filter(F.size(F.array_intersect("words_a", "words_b")) > 0)
         .select(
             "doc_a",

@@ -139,52 +139,58 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH grams AS (
-    SELECT doc_id, lang, source,
-           list_distinct(list_transform(
-               generate_series(1, greatest(len(toks) - 2, 1)),
-               i -> toks[i] || ' ' || coalesce(toks[i+1], '') || ' '
-                    || coalesce(toks[i+2], '')
-           )) AS g3
-    FROM (SELECT doc_id, lang, source, {tokens_sql('text')} AS toks
-          FROM documents)
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+grams AS (
+    SELECT doc_id, {word_shingles_sql('toks', k=3)} AS g3
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT p.doc_a, p.doc_b,
        CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)
            / len(list_distinct(list_concat(a.g3, b.g3))) AS jaccard3
-FROM grams a
-JOIN grams b ON a.lang = b.lang AND a.source = b.source
-            AND a.doc_id < b.doc_id
+FROM pairs p
+JOIN grams a ON p.doc_a = a.doc_id
+JOIN grams b ON p.doc_b = b.doc_id
 WHERE len(list_intersect(a.g3, b.g3)) > 0
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard within (lang, source) blocks.  Blocking
-    bounds the pair count; at 100 TB the block key would be a coarse
-    content signature instead of metadata."""
+    """Word-3-gram Jaccard scored over the MinHash-LSH candidate
+    stream (operators.dedup.minhash_candidate_pairs) — the bounded
+    pair source.  Earlier rounds blocked on (lang, source) metadata;
+    that was O(block²) with blocks growing linearly in corpus size
+    (at 100 TB one (en, web) block IS the corpus).  Band buckets
+    bound pair cost by bucket size instead, which the
+    dedup_lsh_bucket_stats histogram monitors.
+
+    Scale shape: one pass builds signatures/bands, bucket explode
+    emits pairs, then two hash joins attach each side's distinct
+    3-gram set; intersection/union are array expressions on the
+    joined rows."""
     from duckdb_hdfs_spark.functions.hashing import tokens, word_shingles
 
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", "lang", "source", word_shingles(tokens(F.col("text")), 3).alias("g3")
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("g3")
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3")))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"))
+    inter = F.size(F.array_intersect("g3_a", "g3_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        minhash_candidate_pairs(docs)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
         .filter(inter > 0)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (
-                inter.cast("double")
-                / F.size(F.array_union(F.col("a.g3"), F.col("b.g3")))
+                inter.cast("double") / F.size(F.array_union("g3_a", "g3_b"))
             ).alias("jaccard3"),
         )
     )

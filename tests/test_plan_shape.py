@@ -85,6 +85,24 @@ def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
     assert plan.count("Location:") == 1, "documents scanned more than once"
 
 
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_containment"])
+def test_pair_scoring_is_bucket_bounded(name, spark, sf_dir):
+    """Pair-scoring ops must draw candidates from the LSH band-bucket
+    explode (an Aggregate over band keys), NOT a metadata-blocked
+    self-join: (lang, source) blocks grow linearly with the corpus, so
+    the old shape was O(block²) — at 100 TB one (en, web) block IS the
+    corpus.  Structural pin: the bucket aggregation is in the plan and
+    no scan reads the metadata columns at all (the joins attach
+    per-doc arrays by doc_id only)."""
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    assert "Aggregate" in plan, f"{name}: no bucket aggregation in plan"
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line, (
+                f"{name}: metadata block key back in a scan: {line.strip()[:160]}"
+            )
+
+
 @pytest.mark.parametrize(
     "name,table",
     [
@@ -153,6 +171,8 @@ def test_q22_threshold_branch_is_pruned(spark, sf_dir):
 _SCAN_BUDGET_EXCEPTIONS = {
     "dedup_minhash_pairs": 3,   # candidates + wordset join per pair side
     "dedup_minhash_est": 3,     # candidates + signature join per pair side
+    "dedup_ngram_jaccard": 3,   # candidates + 3-gram join per pair side
+    "dedup_containment": 3,     # candidates + wordset join per pair side
     "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
     "sim_knn_join": 4,          # corpus + broadcast probes for scoring, plus
                                 # two label-only scans (column-pruned to
