@@ -1,0 +1,110 @@
+"""Distributed global ranking / ntile without a partition-less window.
+
+A global ``ntile(k) OVER (ORDER BY ...)`` funnels the ENTIRE input
+through one window task — the canonical single-reducer scale bug.  The
+two-phase formulation here keeps every stage distributed:
+
+1. **Range-bucket** on the lead order column using ``n_ranges - 1``
+   broadcast approximate quantile bounds.  Bucket assignment is a
+   map-side expression — the count of bounds strictly before the
+   row's value in sort direction, monotone in the sort order — and
+   the assigned frame is materialized with an eager localCheckpoint
+   so every downstream branch reads the SAME buckets exactly once.
+2. **Local rank** with ``row_number`` partitioned BY BUCKET — each
+   window task handles ~1/n_ranges of the rows.
+3. **Offsets**: per-bucket counts over the materialized assignment,
+   prefix totals via a broadcast theta-join over ≤ n_ranges rows,
+   plus the 1-row grand total.  Global rank = offset + local rank.
+4. **ntile arithmetic** from the global rank and total: the first
+   ``n mod k`` tiles take ``n div k + 1`` rows, the rest ``n div k`` —
+   exactly SQL ntile's row allocation, so results hash-match a global
+   window oracle.
+
+Approximate bounds only affect bucket SIZES (load balance), never
+correctness: any monotone bucketing yields the same global rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["distributed_ntile"]
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[tuple[str, str]],
+    out: str,
+    n_buckets: int = 4,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Append ``ntile(n_buckets) OVER (ORDER BY order_cols)`` as
+    column ``out``, computed without any global window or sort.
+
+    ``order_cols``: ``[(column, "asc"|"desc"), ...]``; the FIRST
+    column drives range bucketing, the full list must define a total
+    order (include a unique tiebreaker).  ``df`` is evaluated exactly
+    once (into the checkpointed bucket assignment), so chained calls
+    compose without lineage blow-up.
+    """
+    lead, direction = order_cols[0]
+    desc = direction == "desc"
+
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = df.agg(
+        F.percentile_approx(
+            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__bounds")
+    )
+    before = (
+        (lambda b: b > F.col(lead)) if desc else (lambda b: b < F.col(lead))
+    )
+    # eager checkpoint: the bucket assignment is computed ONCE and
+    # materialized — approximate quantile bounds are partition-order-
+    # sensitive, and the rank branch and the count branch must see
+    # IDENTICAL buckets for offset + local rank to compose into a
+    # correct global rank.  It also pins the whole upstream lineage
+    # to a single evaluation, so chained distributed_ntile calls stay
+    # linear instead of re-deriving each predecessor per branch.
+    bucketed = (
+        df.join(F.broadcast(bounds))
+        .withColumn("__bkt", F.size(F.filter("__bounds", before)))
+        .drop("__bounds")
+        .localCheckpoint(eager=True)
+    )
+
+    order_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
+    ]
+    w = Window.partitionBy("__bkt").orderBy(*order_exprs)
+    local = bucketed.withColumn("__lrk", F.row_number().over(w))
+
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    lower = counts.select(
+        F.col("__bkt").alias("__bkt2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("__bkt2") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+
+    rk = F.col("__off") + F.col("__lrk")
+    q = F.floor(F.col("__n") / n_buckets)
+    r = F.col("__n") % n_buckets
+    big = q + 1
+    tile = F.when(
+        rk <= r * big, F.floor((rk - 1) / big) + 1
+    ).otherwise(
+        # unreachable when q == 0 (then every rk ≤ r·1 = n); the
+        # greatest() guard only keeps the dead branch div-safe
+        r + F.floor((rk - r * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(total))
+        .withColumn(out, tile.cast("bigint"))
+        .drop("__bkt", "__lrk", "__off", "__n")
+    )

@@ -447,15 +447,18 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's latest order day), frequency, monetary (decimal-summed),
     and quartile ranks for each — the classic segmentation panel.
 
-    Determinism: every ntile orders on (metric, o_custkey), so the
-    quartile assignment is total-order stable on both engines; the
-    reference day is a broadcast 1-row aggregate in-plan.  Scale
-    note: the ntile windows are partition-less BY DESIGN — they rank
-    the per-customer AGGREGATE (one row per customer, orders of
-    magnitude smaller than the fact table); at extreme customer
-    counts the two-phase ranked-sample recipe (sample_stratified_topk)
-    is the swap-in."""
-    from pyspark.sql import Window
+    Determinism: every quartile orders on (metric, o_custkey), so the
+    assignment is total-order stable on both engines; the reference
+    day is a broadcast 1-row aggregate in-plan.  Scale shape: the
+    global ntile windows of earlier rounds (one task holding EVERY
+    customer row — 10⁸-10⁹ at 100 TB) are replaced by the two-phase
+    ranked formulation (operators.ranks.distributed_ntile): range
+    buckets from broadcast approx-quantile bounds, per-BUCKET
+    row_number, broadcast prefix offsets, then ntile row-allocation
+    arithmetic — no stage sees more than ~1/32 of the customers.
+    The per-customer aggregate is eagerly checkpointed once so the
+    three metrics' bucket/count branches never re-scan orders."""
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
 
     o = _t(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("ref_day"))
@@ -471,22 +474,23 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("monetary"),
         )
+        .localCheckpoint(eager=True)
     )
-    return agg.select(
+    scored = distributed_ntile(
+        agg, [("recency_days", "asc"), ("o_custkey", "asc")], "r_quartile"
+    )
+    scored = distributed_ntile(
+        scored, [("frequency", "desc"), ("o_custkey", "asc")], "f_quartile"
+    )
+    scored = distributed_ntile(
+        scored, [("monetary", "desc"), ("o_custkey", "asc")], "m_quartile"
+    )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("bigint")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .cast("bigint")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .cast("bigint")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )

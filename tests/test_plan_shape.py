@@ -321,9 +321,6 @@ def test_kmeans_centroids_broadcast(spark, sf_dir):
 #: even at 100 TB input.
 _GLOBAL_WINDOW_EXCEPTIONS: dict[str, str] = {
     "win_running_total": "cumsum over per-day aggregate (~2.4k rows @ any SF)",
-    "orders_rfm_scores": "ntile over the per-customer AGGREGATE (one row "
-    "per customer, not the fact table); extreme customer counts would "
-    "swap in the two-phase ranked-sample recipe",
 }
 
 

@@ -1,0 +1,55 @@
+"""distributed_ntile == global-window ntile, across row-allocation
+edge cases (n mod k = 0..3, n < k, duplicate metric values, desc)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+
+
+def _frame(spark, n: int):
+    # duplicate-heavy metric (id % 7) so range-bucket bounds collide
+    # and ties span would-be bucket edges; id is the unique tiebreak
+    return spark.range(n).select(
+        F.col("id").alias("key"), (F.col("id") % 7).cast("bigint").alias("metric")
+    )
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 5, 6, 7, 103])
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_distributed_ntile_matches_global(spark, n, direction):
+    df = _frame(spark, n)
+    got = {
+        r["key"]: r["t"]
+        for r in distributed_ntile(
+            df, [("metric", direction), ("key", "asc")], "t", n_ranges=4
+        ).collect()
+    }
+    order = (
+        [F.desc("metric"), F.asc("key")]
+        if direction == "desc"
+        else [F.asc("metric"), F.asc("key")]
+    )
+    want = {
+        r["key"]: r["t"]
+        for r in df.select(
+            "key", F.ntile(4).over(Window.orderBy(*order)).cast("bigint").alias("t")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_no_global_window(spark):
+    """Every Window in the plan must be partitioned by the range
+    bucket — the whole point of the operator."""
+    df = distributed_ntile(
+        _frame(spark, 50), [("metric", "asc"), ("key", "asc")], "t"
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        s = line.lstrip(" +-:")
+        if s.startswith("Window "):
+            assert "__bkt" in s, f"global window in plan: {s[:120]}"
