@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_ntile"]
+__all__ = ["distributed_ntile", "grouped_cumsum"]
 
 
 def distributed_ntile(
@@ -107,4 +107,90 @@ def distributed_ntile(
         .join(F.broadcast(total))
         .withColumn(out, tile.cast("bigint"))
         .drop("__bkt", "__lrk", "__off", "__n")
+    )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[tuple[str, str]],
+    val: str,
+    out: str,
+    n_ranges: int = 32,
+    prune_above: int | None = None,
+) -> DataFrame:
+    """Append ``sum(val) OVER (PARTITION BY group_cols ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` as column ``out`` without
+    funneling any group through a single task.
+
+    Same two-phase shape as :func:`distributed_ntile`: range-bucket
+    on the lead order column (bounds shared across groups — bucketing
+    only has to be monotone in the order, not balanced per group),
+    checkpoint the assignment, then
+
+    - per-(group, bucket) value totals → per-group prefix offsets via
+      an equi-keyed theta-join (hash join on the group key, residual
+      ``earlier-bucket`` predicate over ≤ n_ranges buckets);
+    - local cumulative sum windowed by (group, bucket) — each task
+      holds ~1/n_ranges of one group;
+    - global cumsum = bucket offset + local cumsum.
+
+    ``prune_above``: when the caller only keeps rows with cumsum ≤ N
+    (token-budget selection), buckets whose offset already exceeds N
+    are dropped BEFORE the window — the per-row window work is then
+    bounded by the budget, not the corpus.
+    """
+    lead, direction = order_cols[0]
+    desc = direction == "desc"
+
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = df.agg(
+        F.percentile_approx(
+            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__bounds")
+    )
+    before = (
+        (lambda b: b > F.col(lead)) if desc else (lambda b: b < F.col(lead))
+    )
+    bucketed = (
+        df.join(F.broadcast(bounds))
+        .withColumn("__bkt", F.size(F.filter("__bounds", before)))
+        .drop("__bounds")
+        .localCheckpoint(eager=True)
+    )
+
+    totals = bucketed.groupBy(*group_cols, "__bkt").agg(
+        F.sum(val).alias("__tot")
+    )
+    earlier = totals.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        F.col("__bkt").alias("__bkt2"),
+        F.col("__tot").alias("__tot2"),
+    )
+    on = [F.col(f"__g_{g}") == F.col(g) for g in group_cols]
+    offsets = (
+        totals.join(
+            earlier,
+            on=[*on, F.col("__bkt2") < F.col("__bkt")],
+            how="left",
+        )
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).alias("__off"))
+    )
+    if prune_above is not None:
+        offsets = offsets.filter(F.col("__off") <= prune_above)
+
+    order_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
+    ]
+    w = (
+        Window.partitionBy(*group_cols, "__bkt")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(offsets, [*group_cols, "__bkt"])
+        .withColumn("__lcum", F.sum(val).over(w))
+        .withColumn(out, F.col("__off") + F.col("__lcum"))
+        .drop("__bkt", "__off", "__lcum")
     )

@@ -410,11 +410,16 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the ordering key is the ROUNDED quality score, so
     both engines sort identically; token counts are integers, so the
-    running sum is exact.  Scale shape: one shuffle on source for the
-    cumulative window (per-source sequential dependency is inherent
-    to greedy packing); the map side computes tokens/quality, and the
-    kept set is budget-bounded per source."""
-    from pyspark.sql import Window
+    running sum is exact.  Scale shape: the per-source cumulative
+    window of earlier rounds serialized each source's ENTIRE document
+    set through one task (source cardinality ~5, so ~1/5 of a 100 TB
+    corpus per task); now the cumsum runs two-phase
+    (operators.ranks.grouped_cumsum) — quality-range buckets, per-
+    (source, bucket) partial sums, broadcast prefix offsets, bucket-
+    local window — and buckets whose offset already exceeds the
+    budget are pruned BEFORE the window, so window work is bounded by
+    the budget, not the corpus."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -424,13 +429,15 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("ntok"),
         F.round(quality_score(F.col("text"), toks), 4).alias("q"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("q").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        scored.withColumn("cum_tokens", F.sum("ntok").over(w))
+        grouped_cumsum(
+            scored,
+            ["source"],
+            [("q", "desc"), ("doc_id", "asc")],
+            "ntok",
+            "cum_tokens",
+            prune_above=TOKEN_BUDGET,
+        )
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select(
             "source",

@@ -503,6 +503,22 @@ def test_token_entropy_single_scan_two_shuffles(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_token_budget_window_is_bucket_partitioned(spark, sf_dir):
+    """corpus_token_budget's cumulative window must be partitioned by
+    (source, range-bucket), never by source alone — a source-only
+    partition serializes ~1/n_sources of the corpus through one task
+    (source cardinality is ~5 at every SF)."""
+    df = REGISTRY["corpus_token_budget"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [
+        l.lstrip(" +-:") for l in opt.splitlines()
+        if l.lstrip(" +-:").startswith("Window ")
+    ]
+    assert windows, "no Window in plan"
+    for w in windows:
+        assert "__bkt" in w, f"window not bucket-partitioned: {w[:140]}"
+
+
 def test_unigram_logprob_single_corpus_scan_in_plan(spark, sf_dir):
     """text_unigram_logprob's main plan tokenizes the corpus exactly
     once; the vocab + total branches read the checkpointed

@@ -42,6 +42,42 @@ def test_distributed_ntile_matches_global(spark, n, direction):
     assert got == want
 
 
+@pytest.mark.parametrize("prune", [None, 40])
+def test_grouped_cumsum_matches_window(spark, prune):
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("key"),
+        (F.col("id") % 11).cast("bigint").alias("metric"),
+        (F.col("id") % 5 + 1).cast("bigint").alias("v"),
+    )
+    got = {
+        (r["grp"], r["key"]): r["c"]
+        for r in grouped_cumsum(
+            df,
+            ["grp"],
+            [("metric", "desc"), ("key", "asc")],
+            "v",
+            "c",
+            n_ranges=4,
+            prune_above=prune,
+        ).collect()
+        if prune is None or r["c"] <= prune
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("metric"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["grp"], r["key"]): r["c"]
+        for r in df.select("grp", "key", F.sum("v").over(w).alias("c")).collect()
+        if prune is None or r["c"] <= prune
+    }
+    assert got == want
+
+
 def test_distributed_ntile_no_global_window(spark):
     """Every Window in the plan must be partitioned by the range
     bucket — the whole point of the operator."""
