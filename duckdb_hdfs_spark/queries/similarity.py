@@ -11,6 +11,8 @@ assignment — so buckets, candidates, and ranks all hash-match.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -205,6 +207,91 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (PQ_M * PQ_DSUB = DIM)
+PQ_K = 16       # codes per subspace
+
+
+def _pq_dist_sql(m: int) -> str:
+    """DuckDB mirror of the Spark per-subspace squared-L2 fold:
+    sequential left fold over the m-th 8-dim slice, double precision,
+    identical operation order — bit-identical distances."""
+    base = m * PQ_DSUB
+    diff = (
+        f"(CAST(e.embedding[{base} + i] AS DOUBLE)"
+        f" - CAST(c.cent[{base} + i] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {PQ_DSUB}), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+    )
+
+
+def _adc_ctes() -> str:
+    """The ADC CTE chain (codebook sample → per-subspace code argmins
+    → long-form code/table match → per-(probe, vec) ADC sums), shared
+    by the sim_pq_adc_topk oracle and the recall oracle's pq arm.
+    Per-subspace distances round to 9 decimals and sum in DECIMAL
+    (matching the Spark side exactly), so the ADC total is
+    order-independent and engine-exact.  The code/table match is ONE
+    long-form join + group-by — an 8-way join formulation lets the
+    join reorderer cross-multiply the table instances on probe_id
+    (measured: planner blowup)."""
+    dists = ",\n           ".join(
+        f"{_pq_dist_sql(m)} AS d{m}" for m in range(PQ_M)
+    )
+    branches = ",\n".join(
+        f"""b{m} AS (
+    SELECT vec_id, cent_id AS code_{m} FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d{m}, cent_id) AS rn
+        FROM x
+    ) WHERE rn = 1
+)"""
+        for m in range(PQ_M)
+    )
+    code_joins = " ".join(f"JOIN b{m} USING (vec_id)" for m in range(1, PQ_M))
+    codes = ", ".join(f"code_{m}" for m in range(PQ_M))
+    codes_long = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+        for m in range(PQ_M)
+    )
+    pc_long = " UNION ALL ".join(
+        f"SELECT probe_id, cent_id, {m} AS m, "
+        f"CAST(round(d{m}, 9) AS DECIMAL(20, 10)) AS dd FROM pc"
+        for m in range(PQ_M)
+    )
+    return f"""
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS cent
+    FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+),
+x AS (
+    SELECT e.vec_id, c.cent_id,
+           {dists}
+    FROM embeddings e CROSS JOIN cents c
+),
+{branches},
+codes AS (SELECT b0.vec_id, {codes} FROM b0 {code_joins}),
+codes_long AS ({codes_long}),
+pc AS (
+    SELECT e.vec_id AS probe_id, c.cent_id,
+           {dists}
+    FROM embeddings e CROSS JOIN cents c
+    WHERE {_PROBE_FILTER}
+),
+pc_long AS ({pc_long}),
+adc_scored AS (
+    SELECT pl.probe_id, cl.vec_id, sum(pl.dd) AS adc
+    FROM codes_long cl
+    JOIN pc_long pl ON pl.m = cl.m AND pl.cent_id = cl.code
+    WHERE cl.vec_id <> pl.probe_id
+    GROUP BY pl.probe_id, cl.vec_id
+)"""
+
+
 def _recall_oracle() -> str:
     truth = f"""
     SELECT probe_id, vec_id FROM (
@@ -239,6 +326,15 @@ def _recall_oracle() -> str:
 WITH truth AS ({truth}),
 lsh AS ({lsh_top}),
 ivf AS ({ivf_top}),
+{_adc_ctes()},
+pq AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc, vec_id) AS rk
+        FROM adc_scored
+    ) WHERE rk <= 5
+),
 rec_lsh AS (
     SELECT t.probe_id, CAST(count(l.vec_id) AS DOUBLE) / count(*) AS r
     FROM truth t LEFT JOIN lsh l
@@ -250,23 +346,31 @@ rec_ivf AS (
     FROM truth t LEFT JOIN ivf i
       ON t.probe_id = i.probe_id AND t.vec_id = i.vec_id
     GROUP BY t.probe_id
+),
+rec_pq AS (
+    SELECT t.probe_id, CAST(count(p.vec_id) AS DOUBLE) / count(*) AS r
+    FROM truth t LEFT JOIN pq p
+      ON t.probe_id = p.probe_id AND t.vec_id = p.vec_id
+    GROUP BY t.probe_id
 )
 SELECT 'lsh' AS method, count(*) AS n_probes,
        round(avg(r), 4) AS recall_at_5 FROM rec_lsh
 UNION ALL
 SELECT 'ivf' AS method, count(*) AS n_probes,
        round(avg(r), 4) AS recall_at_5 FROM rec_ivf
+UNION ALL
+SELECT 'pq' AS method, count(*) AS n_probes,
+       round(avg(r), 4) AS recall_at_5 FROM rec_pq
 """
 
 
 @query("sim_recall_eval", oracle=_recall_oracle())
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@5 of the LSH and IVF paths
-    against the exact brute-force top-5 — the measurement that
+    """ANN quality evaluation: recall@5 of the LSH, IVF, and PQ/ADC
+    paths against the exact brute-force top-5 — the measurement that
     justifies (or rejects) an approximate index before a 100 TB
-    rollout.  Output: one row per method with mean per-probe recall.
-    Rows-only: composes the rows-only ANN operators; the exact side
-    is oracle-checked separately (sim_bruteforce_topk)."""
+    rollout (an ANN path without a recall number is unfinished).
+    Output: one row per method with mean per-probe recall."""
     from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -310,7 +414,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_ann(probes, emb, n_cells=16, nprobe=2, k=5).localCheckpoint(eager=True),
         "ivf",
     )
-    return lsh.unionByName(ivf)
+    pq = method_recall(_adc_topk(emb).localCheckpoint(eager=True), "pq")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 # --------------------------------------------------------------------------
@@ -415,27 +520,6 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-PQ_M = 8        # subspaces
-PQ_DSUB = 8     # dims per subspace (PQ_M * PQ_DSUB = DIM)
-PQ_K = 16       # codes per subspace
-
-
-def _pq_dist_sql(m: int) -> str:
-    """DuckDB mirror of the Spark per-subspace squared-L2 fold:
-    sequential left fold over the m-th 8-dim slice, double precision,
-    identical operation order — bit-identical distances."""
-    base = m * PQ_DSUB
-    diff = (
-        f"(CAST(e.embedding[{base} + i] AS DOUBLE)"
-        f" - CAST(c.cent[{base} + i] AS DOUBLE))"
-    )
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {PQ_DSUB}), "
-        f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
-    )
-
-
 def _pq_sub_dist(emb_col, cent_col, m: int):
     """Squared L2 over the m-th PQ_DSUB-dim slice — sequential
     zip_with/aggregate fold in double precision (engine-portable)."""
@@ -534,7 +618,10 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("cents"), scorer(m)))
         for m in range(PQ_M)
     ]
-    err = sum(b["d"] for b in bests[1:]) + bests[0]["d"]
+    # left-to-right d0..d7, matching the oracle's left-to-right sum:
+    # float addition is order-dependent, and round(err, 6) can flip a
+    # hash on boundary values if the association differs
+    err = functools.reduce(lambda acc, b: acc + b["d"], bests[1:], bests[0]["d"])
     return base.select(
         "vec_id",
         *[b["cent_id"].alias(f"code_{m}") for m, b in enumerate(bests)],
@@ -544,98 +631,23 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 def _adc_oracle() -> str:
-    """DuckDB mirror of the full ADC path: PQ-encode the corpus
-    (reusing the emb_pq_codes derivation), build per-probe
-    probe-to-centroid distance tables, and sum the entries the codes
-    select.  Per-subspace distances round to 9 decimals and sum in
-    DECIMAL (matching the Spark side exactly), so the ADC total is
-    order-independent and engine-exact.  The code/table match is ONE
-    long-form join + group-by — an 8-way join formulation lets the
-    join reorderer cross-multiply the table instances on probe_id
-    (measured: planner blowup)."""
-    dists = ",\n           ".join(
-        f"{_pq_dist_sql(m)} AS d{m}" for m in range(PQ_M)
-    )
-    branches = ",\n".join(
-        f"""b{m} AS (
-    SELECT vec_id, cent_id AS code_{m} FROM (
-        SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d{m}, cent_id) AS rn
-        FROM x
-    ) WHERE rn = 1
-)"""
-        for m in range(PQ_M)
-    )
-    code_joins = " ".join(f"JOIN b{m} USING (vec_id)" for m in range(1, PQ_M))
-    codes = ", ".join(f"code_{m}" for m in range(PQ_M))
-    codes_long = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
-        for m in range(PQ_M)
-    )
-    pc_long = " UNION ALL ".join(
-        f"SELECT probe_id, cent_id, {m} AS m, "
-        f"CAST(round(d{m}, 9) AS DECIMAL(20, 10)) AS dd FROM pc"
-        for m in range(PQ_M)
-    )
     return f"""
-WITH cents AS (
-    SELECT vec_id AS cent_id, embedding AS cent
-    FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
-),
-x AS (
-    SELECT e.vec_id, c.cent_id,
-           {dists}
-    FROM embeddings e CROSS JOIN cents c
-),
-{branches},
-codes AS (SELECT b0.vec_id, {codes} FROM b0 {code_joins}),
-codes_long AS ({codes_long}),
-pc AS (
-    SELECT e.vec_id AS probe_id, c.cent_id,
-           {dists}
-    FROM embeddings e CROSS JOIN cents c
-    WHERE {_PROBE_FILTER}
-),
-pc_long AS ({pc_long}),
-scored AS (
-    SELECT pl.probe_id, cl.vec_id, sum(pl.dd) AS adc
-    FROM codes_long cl
-    JOIN pc_long pl ON pl.m = cl.m AND pl.cent_id = cl.code
-    WHERE cl.vec_id <> pl.probe_id
-    GROUP BY pl.probe_id, cl.vec_id
-)
+WITH {_adc_ctes()}
 SELECT probe_id, vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rk
 FROM (
     SELECT probe_id, vec_id, adc,
            row_number() OVER (PARTITION BY probe_id
                               ORDER BY adc, vec_id) AS rk
-    FROM scored
+    FROM adc_scored
 ) WHERE rk <= 5
 """
 
 
-@query("sim_pq_adc_topk", oracle=_adc_oracle())
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance (ADC) top-5 per probe over PQ codes — the
-    search path product quantization exists for: each probe computes
-    one 8×16 distance table against the codebook, and every corpus
-    vector's approximate distance is 8 TABLE LOOKUPS on its codes
-    (no float vector is touched at scan time — at 100 TB the scan
-    reads 8-byte codes instead of 256-byte vectors, a 32× I/O cut).
-
-    Scale shape: the probe tables materialize as a tiny DataFrame
-    (probes × codebook rows with the 8 per-subspace distances) and
-    attach to the encoded corpus through 8 BROADCAST hash joins, one
-    per subspace, keyed on that subspace's code — small constant
-    build sides, no giant per-row expressions (a map-lookup
-    formulation was measured to explode Catalyst planning), and no
-    shuffle until the bounded partial top-k merge
-    (operators/similarity._topk_merge).  The ADC sum runs
-    left-to-right m = 0..7 on both engines — deterministic."""
+def _adc_topk(e: DataFrame) -> DataFrame:
+    """ADC top-5 per probe over PQ codes (the sim_pq_adc_topk body,
+    reusable by the recall eval's pq arm).  Returns (probe_id,
+    vec_id, adc_dist, rk)."""
     from duckdb_hdfs_spark.operators.similarity import _topk_merge
-
-    e = _t(spark, sf_dir, "embeddings")
     # the codebook row and the probe tables are TINY (1 row; P x 16
     # rows) but feed many plan branches — eager checkpoints pin them
     # to one computation each, instead of re-deriving the codebook
@@ -710,3 +722,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("cos_sim"), 6).alias("adc_dist"),
         "rk",
     )
+
+
+@query("sim_pq_adc_topk", oracle=_adc_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 per probe over PQ codes — the
+    search path product quantization exists for: each probe computes
+    one 8×16 distance table against the codebook, and every corpus
+    vector's approximate distance is 8 TABLE LOOKUPS on its codes
+    (no float vector is touched at scan time — at 100 TB the scan
+    reads 8-byte codes instead of 256-byte vectors, a 32× I/O cut).
+
+    Scale shape: the probe tables materialize as a tiny DataFrame
+    (probes × codebook rows with the 8 per-subspace distances) and
+    attach to the encoded corpus through 8 BROADCAST hash joins, one
+    per subspace, keyed on that subspace's code — small constant
+    build sides, no giant per-row expressions (a map-lookup
+    formulation was measured to explode Catalyst planning), and no
+    shuffle until the bounded partial top-k merge
+    (operators/similarity._topk_merge).  The ADC sum runs
+    left-to-right m = 0..7 on both engines — deterministic."""
+    return _adc_topk(_t(spark, sf_dir, "embeddings"))
