@@ -33,11 +33,17 @@ def asof_backward(
     Right-side ties on (on, right_ts) must be resolved by the caller
     (e.g. keep max id per key+ts) — like DuckDB's ASOF, this picks an
     arbitrary row otherwise.  ``how='inner'`` drops left rows with no
-    prior right row; ``'left'`` keeps them with null payload.
+    prior right row; ``'left'`` keeps them with null payload.  Match
+    detection rides an explicit ``lit(true)`` marker field inside the
+    payload struct — never a payload column, whose value may be
+    legitimately NULL on a matched row.
     """
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
-    rt = rt.withColumn("__payload", F.struct(*[F.col(c) for c in payload]))
+    rt = rt.withColumn(
+        "__payload",
+        F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),
+    )
 
     left_cols = list(left.columns)
     payload_t = rt.schema["__payload"].dataType
@@ -65,12 +71,12 @@ def asof_backward(
     carried = unioned.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    rows = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        rows = rows.filter(F.col("__match.__m"))
+    return rows.select(
         *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
     )
-    if how == "inner":
-        out = out.filter(F.col(payload[0]).isNotNull())
-    return out
 
 
 def asof_forward(
@@ -89,10 +95,15 @@ def asof_forward(
     union-sort shape: one shuffle, per-key sort, no pair explosion.
     The only difference is the DESCENDING time order, so the carried
     ``last(..., ignorenulls)`` payload is the nearest LATER right row
-    (right still sorts before left at equal ts ⇒ '>=' semantics)."""
+    (right still sorts before left at equal ts ⇒ '>=' semantics).
+    Inner-match detection uses the same ``lit(true)`` marker field as
+    :func:`asof_backward` — robust to NULL payload values."""
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
-    rt = rt.withColumn("__payload", F.struct(*[F.col(c) for c in payload]))
+    rt = rt.withColumn(
+        "__payload",
+        F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),
+    )
 
     left_cols = list(left.columns)
     payload_t = rt.schema["__payload"].dataType
@@ -119,12 +130,12 @@ def asof_forward(
     carried = unioned.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    rows = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        rows = rows.filter(F.col("__match.__m"))
+    return rows.select(
         *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
     )
-    if how == "inner":
-        out = out.filter(F.col(payload[0]).isNotNull())
-    return out
 
 
 def range_join_count(

@@ -318,12 +318,23 @@ def fs_read_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's read_blob.  Unlike the name-only fs ops, content is NOT
     SF-independent, so BOTH sides bind to the same literal sf0.01
     directory (the oracle's read_blob path cannot be parameterized;
-    the driver runs there, and the local sweep reads the same files —
-    the ``sf_dir`` argument is deliberately unused)."""
-    del sf_dir  # bound to the oracle's literal directory (see above)
-    df = spark.read.format("binaryFile").load(
-        "/root/testdata/sf0.01/*.parquet"
+    the driver runs there, and the local sweep reads the same files).
+    A run against a data directory with a DIFFERENT table inventory
+    fails loudly instead of silently comparing the wrong files."""
+    import glob as _glob
+
+    bound = "/root/testdata/sf0.01"
+    want = sorted(os.path.basename(p) for p in _glob.glob(f"{bound}/*.parquet"))
+    got = sorted(
+        os.path.basename(p) for p in _glob.glob(f"{sf_dir.rstrip('/')}/*.parquet")
     )
+    if want != got:
+        raise ValueError(
+            f"fs_read_binary is bound to {bound} (the oracle's read_blob "
+            f"path is a literal); sf_dir={sf_dir} holds a different table "
+            f"inventory: {got} vs {want}"
+        )
+    df = spark.read.format("binaryFile").load(f"{bound}/*.parquet")
     hexstr = F.lower(F.hex(F.col("content")))
     return df.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),

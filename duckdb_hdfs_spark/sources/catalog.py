@@ -64,15 +64,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     # belt-and-braces for externally built sessions where the conf
     # was captured before this call: NTZ → session-tz timestamp is a
-    # wall-clock identity ONLY under a UTC session timezone, so pin
-    # it here too (an externally built session may carry any tz).
+    # wall-clock identity ONLY under a UTC session timezone.  The tz
+    # conf is set just for the cast ANALYSIS (Spark resolves the
+    # cast's timeZoneId eagerly, at withColumn time) and restored —
+    # an externally built session deliberately running in another
+    # timezone keeps its semantics for every other query.
     # Top-level fields only — the test tables are flat; nested NTZ
     # inside struct/array would need a recursive rewrite.
     if any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for field in df.schema.fields:
-        if isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        try:
+            for field in df.schema.fields:
+                if isinstance(field.dataType, TimestampNTZType):
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df
 
 
