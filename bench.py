@@ -55,9 +55,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in bench_queries.items():
-        # best of 2: first run pays plan compile + codegen; steady-state
-        # throughput is what a 100 TB run amortizes to.
-        timings[name] = round(min(run_once(qd) for _ in range(2)), 3)
+        # median of 3: first run pays plan compile + codegen (the
+        # median discards it); a min-of-N kept producing phantom
+        # ±15% round-over-round swings from one lucky run.
+        runs = sorted(run_once(qd) for _ in range(3))
+        timings[name] = round(runs[1], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
