@@ -15,6 +15,8 @@ from duckdb_hdfs_spark.multimodal.decode import (
     N_FEATURES,
     decode_batches,
     decode_image,
+    encode_bmp,
+    encode_ppm,
     fake_decode,
     frame_sample_batches,
     resize_batches,
@@ -28,9 +30,37 @@ def media(spark, sf_dir):
     return with_binary_payload(load_table(spark, sf_dir, "documents")).cache()
 
 
-def test_decode_image_is_gated():
+def test_decode_image_gates_codec_formats():
+    """Compressed formats stay behind NotImplementedError — their
+    codecs are not in this container."""
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+@pytest.mark.parametrize("codec", [encode_bmp, encode_ppm])
+def test_image_roundtrip_exact(codec):
+    """encode → decode recovers every pixel, top-down — exercises
+    BMP's bottom-up row flip, BGR order, and the 18→20-byte padded
+    stride at width 6."""
+    def px(x, y):
+        return ((x * 7 + y) % 256, (y * 31) % 256, (x + y * 11) % 256)
+
+    w, h, rows = decode_image(codec(6, 4, px))
+    assert (w, h) == (6, 4)
+    for y in range(4):
+        for x in range(6):
+            assert rows[y][x] == px(x, y), (x, y)
+
+
+def test_bmp_rejects_unsupported_depth():
+    import struct
+
+    payload = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    struct.pack_into("<H", payload, 28, 8)  # claim 8-bit
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(payload))
 
 
 def test_decode_schema_and_determinism(spark, media):
