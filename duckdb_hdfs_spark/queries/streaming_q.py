@@ -304,6 +304,118 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _rewrite_events_split_late(
+    spark: SparkSession, sf_dir: str, tag: str, late_days: int = 14
+):
+    """Materialize events as THREE parquet files in forced arrival
+    order: the on-time bulk split in two (older half, then recent
+    half), then the ``late_days``-old stragglers — file mtimes are
+    pinned so the file source (oldest-first) replays exactly this
+    order.  THREE on-time-then-late batches, not two, because the
+    late-events filter uses the watermark committed one batch EARLIER
+    than the one a batch's progress row displays (probe-verified:
+    with only two batches the operative late watermark in batch 1 is
+    still the epoch, and nothing drops).  Returns ``src_dir``."""
+    import glob as _glob
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{tag}",
+        os.path.basename(sf_dir),
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr(f"max(ts) - INTERVAL {late_days} DAY").alias("cutoff"),
+        F.expr("max(ts) - INTERVAL 2 DAY").alias("mid"),
+    ).collect()[0]
+    cutoff, mid = row["cutoff"], row["mid"]
+    batches = (
+        ev.filter((F.col("ts") >= F.lit(cutoff)) & (F.col("ts") < F.lit(mid))),
+        ev.filter(F.col("ts") >= F.lit(mid)),
+        ev.filter(F.col("ts") < F.lit(cutoff)),
+    )
+    t0 = 1_700_000_000
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
+        b.repartition(1).write.mode("append").parquet(src)
+        parts = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
+        for p in parts:
+            os.utime(p, (t0 + 60 * i, t0 + 60 * i))
+        seen |= parts
+    return src
+
+
+@query(
+    "streaming_late_event_drops",
+    # the late file arrives after TWO on-time batches have advanced
+    # the operative late-events watermark far past the 14-day-old
+    # stragglers, so the state-store dedup MUST drop every late row:
+    # the observed stateOperators numRowsDroppedByWatermark total
+    # equals the batch count of late rows, and the surviving per-type
+    # counts equal the batch counts over on-time rows only.  Both
+    # sides are plain SQL over the static table.
+    oracle="""
+WITH cut AS (
+    SELECT max(ts) - INTERVAL 14 DAY AS cutoff FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE ts >= cutoff) AS kept_events,
+       (SELECT count(*) FROM events, cut WHERE ts < cutoff)
+           AS dropped_observed
+FROM events, cut
+GROUP BY event_type
+""",
+)
+def streaming_late_event_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting (round 5): the events table is
+    replayed as two on-time micro-batches then a file of 14-day-old
+    stragglers; a 1-day watermark on a state-store dedup
+    (``dropDuplicates`` keyed on the event-time column) drops every
+    straggler in micro-batch 3.  The op emits, per event_type, the
+    SURVIVING row counts from the append sink plus the runtime's
+    OBSERVED ``numRowsDroppedByWatermark`` total (read from
+    StreamingQueryProgress, not recomputed) — checked against batch
+    ground truth by the oracle, so a silent change in drop semantics
+    or a watermark that fails to advance flips the hash.
+
+    Probed semantics this pins (Spark 4.1): windowed AGGREGATION
+    admits late rows into fresh state (no input filtering — only
+    eviction), while deduplication filters input by the late-events
+    watermark, which is the watermark committed one batch before the
+    one the progress row displays — hence the 3-batch replay.
+
+    Scale note: this is the metrics panel a production ingest
+    watches; at 100 TB/day the equivalent is the listener feed — no
+    extra scan."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        dropped_by_watermark,
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    src = _rewrite_events_split_late(spark, sf_dir, tag="latedrop")
+
+    name = f"t_streaming_late_event_drops_{next(_run_counter)}"
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id", "ts"])
+        .select("event_id", "event_type")
+    )
+    progress = run_available_now_to_memory(deduped, name, output_mode="append")
+    dropped = dropped_by_watermark(progress)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("kept_events"),
+            F.lit(dropped).cast("bigint").alias("dropped_observed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 @query(
     "streaming_static_enrich",
     # stream-static joins are stateless (each micro-batch joins the

@@ -234,9 +234,12 @@ def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def run_available_now_to_memory(
     df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
-) -> None:
+) -> list:
     """Drain the current input with an availableNow trigger into an
-    in-memory table ``name`` (tests/backfills)."""
+    in-memory table ``name`` (tests/backfills).  Returns the query's
+    progress records (one dict per micro-batch) so callers can audit
+    runtime metrics — e.g. ``stateOperators[].numRowsDroppedByWatermark``
+    for late-data accounting."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -248,6 +251,17 @@ def run_available_now_to_memory(
     if q.isActive:  # pragma: no cover - guard against hung trigger
         q.stop()
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+    return list(q.recentProgress)
+
+
+def dropped_by_watermark(progress: list) -> int:
+    """Total rows the watermark dropped across a run's micro-batches
+    (summed over every stateful operator's progress metrics)."""
+    return sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+    )
 
 
 def run_available_now_foreach_batch(
