@@ -232,3 +232,90 @@ def cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_snapshot_at",
+    oracle=f"""
+WITH ref AS (
+    SELECT max(o_orderdate) - INTERVAL 365 DAY AS t FROM orders
+),
+log AS (
+    SELECT o_orderkey, o_orderdate AS eff, 'I' AS op,
+           o_orderstatus AS st, o_totalprice AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'U',
+           'U', o_totalprice + 5.0
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, 'D', NULL, NULL
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+state AS (
+    SELECT o_orderkey, op, st, price,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY eff DESC) AS rn
+    FROM log, ref WHERE eff <= t
+)
+SELECT st AS status, count(*) AS n_orders, {{osum}} AS total_price
+FROM state WHERE rn = 1 AND op <> 'D'
+GROUP BY st
+""".format(osum=_osum("price")),
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot reconstruction (round 5): rebuild table
+    state AS OF a past timestamp from a CDC log — the read side of
+    incremental ingest (audits, reproducible training snapshots,
+    "what did the corpus look like when run X trained?").  The log is
+    simulated from orders: an insert at o_orderdate, a re-price
+    UPDATE +30 days for every 4th key, a DELETE tombstone +60 days
+    for every 7th; the snapshot time is one year before the newest
+    order (a broadcast 1-row aggregate, in-plan).
+
+    Reconstruction is the repo's join-free CDC shape: filter the log
+    to eff <= T, keep each key's latest op via ``max_by(struct,
+    eff)`` (ONE hash-aggregate shuffle, map-side partials), survivors
+    are keys whose last op is not a delete.  Effective timestamps are
+    distinct per key by construction, so last-writer-wins is
+    deterministic on both engines."""
+    ods = _t(spark, sf_dir, "orders")
+    ref = ods.agg(F.expr("max(o_orderdate) - INTERVAL 365 DAY").alias("t"))
+    ins = ods.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("eff"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = ods.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("eff"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("st"),
+        (F.col("o_totalprice") + F.lit(5.0)).alias("price"),
+    )
+    dels = ods.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 60 DAY").alias("eff"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    last = (
+        ins.unionByName(upd)
+        .unionByName(dels)
+        .join(F.broadcast(ref))
+        .filter(F.col("eff") <= F.col("t"))
+        .groupBy("o_orderkey")
+        .agg(F.max_by(F.struct("op", "st", "price"), F.col("eff")).alias("r"))
+        .select("o_orderkey", "r.*")
+    )
+    return (
+        last.filter(F.col("op") != "D")
+        .groupBy(F.col("st").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("price")).alias("total_price"),
+        )
+    )

@@ -573,3 +573,54 @@ def ev_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_user_decile",
+    # single-window oracle is the semantic spec; the Spark side runs
+    # the two-phase distributed ntile (operators/ranks.py), which is
+    # allocation-identical to SQL ntile by construction.
+    oracle="""
+WITH agg AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, sum_value,
+       ntile(10) OVER (ORDER BY n_events DESC, user_id) AS activity_decile
+FROM agg
+""",
+)
+def ev_user_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity deciles (round 5): aggregate each user's
+    event count + decimal-summed value, then rank into 10 activity
+    tiers — the engagement-segmentation panel (power-user cut-offs,
+    cohort weighting).
+
+    Scale shape: the decile runs through the two-phase distributed
+    ntile (operators.ranks.distributed_ntile — range buckets from
+    broadcast approx-quantile bounds, per-bucket row_number,
+    broadcast prefix offsets), so no task ever holds the full user
+    census; the per-user aggregate is one partial-aggregated
+    shuffle."""
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return distributed_ntile(
+        agg,
+        [("n_events", "desc"), ("user_id", "asc")],
+        "activity_decile",
+        n_buckets=10,
+    ).select("user_id", "n_events", "sum_value", "activity_decile")

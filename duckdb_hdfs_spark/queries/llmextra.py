@@ -1013,3 +1013,193 @@ def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("j"),
         (F.abs(F.col("g") - ident) <= 1e-6).alias("cov_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+JL_K = 16   # projected dims
+JL_D = 64   # embedding dims
+
+
+def _jl_signs() -> list[list[float]]:
+    """±1 Johnson-Lindenstrauss sign matrix seeded from md5("jl-j-i")
+    — data-independent constants computed once and inlined as
+    LITERALS in both the Spark plan and the oracle SQL (the
+    MINHASH_A/B pattern: any fixed matrix works; hardcoding the same
+    one makes the engines agree bit-for-bit)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(JL_D)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    from duckdb_hdfs_spark.functions.vectors import dot_sql
+
+    signs = _jl_signs()
+    projs = ",\n           ".join(
+        f"{dot_sql('embedding', '[' + ', '.join(str(s) for s in row) + ']')} AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    norm2 = " + ".join(f"p{j} * p{j}" for j in range(JL_K))
+    return f"""
+WITH p AS (
+    SELECT label, {dot_sql('embedding', 'embedding')} AS n2,
+           {projs}
+    FROM embeddings
+),
+r AS (
+    SELECT label, round((({norm2}) / {JL_K}.0) / n2, 6) AS ratio FROM p
+)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(ratio AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6)
+           AS mean_ratio,
+       min(ratio) AS min_ratio,
+       max(ratio) AS max_ratio
+FROM r GROUP BY label
+"""
+
+
+@query("emb_jl_project", oracle=_jl_oracle())
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    ±1 sign matrix (round 5) — the cheap dimensionality cut before
+    LSH/clustering when PQ is too lossy: a ±1 projection needs no
+    floats in the matrix, is branch-free, and preserves norms within
+    1/√k distortion.  The audit output is per-label norm-distortion
+    statistics: ratio = (‖proj‖²/k) / ‖x‖², whose expectation is 1
+    for any JL family — a drifting mean flags a broken matrix.
+
+    Scale shape: the sign matrix is 16×64 LITERALS compiled into the
+    projection expressions — fully map-side, zero shuffles before
+    the bounded per-label aggregate; every fold is sequential
+    double-precision, so ratios hash-match the oracle exactly."""
+    import functools
+
+    from duckdb_hdfs_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    projs = [
+        dot(F.col("embedding"), F.array(*[F.lit(s) for s in row])).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    base = e.select(
+        "label", dot(F.col("embedding"), F.col("embedding")).alias("n2"), *projs
+    )
+    # left-to-right j = 0..15, matching the oracle's + chain
+    norm2 = functools.reduce(
+        lambda acc, j: acc + F.col(f"p{j}") * F.col(f"p{j}"),
+        range(1, JL_K),
+        F.col("p0") * F.col("p0"),
+    )
+    ratio = F.round((norm2 / float(JL_K)) / F.col("n2"), 6)
+    return (
+        base.select("label", ratio.alias("ratio"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def _cohesion_oracle() -> str:
+    sq = (
+        "(CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
+    )
+    return f"""
+WITH dims AS (
+    SELECT label, gs.i AS i,
+           CAST(sum(CAST(CAST(embedding[gs.i] AS DOUBLE) AS DECIMAL(20,10)))
+                AS DOUBLE) / count(*) AS c
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) gs
+    GROUP BY label, gs.i
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label),
+d AS (
+    SELECT e.label,
+           round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 64), i -> {sq})),
+               (acc, x) -> acc + x)), 6) AS dist
+    FROM embeddings e JOIN cent ON e.label = cent.label
+)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6)
+           AS mean_dist,
+       min(dist) AS min_dist,
+       max(dist) AS max_dist
+FROM d GROUP BY label
+"""
+
+
+@query("emb_label_centroid_cohesion", oracle=_cohesion_oracle())
+def emb_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster cohesion (round 5): each label's centroid
+    (per-dimension mean) and the distribution of member distances to
+    it — the compactness half of a silhouette/Davies-Bouldin audit,
+    the index-health panel before trusting label-filtered ANN.
+
+    Determinism: centroid means accumulate in DECIMAL (exact,
+    order-independent) from double-cast floats, so centroids are
+    bit-identical across engines; distances are sequential folds,
+    rounded before the (again decimal) mean.
+
+    Scale shape: one posexplode shuffle builds the (labels × 64)
+    centroid matrix — output size independent of corpus — which then
+    BROADCASTS back onto the corpus for a map-side distance fold;
+    the final per-label rollup is a second bounded aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("cent"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dist = F.round(
+        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)), 6
+    )
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+    )
