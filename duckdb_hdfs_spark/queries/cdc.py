@@ -319,3 +319,95 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("price")).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_incremental_agg",
+    # the oracle recomputes the aggregate from the fully merged state
+    # — the incremental path must land on EXACTLY that (decimal
+    # arithmetic is associative, so base + delta == recompute).
+    oracle=f"""
+WITH snap AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS pri
+    FROM orders WHERE o_orderkey % 3 <> 0
+), batch AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice, 1 AS pri
+    FROM orders WHERE o_orderkey % 5 = 0
+), merged AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM batch)
+)
+SELECT o_orderstatus AS status, count(*) AS n_orders,
+       {{osum}} AS total_price
+FROM merged WHERE rn = 1
+GROUP BY status
+""".format(osum=_osum("o_totalprice")),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (round 5): keep a per-status
+    rollup current under a CDC batch WITHOUT rescanning the snapshot
+    — the materialized-view-maintenance pattern that turns a 100 TB
+    nightly recompute into work proportional to the BATCH.  The
+    change feed carries before/after images (as real CDC feeds do),
+    so the delta is derived purely from the batch: every change adds
+    its after-image under the new status and, when it replaces an
+    existing key, subtracts the before-image from the old status.
+
+    Scale shape: the base aggregate is the stored rollup (derived
+    here from one snapshot scan, since there is no persisted state
+    between driver runs); the delta is one scan of the BATCH with a
+    per-row 1-or-2 element explode, partial-aggregated to the tiny
+    (status) grain; the merge is a broadcast-size outer join of two
+    status-grain frames.  All sums accumulate in DECIMAL — exact and
+    associative, so base + delta lands bit-identically on the full
+    recompute the oracle performs."""
+    ods = _t(spark, sf_dir, "orders")
+    snap = ods.filter(F.col("o_orderkey") % 3 != 0)
+    base = snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+    )
+    batch = ods.filter(F.col("o_orderkey") % 5 == 0)
+    # after-image always adds; before-image subtracts iff the key
+    # exists in the snapshot (o_orderkey % 3 != 0)
+    changes = F.filter(
+        F.array(
+            F.struct(
+                F.lit("U").alias("status"),
+                F.lit(1).cast("bigint").alias("dn"),
+                (F.col("o_totalprice") + F.lit(10.0))
+                .cast("decimal(18,6)")
+                .alias("ds"),
+            ),
+            F.when(
+                F.col("o_orderkey") % 3 != 0,
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.lit(-1).cast("bigint").alias("dn"),
+                    (-F.col("o_totalprice")).cast("decimal(18,6)").alias("ds"),
+                ),
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    delta = (
+        batch.select(F.explode(changes).alias("c"))
+        .groupBy(F.col("c.status").alias("status"))
+        .agg(F.sum("c.dn").alias("dn"), F.sum("c.ds").alias("ds"))
+    )
+    merged = base.join(delta, "status", "full_outer").select(
+        "status",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+    return merged.filter(F.col("n_orders") > 0)

@@ -237,3 +237,49 @@ def sql_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(emb, lambda x: F.abs(x) > 2.0).alias("any_extreme"),
         F.forall(emb, lambda x: F.abs(x) < 1e6).alias("all_finite"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_math_funcs",
+    # IEEE-754-exact operations only: abs/sign/floor/ceil/
+    # round, sqrt (correctly rounded per IEEE), integer power,
+    # modulo, greatest/least — no libm transcendentals (exp/ln/sin
+    # differ in the last ulp across libm builds; the repo-wide rule,
+    # cf. time_decay_engagement).
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 1000.0) AS abs_diff,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+       CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(power(1.0 + l_discount, 3), 10) AS disc_cubed,
+       l_orderkey % 97 AS key_mod97,
+       greatest(l_quantity, 25.0) AS qty_hi,
+       least(l_tax, l_discount) AS tax_disc_lo
+FROM lineitem
+""",
+)
+def sql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar-function class (round 5): abs / sign / floor /
+    ceil / round / sqrt / integer power / modulo / greatest /
+    least over lineitem measures — the arithmetic surface DuckDB
+    serves over HDFS data, pinned per function.  Every op is
+    IEEE-exact (sqrt is correctly rounded; power with an integer
+    exponent is repeated multiplication on both engines), so results
+    hash-match with no tolerance.  Map-only: zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("bigint").alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 10).alias("disc_cubed"),
+        (F.col("l_orderkey") % 97).alias("key_mod97"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("tax_disc_lo"),
+    )
