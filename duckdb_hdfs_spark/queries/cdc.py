@@ -281,30 +281,44 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on both engines."""
     ods = _t(spark, sf_dir, "orders")
     ref = ods.agg(F.expr("max(o_orderdate) - INTERVAL 365 DAY").alias("t"))
-    ins = ods.select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("eff"),
-        F.lit("I").alias("op"),
-        F.col("o_orderstatus").alias("st"),
-        F.col("o_totalprice").alias("price"),
+    # ONE scan builds every log version: per order, an array of up to
+    # 3 op structs (insert always; update / tombstone per key class),
+    # null-filtered and exploded — a 3-leg union would scan orders 3x
+    entry = lambda eff, op, st, price: F.struct(  # noqa: E731
+        eff.alias("eff"), op.alias("op"), st.alias("st"), price.alias("price")
     )
-    upd = ods.filter(F.col("o_orderkey") % 4 == 0).select(
-        "o_orderkey",
-        F.expr("o_orderdate + INTERVAL 30 DAY").alias("eff"),
-        F.lit("U").alias("op"),
-        F.lit("U").alias("st"),
-        (F.col("o_totalprice") + F.lit(5.0)).alias("price"),
-    )
-    dels = ods.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.expr("o_orderdate + INTERVAL 60 DAY").alias("eff"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("string").alias("st"),
-        F.lit(None).cast("double").alias("price"),
+    versions = F.filter(
+        F.array(
+            entry(
+                F.col("o_orderdate"),
+                F.lit("I"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+            ),
+            F.when(
+                F.col("o_orderkey") % 4 == 0,
+                entry(
+                    F.expr("o_orderdate + INTERVAL 30 DAY"),
+                    F.lit("U"),
+                    F.lit("U"),
+                    F.col("o_totalprice") + F.lit(5.0),
+                ),
+            ),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                entry(
+                    F.expr("o_orderdate + INTERVAL 60 DAY"),
+                    F.lit("D"),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("double"),
+                ),
+            ),
+        ),
+        lambda c: c.isNotNull(),
     )
     last = (
-        ins.unionByName(upd)
-        .unionByName(dels)
+        ods.select("o_orderkey", F.explode(versions).alias("v"))
+        .select("o_orderkey", "v.*")
         .join(F.broadcast(ref))
         .filter(F.col("eff") <= F.col("t"))
         .groupBy("o_orderkey")

@@ -72,18 +72,31 @@ FROM daily
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue by day.  The running sum runs over DECIMAL
     so segment-tree (DuckDB) vs sequential (Spark) evaluation cannot
-    diverge.  Scale: the window is unpartitioned — fine here because
-    it runs over the *daily* aggregate (O(days) rows), never over the
-    raw fact table."""
+    diverge — and DECIMAL addition is associative, which is what lets
+    the cumsum distribute.  Scale: earlier rounds ran one global
+    window over the daily aggregate (justified at O(days) rows, but
+    still a single task); round 5 routes it through the two-phase
+    distributed cumsum (operators.ranks.grouped_cumsum with an empty
+    group — date-range buckets, per-bucket partials, broadcast prefix
+    offsets), so even a date-grain blowup (minute grain, multi-decade
+    retention) never funnels one task."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("order_day")).agg(
         _dsum(F.col("o_totalprice")).cast("decimal(38,2)").alias("daily_rev")
     )
-    w = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
+    cum = grouped_cumsum(
+        daily.withColumn("__ord", F.unix_micros("order_day")),
+        [],
+        [("__ord", "asc")],
+        "daily_rev",
+        "running_rev",
+    )
+    return cum.select(
         "order_day",
         F.col("daily_rev").cast("double").alias("daily_rev"),
-        F.sum("daily_rev").over(w).cast("double").alias("running_rev"),
+        F.col("running_rev").cast("double").alias("running_rev"),
     )
 
 

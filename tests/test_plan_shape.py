@@ -315,13 +315,11 @@ def test_kmeans_centroids_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-#: queries allowed a global (partition-less) Window, each justified:
-#: the window runs over a PRE-AGGREGATED tiny frame (cardinality =
-#: group count, not row count), so one task holds a few thousand rows
-#: even at 100 TB input.
-_GLOBAL_WINDOW_EXCEPTIONS: dict[str, str] = {
-    "win_running_total": "cumsum over per-day aggregate (~2.4k rows @ any SF)",
-}
+#: queries allowed a global (partition-less) Window, each justified.
+#: EMPTY since round 5: the last two holdouts (orders_rfm_scores'
+#: ntile, win_running_total's cumsum) now run through the two-phase
+#: distributed formulations in operators/ranks.py.
+_GLOBAL_WINDOW_EXCEPTIONS: dict[str, str] = {}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -501,6 +499,34 @@ def test_token_entropy_single_scan_two_shuffles(spark, sf_dir):
     assert plan.count("Location:") == 1
     assert _exchange_nodes(plan) <= 2
     assert "Join" not in plan
+
+
+def test_jl_projection_is_single_scan_no_join(spark, sf_dir):
+    """emb_jl_project compiles the 16×64 sign matrix into literal
+    map-side folds: one embeddings scan, no join, only the bounded
+    per-label aggregate shuffle."""
+    plan = plan_of(REGISTRY["emb_jl_project"].spark(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Location:") == 1
+    assert _exchange_nodes(plan) == 1
+
+
+def test_centroid_cohesion_broadcasts_centroids(spark, sf_dir):
+    """The (labels × 64) centroid matrix must broadcast back onto the
+    corpus — a shuffle join would move the corpus to meet a
+    KB-sized build side."""
+    plan = plan_of(REGISTRY["emb_label_centroid_cohesion"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_at_is_join_free(spark, sf_dir):
+    """cdc_snapshot_at reconstructs state via union + max_by — no
+    equi-join of log against snapshot; the only join is the 1-row
+    broadcast snapshot-time reference."""
+    plan = plan_of(REGISTRY["cdc_snapshot_at"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final max_by
 
 
 def test_token_budget_window_is_bucket_partitioned(spark, sf_dir):
