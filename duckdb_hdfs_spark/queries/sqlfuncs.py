@@ -283,3 +283,192 @@ def sql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
         F.least(F.col("l_tax"), F.col("l_discount")).alias("tax_disc_lo"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_filtered_aggs",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  FILTER (WHERE o_totalprice > 1000), 2) AS DOUBLE)
+           AS big_total,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'P') AS any_pending
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregate class (round 5): conditional count /
+    sum plus bool_and / bool_or — DuckDB's ``agg(...) FILTER
+    (WHERE ...)`` surface, which Spark expresses as aggregates over
+    CASE-null inputs (nulls are skipped by every SQL aggregate, so
+    the semantics coincide).  Decimal discipline on the filtered sum
+    keeps it order-independent.  One partial-aggregated shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 1000,
+                    F.col("o_totalprice").cast("decimal(18,6)"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("big_total"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_bit_funcs",
+    oracle="""
+SELECT e.event_id,
+       e.event_id & 255 AS low_byte,
+       e.event_id | 4096 AS with_flag,
+       xor(e.event_id, e.user_id) AS key_xor,
+       e.user_id << 4 AS shifted_up,
+       e.event_id >> 2 AS shifted_down,
+       CAST(bit_count(e.event_id) AS BIGINT) AS popcount
+FROM events e
+""",
+)
+def sql_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-operator class (round 5): AND / OR / XOR / shifts /
+    popcount over 64-bit keys — integer-exact on both engines (the
+    operators behind hash partitioners, bloom probes, and the
+    simhash/Z-order ops elsewhere in the repo).  Map-only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ user_id").alias("key_xor"),
+        F.expr("shiftleft(user_id, 4)").alias("shifted_up"),
+        F.expr("shiftright(event_id, 2)").alias("shifted_down"),
+        F.bit_count("event_id").cast("bigint").alias("popcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_pattern_match",
+    oracle="""
+SELECT p_partkey,
+       p_name LIKE '%green%' AS has_green,
+       lower(p_type) LIKE 'promo%' AS is_promo_ci,
+       regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+       starts_with(p_type, 'PROMO') AS starts_promo,
+       CASE WHEN p_name LIKE '%red%' THEN 'red'
+            WHEN p_name LIKE '%blue%' THEN 'blue'
+            ELSE 'other' END AS color_class,
+       contains(p_brand, '#3') AS brand_3x
+FROM part
+""",
+)
+def sql_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-matching class (round 5): LIKE, case-insensitive LIKE
+    (the ILIKE lowering), regexp boolean match, starts_with /
+    contains, and a LIKE-driven CASE ladder — the predicate surface
+    q9/q14/q16-style queries push into scans.  Map-only."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.lower(F.col("p_type")).like("promo%").alias("is_promo_ci"),
+        F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_word"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("starts_promo"),
+        F.when(F.col("p_name").like("%red%"), "red")
+        .when(F.col("p_name").like("%blue%"), "blue")
+        .otherwise("other")
+        .alias("color_class"),
+        F.contains(F.col("p_brand"), F.lit("#3")).alias("brand_3x"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_string_agg",
+    oracle="""
+SELECT c_nationkey,
+       count(*) AS n_custs,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment, c_custkey)
+           AS segments_csv,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+           AS distinct_segments
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-aggregation class (round 5): ordered ``string_agg`` /
+    LISTAGG — Spark lowers it to collect_list → sort → array_join
+    (ordering makes the concatenation deterministic; an unordered
+    string_agg is engine-arbitrary and can never hash-match).
+    Ties sort by the unique c_custkey.  One shuffle; the per-group
+    string is bounded by group size — at 100 TB cap it with a
+    slice() or switch to a sample."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("c_mktsegment", "c_custkey"))
+                ),
+                lambda s: s["c_mktsegment"],
+            ),
+            ",",
+        ).alias("segments_csv"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "|").alias(
+            "distinct_segments"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_nested_types",
+    oracle="""
+SELECT o_orderkey,
+       {'status': o_orderstatus,
+        'price': round(CAST(o_totalprice AS DECIMAL(18,6)), 2)}.status
+           AS s_status,
+       CAST({'status': o_orderstatus,
+             'price': round(CAST(o_totalprice AS DECIMAL(18,6)), 2)}.price
+            AS DOUBLE) AS s_price,
+       map_extract(MAP {'pri': o_orderpriority, 'st': o_orderstatus},
+                   'pri')[1] AS m_priority,
+       cardinality(MAP {'pri': o_orderpriority, 'st': o_orderstatus}) AS m_size
+FROM orders
+""",
+)
+def sql_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type class (round 5): struct construction + field
+    access and map construction + key lookup + cardinality — the
+    composite-type surface DuckDB serves (STRUCT/MAP literals) next
+    to the ARRAY class covered by sql_array_funcs.  Map-only."""
+    o = _t(spark, sf_dir, "orders")
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2).alias("price"),
+    )
+    mp = F.create_map(
+        F.lit("pri"), F.col("o_orderpriority"), F.lit("st"), F.col("o_orderstatus")
+    )
+    return o.select(
+        "o_orderkey",
+        st["status"].alias("s_status"),
+        st["price"].cast("double").alias("s_price"),
+        F.element_at(mp, "pri").alias("m_priority"),
+        F.size(mp).cast("bigint").alias("m_size"),
+    )
