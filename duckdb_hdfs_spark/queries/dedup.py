@@ -463,3 +463,50 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("band_idx").cast("bigint").alias("band_idx"), "bucket_size")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cc_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT sz AS cluster_size, count(*) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+GROUP BY sz
+""",
+)
+def dedup_cc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (round 5): the release metric
+    on top of transitive clustering — how much of the corpus sits in
+    2-doc pairs vs boilerplate mega-clusters (a fat cluster is where
+    keep-one dedup deletes the most and where a bad LSH threshold
+    shows first).  Reuses the pointer-jumping connected components;
+    two bounded aggregates collapse clusters to sizes to the
+    histogram."""
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+
+    pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+    clusters = connected_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

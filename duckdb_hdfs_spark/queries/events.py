@@ -624,3 +624,47 @@ def ev_user_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "activity_decile",
         n_buckets=10,
     ).select("user_id", "n_events", "sum_value", "activity_decile")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_burst_flags",
+    oracle="""
+WITH winct AS (
+    SELECT user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+               AS w5m
+    FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       max(w5m) AS peak_5min,
+       max(w5m) >= 3 AS burst_flag
+FROM winct GROUP BY user_id
+""",
+)
+def ev_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / bot detection (round 5): each user's PEAK event count
+    within any trailing 5-minute window, flagged at >= 3 — the rate
+    panel behind abuse throttles and scraper filters.  The RANGE
+    frame runs on epoch microseconds so frame edges are integer-exact
+    on both engines.
+
+    Scale shape: one shuffle on user_id serves both the window and
+    the per-user rollup (same partitioning, Spark reuses the sort);
+    frame state is bounded by the 5-minute span, not user history."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 0)
+    )
+    return (
+        ev.withColumn("w5m", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("w5m").alias("peak_5min"),
+            (F.max("w5m") >= 3).alias("burst_flag"),
+        )
+    )
