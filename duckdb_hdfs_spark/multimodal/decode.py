@@ -376,3 +376,126 @@ def frame_sample_batches(media: DataFrame, max_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(sample, FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+def encode_wav(sample_rate: int, samples: list) -> bytes:
+    """Minimal RIFF/WAVE writer: mono 16-bit PCM, with a junk LIST
+    chunk between fmt and data so parsers must actually chunk-walk."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    lst = b"INFOjunk"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(lst)) + lst
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> tuple[int, list]:
+    """Real audio decode path — pure-Python RIFF/WAVE parser for
+    mono 16-bit PCM (chunk-walks past non-data chunks).  Returns
+    ``(sample_rate, samples)``.  Compressed codecs (MP3/AAC/...)
+    raise NotImplementedError — not in this container."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container; supported: RIFF/WAVE 16-bit PCM"
+        )
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM supported (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = [
+                struct.unpack_from("<h", body, 2 * i)[0]
+                for i in range(len(body) // 2)
+            ]
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    return rate, samples
+
+
+#: decoded real-audio panel schema
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_amp", LongType()),
+        StructField("first_sample", LongType()),
+        StructField("mean_abs", DoubleType()),
+    ]
+)
+
+WAV_RATE = 8000
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(amplitude, n_samples) from md5(doc_id) — oracle-portable."""
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return 100 + int(h[0:2], 16) * 100, 64 + int(h[2:4], 16) % 64
+
+
+def synth_wav_batches(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE files per document: a ±A square wave
+    (A and length from md5(doc_id)), written through encode_wav —
+    including the junk LIST chunk, so the parser must chunk-walk."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp, n = _wav_params(doc_id)
+                wave = [amp if i % 2 == 0 else -amp for i in range(n)]
+                ids.append(doc_id)
+                types.append("audio/wav")
+                payloads.append(encode_wav(WAV_RATE, wave))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, SYNTH_MEDIA_SCHEMA)
+
+
+def wav_decode_batches(media: DataFrame) -> DataFrame:
+    """Decode REAL WAV bytes (decode_audio) into a per-item panel:
+    rate, length, peak, first sample (sign-sensitive — catches an
+    endianness bug), and mean |amplitude| (exact integer math)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples",
+                "peak_amp", "first_sample", "mean_abs",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_audio(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["peak_amp"].append(max(samples))
+                out["first_sample"].append(samples[0])
+                out["mean_abs"].append(
+                    sum(abs(s) for s in samples) / len(samples)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dec, WAV_DECODED_SCHEMA)

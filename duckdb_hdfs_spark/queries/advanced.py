@@ -494,3 +494,72 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_quartile",
         "m_quartile",
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_pareto_deciles",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DECIMAL(38,2)) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+tiered AS (
+    SELECT monetary,
+           ntile(10) OVER (ORDER BY monetary DESC, o_custkey) AS spend_decile
+    FROM spend
+)
+SELECT spend_decile, count(*) AS n_customers,
+       CAST(sum(monetary) AS DOUBLE) AS decile_revenue,
+       round(CAST(sum(monetary) AS DOUBLE)
+             / (SELECT CAST(sum(monetary) AS DOUBLE) FROM spend), 6)
+           AS revenue_share
+FROM tiered GROUP BY spend_decile
+""",
+)
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) panel (round 5): customers
+    ranked into spend deciles, each decile's revenue and share of the
+    grand total — the 80/20 analysis behind sampling weights and
+    account tiering.  Spend sums are DECIMAL end to end, so decile
+    totals and the grand total are order-independent and exact.
+
+    Scale shape: per-customer aggregate (one shuffle, checkpointed),
+    two-phase distributed ntile for the decile (no global window),
+    bounded 10-row rollup, and the grand total attached as a 1-row
+    broadcast aggregate over the same checkpointed frame — orders is
+    scanned ONCE."""
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("decimal(38,2)")
+            .alias("monetary")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tiered = distributed_ntile(
+        spend, [("monetary", "desc"), ("o_custkey", "asc")], "spend_decile", 10
+    )
+    total = spend.agg(F.sum("monetary").cast("double").alias("grand"))
+    return (
+        tiered.groupBy("spend_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("decile_revenue"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "spend_decile",
+            "n_customers",
+            "decile_revenue",
+            F.round(F.col("decile_revenue") / F.col("grand"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )

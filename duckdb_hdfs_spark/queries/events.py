@@ -668,3 +668,49 @@ def ev_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("w5m") >= 3).alias("burst_flag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_cumulative_users",
+    oracle="""
+WITH first_day AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events
+    GROUP BY user_id
+),
+daily AS (SELECT d0 AS day, count(*) AS new_users FROM first_day GROUP BY d0)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM daily
+""",
+)
+def ev_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth curve (round 5): the audience
+    panel every product dashboard opens with.  A naive per-day
+    COUNT(DISTINCT user WHERE ts <= day) rescans history per day; the
+    linear formulation counts each user once at their FIRST-seen day
+    and cumulative-sums the per-day new-user counts — first-appearance
+    + prefix sum, both distributed.
+
+    Scale shape: one shuffle for min-day per user (partial-aggregated),
+    one for the per-day rollup, then the two-phase distributed cumsum
+    (operators.ranks.grouped_cumsum, empty group) over the day grain —
+    no global window, no per-day history rescans."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d0")
+    )
+    daily = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    cum = grouped_cumsum(
+        daily.withColumn("__ord", F.unix_micros("day")),
+        [],
+        [("__ord", "asc")],
+        "new_users",
+        "cumulative_users",
+    )
+    return cum.select("day", "new_users", "cumulative_users")

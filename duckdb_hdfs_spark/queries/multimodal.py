@@ -166,3 +166,45 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.min("frame_md5").alias("first_frame_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_decode_wav",
+    # the synthesized waves are analytic: a ±A square wave with
+    # A = 100 + 100·(first md5 byte) and n = 64 + (second byte mod
+    # 64) samples at 8 kHz — so peak == first_sample == mean|s| == A
+    # and every field derives from md5(doc_id) in plain SQL.
+    oracle="""
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       64 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 64
+           AS n_samples,
+       100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT * 100
+           AS peak_amp,
+       100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT * 100
+           AS first_sample,
+       CAST(100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+            * 100 AS DOUBLE) AS mean_abs
+FROM documents
+""",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (round 5): synthesize an actual
+    RIFF/WAVE file per document (mono 16-bit PCM square wave, with a
+    junk LIST chunk so the parser must chunk-walk), then parse the
+    BYTES back (multimodal/decode.py:decode_audio) and emit a
+    per-item panel — rate, length, peak, first sample (a
+    little-endian bug flips its sign), mean |amplitude|.  The audio
+    sibling of mm_decode_real; compressed codecs stay behind
+    NotImplementedError.
+
+    Scale shape: two chained Arrow-batched mapInPandas stages, zero
+    shuffles."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        synth_wav_batches,
+        wav_decode_batches,
+    )
+
+    media = synth_wav_batches(_t(spark, sf_dir, "documents"))
+    return wav_decode_batches(media)

@@ -54,6 +54,16 @@ def test_image_roundtrip_exact(codec):
             assert rows[y][x] == px(x, y), (x, y)
 
 
+def test_wav_roundtrip_exact():
+    from duckdb_hdfs_spark.multimodal.decode import decode_audio, encode_wav
+
+    wave = [0, 1, -1, 32767, -32768, 100, -100]
+    rate, samples = decode_audio(encode_wav(8000, wave))
+    assert rate == 8000 and samples == wave
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04...mp3 frames")
+
+
 def test_bmp_rejects_unsupported_depth():
     import struct
 
