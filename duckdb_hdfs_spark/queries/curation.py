@@ -447,3 +447,43 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH hs AS (
+    SELECT DISTINCT
+           md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS h,
+           source
+    FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_heads
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY source_a, source_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (round 5): for every source
+    pair, how many distinct document HEADS (first-8-token prefix
+    hash, the dedup_prefix_groups fingerprint) appear in BOTH — the
+    provenance panel that catches one crawl re-packaging another or
+    shared boilerplate spanning feeds (cross-source dups silently
+    inflate dataset-mixing weights).
+
+    Scale shape: distinct (hash, source) pairs collapse the corpus
+    to its fingerprint inventory first (partial-aggregated); the
+    pair join is keyed on the 16-byte hash, bounded per hash by
+    source multiplicity (≤ n_sources), never by corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.array_join(F.slice(tokens(F.col("text")), 1, 8), " "))
+    hs = docs.select(h.alias("h"), "source").distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select(F.col("h").alias("h2"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_heads"))
+    )

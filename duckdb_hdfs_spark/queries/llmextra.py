@@ -1203,3 +1203,64 @@ def emb_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dist").alias("max_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _separation_oracle() -> str:
+    from duckdb_hdfs_spark.functions.vectors import cosine_sql
+
+    return f"""
+WITH dims AS (
+    SELECT label, gs.i AS i,
+           CAST(sum(CAST(CAST(embedding[gs.i] AS DOUBLE) AS DECIMAL(20,10)))
+                AS DOUBLE) / count(*) AS c
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) gs
+    GROUP BY label, gs.i
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round({cosine_sql('a.cent', 'b.cent')}, 6) AS centroid_cos
+FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
+@query("emb_centroid_separation", oracle=_separation_oracle())
+def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-label centroid separation matrix (round 5): pairwise
+    cosine between label centroids — the separation half of the
+    cluster audit (emb_label_centroid_cohesion is the compactness
+    half); two labels whose centroids cosine ≈ 1 are
+    indistinguishable to a label-routed ANN.
+
+    Scale shape: the centroid build is the same decimal-exact
+    posexplode rollup (labels × 64 cells, corpus-size-independent);
+    the pair matrix is a broadcast self-join of a 10-row frame —
+    k²/2 rows of driver-free output."""
+    from duckdb_hdfs_spark.functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cent").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cent").alias("cb"))
+    return a.join(
+        F.broadcast(b), F.col("label_a") < F.col("label_b")
+    ).select(
+        "label_a",
+        "label_b",
+        F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
+    )
