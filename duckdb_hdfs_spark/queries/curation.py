@@ -1,16 +1,14 @@
-"""Round-4 corpus-curation additions (SURVEY.md §2.12): unigram-LM
+"""Corpus-curation statistics (SURVEY.md §2.12): unigram-LM
 log-probability scoring, asymmetric containment over LSH candidates,
 per-document token entropy, quality-weighted deterministic
 resampling, the per-(source, lang) dataset-card rollup, the log2
-length histogram, and greedy token-budget selection — the
-statistical-filtering and release-reporting passes a training-data
-pipeline runs after the structural dedup/quality passes.
+length histogram, greedy token-budget selection (round 4), plus the
+round-5 provenance/mixing panels — cross-source prefix overlap and
+temperature-flattened source mixing — the statistical-filtering and
+release-reporting passes a training-data pipeline runs after the
+structural dedup/quality passes.
 
-All are oracle-checked.  Registered after ``sketches`` in
-``_QUERY_MODULES`` — outside the driver's round-4 CORRECTNESS window
-(allocated to the round-3 tail + timestamp re-verifies); covered by
-the sf0.001/sf0.01 pytest sweep now, rotating into the window next
-round.
+All are oracle-checked.
 
 Determinism notes (the driver compare is a value hash):
 - log-probabilities round to 6 decimals BEFORE the per-document sum,
@@ -486,4 +484,84 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("h") == F.col("h2")) & (F.col("source_a") < F.col("source_b")))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_heads"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_s,
+           CAST(round(sqrt(count(*)), 6) AS DECIMAL(20,6)) AS sq
+    FROM documents GROUP BY source
+),
+z AS (
+    SELECT CAST(sum(sq) AS DOUBLE) AS z, CAST(sum(n_s) AS DOUBLE) AS n
+    FROM counts
+),
+rates AS (
+    SELECT source, n_s,
+           least(1.0, round(0.5 * n * (CAST(sq AS DOUBLE) / z) / n_s, 6))
+               AS keep_rate
+    FROM counts, z
+)
+SELECT d.source, any_value(r.n_s) AS n_total,
+       any_value(r.keep_rate) AS keep_rate,
+       CAST(count(*) FILTER (
+           WHERE CAST({md5_int60_sql("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+                 / 1152921504606846976.0 < r.keep_rate
+       ) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (round 5): per-source keep
+    rates ∝ n_s^0.5 / n_s (the Gopher/PaLM mixture move — a τ < 1
+    power flattens the source distribution so giant crawls stop
+    drowning small high-quality feeds), normalized to keep ~50% of
+    the corpus, each document kept by the md5-uniform draw.
+    τ = 0.5 deliberately: √ is IEEE-correctly-rounded on both engines
+    (a general pow() rides libm and can differ in the last ulp); the
+    √n_s terms round to 6 decimals and normalize through a DECIMAL
+    sum, so rates are bit-identical cross-engine.
+
+    Scale shape: one partial-aggregated source rollup (tiny), rate
+    table broadcast back onto the corpus, map-side keep decision, and
+    a final bounded per-source audit rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.round(F.sqrt(F.count(F.lit(1))), 6).cast("decimal(20,6)").alias("sq"),
+    )
+    z = counts.agg(
+        F.sum("sq").cast("double").alias("z"),
+        F.sum("n_s").cast("double").alias("n"),
+    )
+    rates = counts.join(F.broadcast(z)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(0.5)
+                * F.col("n")
+                * (F.col("sq").cast("double") / F.col("z"))
+                / F.col("n_s"),
+                6,
+            ),
+        ).alias("keep_rate"),
+    )
+    draw = md5_int60(F.col("doc_id").cast("string")).cast("double") / float(1 << 60)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_total"),
+            F.first("keep_rate").alias("keep_rate"),
+            F.count(F.when(draw < F.col("keep_rate"), 1))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
     )
