@@ -42,6 +42,33 @@ def test_distributed_ntile_matches_global(spark, n, direction):
     assert got == want
 
 
+def test_distributed_ntile_constant_metric(spark):
+    """Degenerate case: every row ties on the lead metric, so all
+    range bounds collide and one bucket holds everything — the
+    allocation must still match SQL ntile exactly (tiebreaker order
+    drives it)."""
+    df = spark.range(37).select(
+        F.col("id").alias("key"), F.lit(5).cast("bigint").alias("metric")
+    )
+    got = {
+        r["key"]: r["t"]
+        for r in distributed_ntile(
+            df, [("metric", "asc"), ("key", "asc")], "t", n_ranges=8
+        ).collect()
+    }
+    want = {
+        r["key"]: r["t"]
+        for r in df.select(
+            "key",
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("metric"), F.asc("key")))
+            .cast("bigint")
+            .alias("t"),
+        ).collect()
+    }
+    assert got == want
+
+
 @pytest.mark.parametrize("prune", [None, 40])
 def test_grouped_cumsum_matches_window(spark, prune):
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
