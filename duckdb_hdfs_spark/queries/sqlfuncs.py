@@ -472,3 +472,71 @@ def sql_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(mp, "pri").alias("m_priority"),
         F.size(mp).cast("bigint").alias("m_size"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_lateral_join",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+    FROM orders o WHERE o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) t
+""",
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) subquery parity (round 5): each
+    customer's top-2 orders by price through a per-row dependent
+    subquery — the DuckDB/Postgres LATERAL surface.  Spark expresses
+    the same dependent top-n as a window over the join key (Catalyst
+    decorrelates a literal LATERAL into exactly this shape, so the
+    window formulation IS the scalable plan: one shuffle on the key,
+    bounded per-key heap, no per-customer re-execution)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_distinct_on",
+    oracle="""
+SELECT DISTINCT ON (user_id) user_id, event_id, event_type, ts
+FROM events
+ORDER BY user_id, ts DESC, event_id DESC
+""",
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON parity (round 5): each user's latest event —
+    DuckDB/Postgres ``DISTINCT ON (key) ... ORDER BY key, ts DESC``.
+    Spark's scalable equivalent is ``max_by`` over a struct ordered
+    the same way: ONE hash-aggregate shuffle with map-side partials
+    (a row_number window would sort; the aggregate doesn't)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "ts"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("r")
+        )
+        .select("user_id", "r.event_id", "r.event_type", "r.ts")
+    )
