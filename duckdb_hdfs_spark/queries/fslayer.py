@@ -345,3 +345,101 @@ def fs_read_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.substring(F.upper(hexstr), -8, 8) == "50415231")
         ).alias("parquet_magic_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_bucketed_join",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def fs_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact-fact join through the registry surface
+    (round 5; sources/bucketing.py was tests-only before): orders and
+    lineitem are persisted as 8-bucket tables keyed+sorted on the
+    join key, then joined and rolled up — the pay-the-shuffle-once
+    layout that turns every downstream fact-fact join into a
+    zero-Exchange per-bucket merge at 100 TB.  The oracle is the
+    plain join; bucketing must be result-invisible (layout, not
+    semantics).  tests/test_bucketing.py pins the zero-Exchange plan
+    property with broadcast disabled; at these SFs AQE may broadcast
+    the small side instead, which is equally shuffle-free."""
+    from duckdb_hdfs_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        "fsq_bucketed_orders",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "fsq_bucketed_lineitem",
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    o = spark.table("fsq_bucketed_orders")
+    li = spark.table("fsq_bucketed_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_compact_small_files",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS total_value,
+       TRUE AS compacted_fewer_files
+FROM events
+""",
+)
+def fs_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (round 5): the lake-hygiene
+    op every 100 TB ingest needs — streaming sinks and hourly
+    partitions leave thousands of KB-sized files whose per-file open
+    cost dominates scans; compaction rewrites them at the target
+    partition size.  Here: events sharded into 64 deliberately tiny
+    files, compacted with a coalesce write to 4, content proven
+    identical (count + decimal sum vs the table oracle) and the
+    file-count reduction emitted as a checked boolean.
+
+    Scale: compaction reads are file-granular (no shuffle — coalesce
+    merges read splits; repartition would shuffle for balanced output
+    at the cost of a pass) and per-partition output sizing follows
+    spark.sql.files.maxPartitionBytes."""
+    small = os.path.join(_SCRATCH, "events_small")
+    compacted = os.path.join(_SCRATCH, "events_compacted")
+    shutil.rmtree(small, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(64).write.parquet(small)
+    n_small = len([f for f in os.listdir(small) if f.endswith(".parquet")])
+    spark.read.parquet(small).coalesce(4).write.parquet(compacted)
+    n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    return spark.read.parquet(compacted).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+        F.lit(n_comp < n_small).alias("compacted_fewer_files"),
+    )

@@ -460,3 +460,144 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now_to_memory(enriched, name, output_mode="complete")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_cdc_apply",
+    # final state = inserts overridden by the update batch, minus the
+    # tombstoned keys — plain SQL over the static table; the streaming
+    # side must land on exactly this through 3 incremental merges.
+    oracle="""
+SELECT st AS status, count(*) AS n_orders,
+       CAST(round(sum(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_price
+FROM (
+    SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 7 <> 0
+)
+GROUP BY st
+""",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with an idempotent MERGE sink (round 5):
+    a change log (inserts → updates for every 4th key → delete
+    tombstones for every 7th) streams in three arrival-ordered
+    micro-batches; ``foreachBatch`` merges each batch into a parquet
+    state table with the repo's join-free union + max_by(priority)
+    MERGE and publishes via write-to-temp + atomic swap — the
+    continuous-ingest half of the CDC suite (cdc_merge_orders is the
+    one-shot batch form).  Final state must equal the batch-merged
+    oracle regardless of micro-batch boundaries.
+
+    Scale: per-batch work is state ∪ batch with ONE hash-aggregate
+    shuffle on the key; the swap publish is the write-audit-publish
+    pattern object stores need for atomicity.  (A production sink
+    compacts state periodically — fs_compact_small_files — and lets
+    the checkpoint give exactly-once batch ids for idempotence.)"""
+    import glob as _glob
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from duckdb_hdfs_spark.streaming.pipelines import run_available_now_apply
+
+    log_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("st", StringType()),
+            StructField("price", DoubleType()),
+            StructField("op", StringType()),
+            StructField("pri", IntegerType()),
+        ]
+    )
+    run_id = next(_run_counter)
+    src = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_cdc_{run_id}",
+        os.path.basename(sf_dir),
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    ods = load_table(spark, sf_dir, "orders")
+    batches = (
+        ods.select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+            F.lit("I").alias("op"),
+            F.lit(0).alias("pri"),
+        ),
+        ods.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("st"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("pri"),
+        ),
+        ods.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit(None).cast("string").alias("st"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("pri"),
+        ),
+    )
+    t0 = 1_700_000_000
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
+        b.repartition(1).write.mode("append").parquet(src)
+        parts = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
+        for p in parts:
+            os.utime(p, (t0 + 60 * i, t0 + 60 * i))
+        seen |= parts
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdc_state_{run_id}"
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(state_dir):
+            state = s.read.parquet(state_dir)
+        else:
+            state = s.createDataFrame([], log_schema)
+        merged = (
+            state.unionByName(batch_df)
+            .groupBy("o_orderkey")
+            .agg(
+                F.max_by(F.struct("st", "price", "op", "pri"), F.col("pri")).alias(
+                    "r"
+                )
+            )
+            .select("o_orderkey", "r.*")
+        )
+        tmp = state_dir + "_new"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    stream = (
+        spark.readStream.schema(log_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now_apply(stream, apply_batch)
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("op") != "D")
+        .groupBy(F.col("st").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -264,6 +264,23 @@ def dropped_by_watermark(progress: list) -> int:
     )
 
 
+def run_available_now_apply(
+    df: DataFrame, fn, output_mode: str = "update", timeout_s: int = 180
+) -> None:
+    """Drain with availableNow through a caller-supplied foreachBatch
+    function (idempotent sinks: CDC apply, MERGE publishing)."""
+    q = (
+        df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError(f"streaming apply did not finish in {timeout_s}s")
+
+
 def run_available_now_foreach_batch(
     df: DataFrame, collect_into: list, output_mode: str = "update", timeout_s: int = 120
 ) -> None:
