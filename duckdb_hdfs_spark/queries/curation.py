@@ -565,3 +565,96 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_BIGRAMS_SQL = f"""
+bt AS (
+    SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 0)),
+        i -> toks[i] || ' ' || toks[i + 1])) AS bigram,
+        1 AS one
+    FROM bt
+),
+bgf AS (
+    SELECT doc_id, bigram, count(*) AS n_b FROM bg
+    WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% ' GROUP BY doc_id, bigram
+),
+bvocab AS (SELECT bigram, sum(n_b) AS cb FROM bgf GROUP BY bigram),
+uvocab AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, sum(n_b) AS cu
+    FROM bgf GROUP BY w1
+)
+"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH {_BIGRAMS_SQL}
+SELECT doc_id,
+       CAST(sum(n_b) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(
+           CAST(n_b AS DECIMAL(20, 8))
+           * CAST(round(ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE)), 6)
+                  AS DECIMAL(20, 8))
+       ) AS DOUBLE) / sum(n_b), 4) AS mean_logprob
+FROM bgf
+JOIN bvocab USING (bigram)
+JOIN uvocab ON split_part(bigram, ' ', 1) = uvocab.w1
+GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's
+    own bigram LM — mean ln P(wᵢ | wᵢ₋₁) with P = c(w₁w₂)/c(w₁·) —
+    one Markov order above text_unigram_logprob: fluency-sensitive
+    where the unigram score only sees vocabulary (word salad with
+    common words scores high on unigrams, low here).
+
+    Scale shape: bigrams build map-side (zip-shifted token slices,
+    the shingle recipe); per-(doc, bigram) counts partial-aggregate;
+    the bigram vocab is checkpointed once (Heaps-sublinear) and both
+    LM joins run against it — prefix counts derive FROM the bigram
+    vocab (sum over first words), never a second corpus pass.  Same
+    decimal log-sum discipline as the unigram op."""
+    from duckdb_hdfs_spark.functions.hashing import word_kgrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # word_kgrams pads short docs with '' tails; drop any bigram
+    # touching an empty token (mirrors the oracle's LIKE filters)
+    bg = docs.select(
+        "doc_id", F.explode(word_kgrams(toks, 2)).alias("bigram")
+    ).filter(
+        ~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" ")
+    )
+    bgf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n_b"))
+    bvocab = (
+        bgf.groupBy("bigram")
+        .agg(F.sum("n_b").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    uvocab = bvocab.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cb").alias("cu"))
+    term = F.col("n_b").cast("decimal(20,8)") * F.round(
+        F.log(F.col("cb").cast("double")) - F.log(F.col("cu").cast("double")), 6
+    ).cast("decimal(20,8)")
+    return (
+        bgf.join(bvocab, "bigram")
+        .join(
+            uvocab,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.sum("n_b"), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -510,3 +510,88 @@ def dedup_cc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+# --------------------------------------------------------------------------
+def _embedding_clusters_oracle() -> str:
+    from duckdb_hdfs_spark.functions.vectors import dot_sql, norm_sql
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys_sql
+
+    d = dot_sql("a.embedding", "b.embedding")
+    # edges is AS MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and the recursive reach joins edges EVERY iteration
+    # — without materialization the full cosine pair pipeline
+    # re-executes per round (measured: 300s+ vs seconds)
+    return f"""
+WITH RECURSIVE v AS (
+    SELECT vec_id, embedding,
+           {norm_sql('embedding')} AS nrm,
+           unnest({lsh_band_keys_sql('embedding')}) AS band_key
+    FROM embeddings
+),
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM v a
+    JOIN v b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+    WHERE {d} / (a.nrm * b.nrm) >= 0.3
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("dedup_embedding_clusters", oracle=_embedding_clusters_oracle())
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup clusters (round 5): connected components
+    over the embedding-cosine pair graph (LSH sign-bucket candidates,
+    exact cosine ≥ 0.3) — the companion to the lexical MinHash
+    clusters: paraphrases and translations cluster here that share
+    no shingles.  Cluster ids feed the same keep-best policy.
+
+    Scale shape: bounded band-bucket candidate generation (never
+    all-pairs), then the pointer-jumping CC iteration
+    (operators.dedup.connected_clusters — edges checkpointed once,
+    O(log diameter) rounds)."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band_key",
+    )
+    b = v.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band_key",
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cos >= 0.3)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return connected_clusters(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
