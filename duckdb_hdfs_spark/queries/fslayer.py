@@ -371,6 +371,13 @@ def fs_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small side instead, which is equally shuffle-free."""
     from duckdb_hdfs_spark.sources.bucketing import write_bucketed
 
+    # drop-and-clean first: a FRESH session does not know the tables,
+    # but their warehouse locations survive from earlier runs and
+    # saveAsTable refuses to reuse an unmanaged leftover location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("fsq_bucketed_orders", "fsq_bucketed_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus"
