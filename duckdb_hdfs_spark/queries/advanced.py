@@ -563,3 +563,58 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "asof_left_view_purchase",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts AS p_ts, min(event_id) AS p_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, v.ts, p.p_event_id, p.p_ts,
+       p.p_event_id IS NOT NULL AS converted
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.p_ts
+""",
+)
+def asof_left_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of LEFT join (round 5): every view kept, matched to the
+    user's next purchase where one exists, NULL payload otherwise —
+    DuckDB's ``ASOF LEFT JOIN`` (the attribution table that also
+    counts the non-converters; the inner variant
+    asof_view_next_purchase drops them).  Exercises the operator's
+    ``how='left'`` path, whose match detection rides the explicit
+    lit(true) marker — a NULL payload field cannot masquerade as a
+    missed match."""
+    from duckdb_hdfs_spark.operators.joins import asof_forward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.min("event_id").alias("p_event_id"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = asof_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_event_id", "p_ts"],
+        how="left",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "p_event_id",
+        "p_ts",
+        F.col("p_event_id").isNotNull().alias("converted"),
+    )

@@ -540,3 +540,36 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "r.event_id", "r.event_type", "r.ts")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_try_cast",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.plan') AS INTEGER) AS plan_int,
+       TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE) AS score_num,
+       TRY_CAST(substr(event_type, 1, 1) AS BIGINT) AS bad_int,
+       coalesce(TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE),
+                -1.0) AS score_or_default
+FROM events
+""",
+)
+def sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST parity (round 5): NULL-on-failure casts over
+    semi-structured props — the ingestion-hardening surface (a plain
+    CAST aborts the whole 100 TB job on one malformed record;
+    TRY_CAST quarantines it as NULL for the coalesce default).
+    Both engines agree: unparseable → NULL, never an error."""
+    ev = _t(spark, sf_dir, "events")
+    plan_s = F.get_json_object("props", "$.plan")
+    score_s = F.get_json_object("props", "$.score")
+    return ev.select(
+        "event_id",
+        plan_s.try_cast("int").alias("plan_int"),
+        score_s.try_cast("double").alias("score_num"),
+        F.substring("event_type", 1, 1).try_cast("bigint").alias("bad_int"),
+        F.coalesce(score_s.try_cast("double"), F.lit(-1.0)).alias(
+            "score_or_default"
+        ),
+    )
