@@ -658,3 +658,133 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _release_oracle() -> str:
+    from duckdb_hdfs_spark.queries.dedup import _BANDED_SQL, _NORM_SQL
+
+    qscore = quality_score_sql("text", _TOKS)
+    banded_sv = _BANDED_SQL.replace("FROM documents", "FROM sv")
+    return f"""
+WITH RECURSIVE sv AS MATERIALIZED (
+    SELECT doc_id, text, n_chars, q, len({_TOKS}) AS n_toks
+    FROM (
+        SELECT doc_id, text, n_chars, {qscore} AS q,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE {qscore} >= 0.5
+    ) WHERE rn = 1
+),
+{banded_sv},
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS MATERIALIZED (
+    SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+),
+ranked AS (
+    SELECT c.node,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY s.n_chars DESC, s.doc_id) AS krn
+    FROM clusters c JOIN sv s ON c.node = s.doc_id
+),
+final AS (
+    SELECT s.* FROM sv s
+    LEFT JOIN ranked r ON s.doc_id = r.node
+    WHERE r.node IS NULL OR r.krn = 1
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+           AS split,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(q AS DECIMAL(10,4))) AS DOUBLE) / count(*), 4)
+           AS mean_quality,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM (SELECT *, {md5_int60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+      FROM final)
+GROUP BY split
+"""
+
+
+@query("pipeline_corpus_release", oracle=_release_oracle())
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus release pipeline in one plan (round 5) —
+    the composition every individual operator exists for: quality
+    gate (score ≥ 0.5) → exact dedup (keep first per content hash) →
+    MinHash-LSH near-dup clustering over the SURVIVORS with keep-best
+    (longest doc per cluster) → deterministic 80/10/10 hash split →
+    per-split release statistics.  One registry key proves the
+    operators compose without re-scanning: the survivor set is
+    checkpointed once and every later stage (banding, clustering,
+    keeper ranking, split rollup) reads the materialized copy.
+
+    Scale shape: each stage keeps its own operator's shape (map-side
+    scoring, hash-aggregate dedup, bucket-bounded pairs, pointer-
+    jumping CC, map-side split) — the pipeline inherits linearity
+    end to end."""
+    from pyspark.sql import Window
+
+    from duckdb_hdfs_spark.operators.dedup import (
+        connected_clusters,
+        minhash_candidate_pairs,
+        norm_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        quality_score(F.col("text"), toks).alias("q"),
+        F.size(toks).alias("n_toks"),
+    ).filter(F.col("q") >= 0.5)
+    w = Window.partitionBy(F.md5(norm_text(F.col("text")))).orderBy("doc_id")
+    sv = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    clusters = connected_clusters(minhash_candidate_pairs(sv))
+    kw = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    non_keepers = (
+        clusters.join(sv, clusters.node == sv.doc_id)
+        .withColumn("krn", F.row_number().over(kw))
+        .filter(F.col("krn") > 1)
+        .select("node")
+    )
+    final = sv.join(non_keepers, sv.doc_id == non_keepers.node, "left_anti")
+    b = md5_int60(F.col("doc_id").cast("string")) % 100
+    return (
+        final.withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(10,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_quality"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
