@@ -531,9 +531,17 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast back onto the corpus, map-side keep decision, and
     a final bounded per-source audit rollup."""
     docs = _t(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.round(F.sqrt(F.count(F.lit(1))), 6).cast("decimal(20,6)").alias("sq"),
+    # source-cardinality-sized (~20 rows); checkpointed so the
+    # normalizer branch reads it instead of re-scanning the corpus
+    counts = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.round(F.sqrt(F.count(F.lit(1))), 6)
+            .cast("decimal(20,6)")
+            .alias("sq"),
+        )
+        .localCheckpoint(eager=True)
     )
     z = counts.agg(
         F.sum("sq").cast("double").alias("z"),
