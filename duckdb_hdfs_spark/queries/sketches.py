@@ -237,3 +237,167 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+BLOOM_BITS = 1024   # m
+BLOOM_K = 3         # hash functions
+#: bits packed per BIGINT word — 62, not 64: a shift into bit 63 is a
+#: signed-overflow error in DuckDB (and the sign bit invites subtle
+#: two's-complement mismatches); 17 words cover the 1024 positions
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = (BLOOM_BITS + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+
+
+def _bloom_pos_sql(j: int, key: str) -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    expr = f"'bloom{j}-' || CAST({key} AS VARCHAR)"
+    return f"{md5_int60_sql(expr)} % {BLOOM_BITS}"
+
+
+def _bloom_oracle() -> str:
+    member_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(j, 'user_id')} AS pos FROM members"
+        for j in range(BLOOM_K)
+    )
+    probe_flags = " AND ".join(
+        f"(words[CAST({_bloom_pos_sql(j, 'p.user_id')} // {BLOOM_WORD_BITS}"
+        f" AS INTEGER) + 1]"
+        f" & (CAST(1 AS BIGINT) << CAST({_bloom_pos_sql(j, 'p.user_id')}"
+        f" % {BLOOM_WORD_BITS} AS INTEGER))) <> 0"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH members AS MATERIALIZED (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND user_id % 3 = 0
+),
+pos AS ({member_pos}),
+wordbits AS (
+    SELECT CAST(pos // {BLOOM_WORD_BITS} AS INTEGER) AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER)) AS bits
+    FROM pos GROUP BY w
+),
+bloom AS MATERIALIZED (
+    SELECT list(coalesce(bits, 0) ORDER BY i) AS words
+    FROM (SELECT unnest(generate_series(0, {BLOOM_WORDS - 1})) AS i)
+    LEFT JOIN wordbits ON w = i
+),
+probes AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+flagged AS (
+    SELECT p.user_id,
+           ({probe_flags}) AS hit,
+           m.user_id IS NOT NULL AS is_member
+    FROM probes p
+    CROSS JOIN bloom
+    LEFT JOIN members m ON p.user_id = m.user_id
+)
+SELECT count(*) AS n_probes,
+       CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged,
+       CAST(count(*) FILTER (WHERE hit AND NOT is_member) AS BIGINT)
+           AS n_false_pos,
+       CAST(count(*) FILTER (WHERE is_member AND NOT hit) AS BIGINT)
+           AS n_missed
+FROM flagged
+"""
+
+
+@query("sketch_bloom_filter", oracle=_bloom_oracle())
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter build + probe (round 5): the
+    semi-join-reduction primitive — at 100 TB you broadcast a KB-size
+    bit array to pre-filter a fact scan instead of shuffling it into
+    a join (Spark's own runtime row-group skipping uses exactly this
+    sketch).  Built here over a purchaser blocklist (k=3 md5-derived
+    positions in m=1024 bits, per-partition partial ``bit_or`` into
+    16 words — a mergeable summary like the HLL/MG ops) and probed
+    by every distinct user; the audit counts flagged rows, false
+    positives against the exact membership, and misses (MUST be 0 —
+    a Bloom filter has no false negatives; a non-zero value here
+    means the bit math broke).
+
+    Engine-portable: positions come from md5, the bit array is 16
+    two's-complement BIGINT words, and probes test words[pos/64] &
+    (1 << pos%64) identically in both engines — the audit row is
+    hash-exact, not statistical."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    members = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0))
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def pos(j: int):
+        return md5_int60(
+            F.concat(F.lit(f"bloom{j}-"), F.col("user_id").cast("string"))
+        ) % BLOOM_BITS
+
+    def pos_sql(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('bloom{j}-', "
+            f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {BLOOM_BITS})"
+        )
+
+    posns = members.select(
+        F.explode(F.array(*[pos(j) for j in range(BLOOM_K)])).alias("p")
+    )
+    # shiftleft with a COLUMN amount only exists in SQL form — the
+    # python F.shiftleft signature takes a literal int
+    wordbits = posns.groupBy(
+        (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            )
+        ).alias("bits")
+    )
+    dense = (
+        spark.range(BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("i"))
+        .join(wordbits, F.col("i") == F.col("w"), "left")
+        .select("i", F.coalesce(F.col("bits"), F.lit(0)).alias("bits"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "bits"))), lambda s: s["bits"]
+        ).alias("words")
+    )
+    probes = ev.select("user_id").distinct()
+    hit = F.expr(
+        " AND ".join(
+            f"(element_at(words, CAST({pos_sql(j)} DIV {BLOOM_WORD_BITS}"
+            f" AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({pos_sql(j)} % {BLOOM_WORD_BITS} AS INT))) <> 0"
+            for j in range(BLOOM_K)
+        )
+    )
+    flagged = (
+        probes.join(F.broadcast(bloom))
+        .join(
+            members.select(F.col("user_id").alias("m_uid")),
+            F.col("user_id") == F.col("m_uid"),
+            "left",
+        )
+        .select(
+            hit.alias("hit"), F.col("m_uid").isNotNull().alias("is_member")
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("is_member"), 1)).cast("bigint").alias("n_members"),
+        F.count(F.when(F.col("hit"), 1)).cast("bigint").alias("n_flagged"),
+        F.count(F.when(F.col("hit") & ~F.col("is_member"), 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.count(F.when(F.col("is_member") & ~F.col("hit"), 1))
+        .cast("bigint")
+        .alias("n_missed"),
+    )
