@@ -401,3 +401,116 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missed"),
     )
+
+
+# --------------------------------------------------------------------------
+CMS_D = 3     # hash rows
+CMS_W = 256   # counters per row
+
+
+def _cms_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    def col_sql(j: int, key: str) -> str:
+        expr = f"'cms{j}-' || CAST({key} AS VARCHAR)"
+        return f"{md5_int60_sql(expr)} % {CMS_W}"
+
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS j, {col_sql(j, 'user_id')} AS c FROM events"
+        for j in range(CMS_D)
+    )
+    est = ", ".join(
+        f"counters[{j} * {CMS_W} + CAST({col_sql(j, 'h.user_id')} AS INTEGER) + 1]"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH cells AS ({cells}),
+cnt AS (SELECT j, c, count(*) AS n FROM cells GROUP BY j, c),
+sketch AS MATERIALIZED (
+    SELECT list(coalesce(n, 0) ORDER BY i) AS counters
+    FROM (SELECT unnest(generate_series(0, {CMS_D * CMS_W - 1})) AS i)
+    LEFT JOIN cnt ON cnt.j * {CMS_W} + cnt.c = i
+),
+heavy AS MATERIALIZED (
+    SELECT user_id, count(*) AS n_exact FROM events
+    GROUP BY user_id HAVING count(*) >= 50
+)
+SELECT h.user_id, h.n_exact,
+       CAST(least({est}) AS BIGINT) AS cms_est,
+       CAST(least({est}) AS BIGINT) >= h.n_exact AS never_undercounts
+FROM heavy h CROSS JOIN sketch
+"""
+
+
+@query("sketch_count_min", oracle=_cms_oracle())
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Count-Min sketch (round 5): the frequency-estimate
+    sibling of the HLL/MG/Bloom family — d=3 hash rows × w=256
+    counters built by per-partition partial counting and merged by
+    plain addition (counters are linear, the definitive mergeable
+    summary), then point-queried for every heavy user (≥ 50 events)
+    as min over rows of the addressed counters.  The CMS one-sided
+    guarantee — estimates never undercount — is emitted as a checked
+    boolean per key; the estimate itself is deterministic (exact
+    integer counters), so the audit is hash-exact, not statistical.
+
+    Scale: the sketch is 768 integers regardless of key cardinality;
+    building it shuffles ≤ d·w rows per map task (partial aggregation
+    collapses each task to its counter cells), and queries broadcast
+    the one-row counter array — no lookup join against raw data."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+
+    def cms_col(j: int):
+        return md5_int60(
+            F.concat(F.lit(f"cms{j}-"), F.col("user_id").cast("string"))
+        ) % CMS_W
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), cms_col(j).alias("c"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.c")
+    cnt = cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("n"))
+    sketch = (
+        spark.range(CMS_D * CMS_W)
+        .select(F.col("id").cast("int").alias("i"))
+        .join(
+            cnt,
+            F.col("i") == F.col("j") * CMS_W + F.col("c").cast("int"),
+            "left",
+        )
+        .select("i", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "n"))),
+                lambda s: s["n"],
+            ).alias("counters")
+        )
+    )
+    heavy = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .filter(F.col("n_exact") >= 50)
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("counters"),
+                (F.lit(CMS_W * j) + cms_col(j).cast("int") + 1).cast("int"),
+            )
+            for j in range(CMS_D)
+        ]
+    ).cast("bigint")
+    return heavy.join(F.broadcast(sketch)).select(
+        "user_id",
+        "n_exact",
+        est.alias("cms_est"),
+        (est >= F.col("n_exact")).alias("never_undercounts"),
+    )
