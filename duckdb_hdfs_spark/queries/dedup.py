@@ -595,3 +595,63 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_clusters(pairs).select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_pair_triangles",
+    oracle=f"""
+WITH {_BANDED_SQL},
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+""",
+)
+def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup candidate graph
+    (round 5) — the local-clustering signal that separates tight
+    boilerplate FAMILIES (every pair similar → many triangles) from
+    chain-shaped false-positive runs (A~B~C but A≁C → none); a
+    complement to dedup_cc_size_histogram, which cannot tell the two
+    apart.
+
+    Scale shape: the canonical two-join triangle enumeration over
+    id-ordered edges (a<b<c counted exactly once) — each join is an
+    equi-join on a node key, so cost is Σ deg², bounded by the LSH
+    bucket discipline, never a cartesian.  The edge list is
+    checkpointed once and feeds all three join legs."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    edges = minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -743,3 +743,76 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity._topk_merge).  The ADC sum runs
     left-to-right m = 0..7 on both engines — deterministic."""
     return _adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+def _mutual_knn_oracle() -> str:
+    return f"""
+WITH scored AS (
+    SELECT a.vec_id AS probe_id, b.vec_id,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {cosine_sql('a.embedding', 'b.embedding')} DESC,
+                        b.vec_id) AS rk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+knn AS MATERIALIZED (SELECT probe_id, vec_id FROM scored WHERE rk <= 3),
+mutual AS (
+    SELECT k1.probe_id AS a, k1.vec_id AS b
+    FROM knn k1 JOIN knn k2
+      ON k1.probe_id = k2.vec_id AND k1.vec_id = k2.probe_id
+    WHERE k1.probe_id < k1.vec_id
+),
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM mutual UNION ALL SELECT b FROM mutual
+    ) GROUP BY node
+),
+alln AS (
+    SELECT e.vec_id, coalesce(deg.d, 0) AS mutual_degree
+    FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.node
+)
+SELECT mutual_degree, count(*) AS n_vectors
+FROM alln GROUP BY mutual_degree
+"""
+
+
+@query("sim_mutual_knn_graph", oracle=_mutual_knn_oracle())
+def sim_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-3-NN graph degree histogram (round 5): an edge exists
+    when BOTH endpoints rank each other in their top-3 — the
+    kNN-graph symmetrization behind graph-based clustering and
+    hubness diagnostics (a spike at degree 0 means isolated vectors;
+    missing high degrees means hub domination).
+
+    Scale shape: the kNN build is the partial-top-k brute pass
+    (operators/similarity.brute_topk — the ANN variants swap in at
+    100 TB); the (N × k)-row edge list is checkpointed once, the
+    mutuality check is one self-join keyed on the (probe, vec) pair,
+    and the degree rollup is bounded by N."""
+    from duckdb_hdfs_spark.operators.similarity import brute_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = (
+        brute_topk(emb.select("vec_id", "embedding"), emb, k=3, exclude_self=True)
+        .select("probe_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    k2 = knn.select(
+        F.col("probe_id").alias("p2"), F.col("vec_id").alias("v2")
+    )
+    mutual = knn.join(
+        k2, (F.col("probe_id") == F.col("v2")) & (F.col("vec_id") == F.col("p2"))
+    ).filter(F.col("probe_id") < F.col("vec_id"))
+    deg = (
+        mutual.select(F.col("probe_id").alias("node"))
+        .unionAll(mutual.select(F.col("vec_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(deg, F.col("vec_id") == F.col("node"), "left")
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("mutual_degree"))
+        .groupBy("mutual_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
