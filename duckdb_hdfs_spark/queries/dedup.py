@@ -655,3 +655,118 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+WINNOW_K = 3   # k-gram size
+WINNOW_W = 4   # winnowing window
+
+
+def _winnowing_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import MINHASH_PRIME
+
+    kgrams = word_shingles_sql("toks", k=WINNOW_K).replace(
+        "list_distinct", ""
+    )  # multiplicity preserved: winnowing windows are positional
+    least_terms = ", ".join(
+        ["hs[i]"]
+        + [f"coalesce(hs[i + {j}], {MINHASH_PRIME})" for j in range(1, WINNOW_W)]
+    )
+    return f"""
+WITH hsx AS (
+    SELECT doc_id,
+           list_transform({kgrams}, g -> {shingle_hash_sql('g')}) AS hs
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+fp AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+        i -> least({least_terms})))) AS f
+    FROM hsx
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= 2
+"""
+
+
+@query("dedup_winnowing", oracle=_winnowing_oracle())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (round 5) — the MOSS algorithm
+    (Schleimer et al., SIGMOD 2003): hash every word 3-gram, keep the
+    MINIMUM hash of each sliding 4-window as a fingerprint, and pair
+    documents sharing ≥ 2 fingerprints.  The guarantee minhash lacks:
+    any shared run of ≥ k+w-1 tokens is CERTAIN to share a
+    fingerprint (local minima coincide), so winnowing catches long
+    verbatim passages positionally, where banded minhash is
+    probabilistic.
+
+    Scale shape: window minima build as a least()-cascade over w
+    shifted slices of the per-doc hash array (the word_kgrams
+    zip_with recipe — no outer refs inside lambdas); fingerprints
+    explode into buckets and pairs emit bucket-bounded, exactly the
+    minhash band pipeline's shuffle discipline; the pair rollup
+    counts shared fingerprints in the same shuffle."""
+    from duckdb_hdfs_spark.functions.hashing import (
+        MINHASH_PRIME,
+        shingle_hash,
+        tokens,
+        word_kgrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hs = F.transform(
+        word_kgrams(tokens(F.col("text")), WINNOW_K), shingle_hash
+    )
+    # materialize hashes + padded copy as columns FIRST so the w
+    # shifted slices below cut a computed array, not w re-evaluations
+    # of the md5 pipeline
+    hsx = docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id",
+        "hs",
+        F.concat(
+            F.col("hs"),
+            F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), WINNOW_W - 1),
+        ).alias("p"),
+        F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1)).alias("nw"),
+    )
+    mins_col = F.slice(F.col("p"), 1, F.col("nw"))
+    for j in range(1, WINNOW_W):
+        mins_col = F.zip_with(
+            mins_col,
+            F.slice(F.col("p"), j + 1, F.col("nw")),
+            lambda a, b: F.least(a, b),
+        )
+    fp = hsx.select(
+        "doc_id", F.explode(F.array_distinct(mins_col)).alias("f")
+    )
+    buckets = (
+        fp.groupBy("f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda lo, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + 2,
+                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                        ),
+                        lambda hi: F.struct(
+                            lo.alias("doc_a"), hi.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.doc_a", "pr.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
