@@ -618,3 +618,85 @@ def asof_left_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_ts",
         F.col("p_event_id").isNotNull().alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "stats_welch_ttest",
+    oracle="""
+WITH q AS (
+    SELECT source,
+           CAST(round(l_quantity, 0) AS DOUBLE) AS x
+    FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS source,
+                 l_quantity
+          FROM lineitem)
+),
+s AS (
+    SELECT source, count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+                AS DOUBLE) AS s2
+    FROM q GROUP BY source
+),
+m AS (
+    SELECT source, n, s1 / n AS mean,
+           (s2 - s1 * s1 / n) / (n - 1) AS var
+    FROM s
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.mean - b.mean, 6) AS mean_diff,
+       round((a.mean - b.mean)
+             / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+       abs((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n)) > 1.96
+           AS significant_5pct
+FROM m a JOIN m b ON a.source = 'A' AND b.source = 'B'
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic (round 5): does cohort A's mean
+    differ from cohort B's — THE experiment-analysis primitive
+    (here: even- vs odd-keyed orders' quantities, a null split that
+    should hover near t=0).  Means and variances derive from DECIMAL
+    power sums (exact, order-independent: Σx and Σx² in decimal,
+    moments assembled in double with a fixed operation order), so the
+    t-statistic is bit-identical cross-engine — sqrt is IEEE-exact,
+    no other transcendental appears.
+
+    Scale shape: one partial-aggregated pass builds both cohorts'
+    power sums (the moment-sketch property: mergeable, constant
+    state); the t assembly is a 2-row join."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("source"),
+        F.round("l_quantity", 0).cast("double").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    m = s.select(
+        "source",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    ).localCheckpoint(eager=True)
+    a = m.filter(F.col("source") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("source") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant_5pct"),
+    )

@@ -714,3 +714,68 @@ def ev_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative_users",
     )
     return cum.select("day", "new_users", "cumulative_users")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_anomaly_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.event_id, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       round(d.value, 4) AS value,
+       round(d.med, 6) AS type_median,
+       round(m.mad, 6) AS type_mad,
+       abs(d.value - d.med) > 3 * 1.4826 * m.mad AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+""",
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags per event type (round 5) —
+    the heavy-tail-safe alternative to ev_anomaly_zscore: a single
+    extreme value inflates a z-score baseline's mean/σ and masks
+    itself, but barely moves the median and the median absolute
+    deviation (3·1.4826·MAD ≈ 3σ under normality).
+
+    Determinism: Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit (the stats_quantiles probe), and the flag compares
+    UNROUNDED values — rounding is output-only.  Scale shape: two
+    per-type aggregates (exact medians; the GK sketch is the
+    single-pass swap-in at extreme group sizes) broadcast back onto
+    the stream — the fact table shuffles zero times."""
+    ev = _t(spark, sf_dir, "events")
+    # the per-type baselines are tiny (one row per type) — checkpoint
+    # both so the flag pass reads materialized medians instead of
+    # re-deriving their fact-table scans per consumer branch
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .localCheckpoint(eager=True)
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .localCheckpoint(eager=True)
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 6).alias("type_median"),
+        F.round("mad", 6).alias("type_mad"),
+        (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+    )

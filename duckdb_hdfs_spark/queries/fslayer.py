@@ -450,3 +450,54 @@ def fs_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.lit(n_comp < n_small).alias("compacted_fewer_files"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_csv_malformed",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
+           AS n_malformed,
+       CAST(round(sum(CAST(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                           AS DOUBLE) AS DECIMAL(18,6)))
+                  FILTER (WHERE o_orderkey % 10 <> 0), 2) AS DOUBLE)
+           AS good_total
+FROM orders
+""",
+)
+def fs_read_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record CSV ingestion (round 5): a synthesized feed
+    where every 10th row carries an unparseable price, read back in
+    PERMISSIVE mode — the hardening DuckDB exposes as
+    ``ignore_errors`` and a 100 TB ingest cannot live without (a
+    FAILFAST read aborts the whole job on one bad record; PERMISSIVE
+    nulls the bad field and the audit counts it).  The oracle derives
+    the expected row/bad/total accounting straight from the table —
+    the corrupted field must round-trip as NULL, never as a dropped
+    or mangled row."""
+    path = os.path.join(_SCRATCH, "orders_malformed_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    ods = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-number")).otherwise(
+            F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string")
+        ),
+    )
+    ods.select(line.alias("value")).write.text(path)
+    back = (
+        spark.read.schema("o_orderkey LONG, price DOUBLE")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("price").isNull(), 1))
+        .cast("bigint")
+        .alias("n_malformed"),
+        F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("good_total"),
+    )
