@@ -700,3 +700,116 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+WITH first_year AS (
+    SELECT o_custkey,
+           CAST(extract(year FROM min(o_orderdate)) AS BIGINT) AS cohort_year
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_year,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) - f.cohort_year
+           AS years_since_first,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue
+FROM orders o JOIN first_year f ON o.o_custkey = f.o_custkey
+GROUP BY cohort_year, years_since_first
+""",
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort revenue matrix (round 5): acquisition year ×
+    years-since-first-order, with order counts and decimal-exact
+    revenue — the LTV decay panel (ev_cohort_retention's revenue
+    sibling on the sales schema).
+
+    Scale shape: the per-customer first-order aggregate is one
+    partial-aggregated shuffle; it joins back keyed on custkey (hash
+    join co-partitioned with the cohort rollup's eventual key), and
+    the output is bounded by years² cells."""
+    o = _t(spark, sf_dir, "orders")
+    first_year = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("bigint").alias("cohort_year")
+    )
+    return (
+        o.join(first_year, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("bigint") - F.col("cohort_year")).alias(
+                "years_since_first"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_first_touch_attribution",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 4) AS purchase_value,
+       min(v.ts) AS first_view_ts,
+       CAST(min(v.event_id) FILTER (
+           WHERE v.ts = (SELECT min(v2.ts) FROM v v2
+                         WHERE v2.user_id = p.user_id
+                           AND v2.ts <= p.ts
+                           AND v2.ts > p.ts - INTERVAL 7 DAY)
+       ) AS BIGINT) AS first_view_event_id
+FROM p JOIN v ON v.user_id = p.user_id
+              AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY
+GROUP BY p.event_id, p.user_id, p.ts, p.value
+""",
+)
+def ev_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution (round 5): each purchase credited to
+    the EARLIEST view in the preceding 7 days — the complement of
+    asof_purchase_last_view's last-touch model (marketing teams run
+    both and argue).  Ties on the first-view timestamp resolve to
+    min event_id on both engines.
+
+    Scale shape: equi-join on user with the time range as residual
+    (per-key bounded, the range_join_view_purchases shape), then a
+    min_by aggregate per purchase — one shuffle each."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") > F.col("ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    return joined.groupBy("event_id", "user_id", "ts", "value").agg(
+        F.min("v_ts").alias("first_view_ts"),
+        F.min_by(
+            "v_event_id", F.struct(F.col("v_ts"), F.col("v_event_id"))
+        )
+        .cast("bigint")
+        .alias("first_view_event_id"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        "first_view_ts",
+        "first_view_event_id",
+    )
