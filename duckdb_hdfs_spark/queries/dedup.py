@@ -18,6 +18,7 @@ from duckdb_hdfs_spark.functions.hashing import (
     tokens_sql,
     word_shingles_sql,
 )
+from duckdb_hdfs_spark.functions.hashing import tokens as tokens_col
 from duckdb_hdfs_spark.operators.dedup import (
     exact_clusters,
     jaccard_pairs,
@@ -769,4 +770,147 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+def _simhash_pairs_oracle() -> str:
+    # rewrite the simhash oracle's final SELECT into a materialized
+    # CTE (the pair join references it twice; DuckDB re-evaluates
+    # plain CTEs per reference)
+    base = _simhash_oracle()
+    final = "SELECT doc_id, simhash, simhash >> 48 AS bucket FROM sim"
+    head, _ = base.rsplit(final, 1)
+    return f"""
+{head.rstrip().rstrip(',')},
+sims AS MATERIALIZED ({final})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
+           AS hamming
+FROM sims a JOIN sims b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 16
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate PAIRS (round 5) — the step dedup_simhash's
+    signatures exist for: documents sharing a 12-bit prefix bucket
+    whose full 60-bit signatures differ in ≤ 16 bits (near-dups under
+    the simhash metric; Charikar's rounding argument maps hamming
+    distance to cosine similarity of the feature vectors).
+
+    Scale shape: the bucket join bounds pair cost exactly like the
+    MinHash band pipeline (prefix buckets ARE 1-band LSH for
+    hamming space); the hamming filter is a popcount over XOR —
+    integer-exact on both engines."""
+    sims = simhash_docs(_t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    a = sims.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "bucket",
+    )
+    b = sims.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("bigint")
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(hamming <= 16)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+WITH {_BANDED_SQL},
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+ws AS MATERIALIZED (
+    SELECT doc_id, {_TOKSET_SQL} AS words FROM documents
+),
+inv AS (SELECT doc_id, unnest(words) AS tok FROM ws),
+shared AS (
+    SELECT DISTINCT i1.doc_id AS doc_a, i2.doc_id AS doc_b
+    FROM inv i1 JOIN inv i2 ON i1.tok = i2.tok AND i1.doc_id < i2.doc_id
+),
+truth AS MATERIALIZED (
+    SELECT s.doc_a, s.doc_b
+    FROM shared s
+    JOIN ws wa ON s.doc_a = wa.doc_id
+    JOIN ws wb ON s.doc_b = wb.doc_id
+    WHERE CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE)
+          / len(list_distinct(list_concat(wa.words, wb.words))) >= 0.5
+)
+SELECT count(*) AS n_true_pairs,
+       CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+       round(CAST(count(c.doc_a) AS DOUBLE) / count(*), 4) AS recall
+FROM truth t
+LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+""",
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall evaluation (round 5) — the dedup analogue
+    of sim_recall_eval: of all TRUE near-dup pairs (exact word-set
+    Jaccard ≥ 0.5), what fraction does the banded pipeline surface as
+    candidates?  The number that justifies the band/row configuration
+    before a 100 TB run (the S-curve says 4 bands × 3 rows catches a
+    0.5-Jaccard pair with p = 1-(1-0.5³)⁴ ≈ 0.41 — a LOW-recall
+    configuration this eval makes visible).
+
+    Ground truth WITHOUT a cartesian: the inverted-index recipe —
+    pairs sharing ≥ 1 distinct token (a superset of every pair with
+    Jaccard > 0), exact-verified; posting-list join cost is Σ df²,
+    the standard bound (production samples or caps hot tokens).
+    Both the candidate and truth sets are checkpointed once."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words")
+    ).localCheckpoint(eager=True)
+    inv = ws.select("doc_id", F.explode("words").alias("tok"))
+    i2 = inv.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok2"))
+    shared = (
+        inv.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(i2, (F.col("tok") == F.col("tok2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    jac = F.size(F.array_intersect("wa", "wb")).cast("double") / F.size(
+        F.array_union("wa", "wb")
+    )
+    truth = (
+        shared.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    hit = truth.join(
+        cand, (F.col("doc_a") == F.col("c_a")) & (F.col("doc_b") == F.col("c_b")), "left"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("c_a").cast("bigint").alias("n_caught"),
+        F.round(F.count("c_a").cast("double") / F.count(F.lit(1)), 4).alias(
+            "recall"
+        ),
     )
