@@ -914,3 +914,77 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+def _threshold_sweep_oracle() -> str:
+    from duckdb_hdfs_spark.functions.vectors import dot_sql, norm_sql
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys_sql
+
+    d = dot_sql("a.embedding", "b.embedding")
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding,
+           {norm_sql('embedding')} AS nrm,
+           unnest({lsh_band_keys_sql('embedding')}) AS band_key
+    FROM embeddings
+),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           max({d} / (a.nrm * b.nrm)) AS cos
+    FROM v a JOIN v b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+    GROUP BY va, vb
+)
+SELECT tau, CAST(count(*) FILTER (WHERE cos >= tau) AS BIGINT) AS n_pairs
+FROM pairs, (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau)
+GROUP BY tau
+"""
+
+
+@query("dedup_embedding_threshold_sweep", oracle=_threshold_sweep_oracle())
+def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold calibration sweep (round 5): candidate-pair
+    counts at τ ∈ {0.3, 0.5, 0.7, 0.9} from ONE scoring pass — the
+    panel that picks the dedup threshold before committing a 100 TB
+    run (each τ trades recall against deletion volume; re-scoring per
+    τ would 4× the dominant cost).
+
+    Scale shape: band-bucket candidates scored once, deduplicated to
+    per-pair max cosine (a pair can share several buckets), then a
+    4-way conditional count over a broadcast τ list — the sweep adds
+    one tiny fan-out join, not another corpus pass."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "band_key",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), "band_key",
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.max(cos).alias("cos"))
+    )
+    taus = spark.createDataFrame([(t,) for t in (0.3, 0.5, 0.7, 0.9)], "tau double")
+    return (
+        pairs.join(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.count(F.when(F.col("cos") >= F.col("tau"), 1))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )

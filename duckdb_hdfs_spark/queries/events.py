@@ -779,3 +779,64 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("type_mad"),
         (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_stickiness",
+    oracle="""
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+dau AS (
+    SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+    FROM events GROUP BY day
+),
+wau AS (
+    SELECT d.day, count(DISTINCT e.user_id) AS wau
+    FROM days d JOIN events e
+      ON e.ts >= d.day - INTERVAL 6 DAY AND e.ts < d.day + INTERVAL 1 DAY
+    GROUP BY d.day
+)
+SELECT d.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+""",
+)
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day (round 5): the engagement-quality
+    ratio every growth dashboard tracks (1.0 = everyone active daily;
+    0.14 = weekly one-timers).  WAU reuses the ev_rolling_dau range
+    join — distinct users over each trailing 7-day window via a
+    bounded day × events interval join, never a per-day rescan of
+    history.
+
+    Scale shape: the day spine is tiny and broadcasts onto events
+    (each event lands in ≤ 7 windows — bounded fan-out), both
+    distinct aggregates partial-aggregate, and the final 3-way join
+    runs at day grain."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    dau = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        F.broadcast(days)
+        .join(
+            ev,
+            (F.col("ts") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("ts") < F.col("day") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -306,3 +306,55 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_code_detection",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(replace(replace(replace(
+                text, '{', ''), '}', ''), ';', ''), '=', '')) AS BIGINT)
+           AS n_code_chars,
+       CAST(len(regexp_extract_all(
+                text, '(def |class |import |return |void |public )'))
+            AS BIGINT) AS n_keywords,
+       round(CAST(length(text) - length(replace(replace(replace(replace(
+                text, '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
+             / length(text), 5) AS symbol_ratio,
+       (CAST(length(text) - length(replace(replace(replace(replace(
+                text, '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
+            / length(text) > 0.02
+        OR len(regexp_extract_all(
+               text, '(def |class |import |return |void |public )')) >= 3)
+           AS looks_like_code
+FROM documents
+""",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristic (round 5): the curation
+    signal that routes documents to a code-specific pipeline (or out
+    of a prose corpus) — symbol density ({} ; =) plus programming
+    keyword hits, the cheap precursor to a fasttext classifier.
+    Counting via length-difference-after-replace is exact and
+    engine-identical; the flag compares the UNROUNDED ratio.
+    Map-only, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    stripped = F.col("text")
+    for ch in ("{", "}", ";", "="):
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    n_code = (F.length("text") - F.length(stripped)).cast("bigint")
+    n_kw = F.size(
+        F.expr(
+            r"regexp_extract_all(text,"
+            r" '(def |class |import |return |void |public )', 0)"
+        )
+    ).cast("bigint")
+    ratio = n_code.cast("double") / F.length("text")
+    return docs.select(
+        "doc_id",
+        n_code.alias("n_code_chars"),
+        n_kw.alias("n_keywords"),
+        F.round(ratio, 5).alias("symbol_ratio"),
+        ((ratio > 0.02) | (n_kw >= 3)).alias("looks_like_code"),
+    )
