@@ -813,3 +813,157 @@ def ev_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_view_ts",
         "first_view_event_id",
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_repeat_intervals",
+    oracle="""
+WITH g AS (
+    SELECT o_custkey,
+           datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS gap_days
+    FROM orders
+)
+SELECT o_custkey AS custkey,
+       count(*) AS n_orders,
+       count(gap_days) AS n_repeat,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       round(CAST(sum(gap_days) AS DOUBLE) / count(gap_days), 4)
+           AS mean_gap_days
+FROM g
+GROUP BY o_custkey
+HAVING count(gap_days) >= 1
+""",
+)
+def orders_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer: day gaps between
+    consecutive orders (lag over the per-customer order stream), then
+    count/min/max/mean of the gaps — the survival-analysis input for
+    churn models, and the batch twin of ev_inter_event_times on the
+    transactional table.
+
+    Scale shape: ONE shuffle on o_custkey feeding a partitioned
+    window (per-customer order counts are bounded — TPC-H ~10), then
+    the aggregate reuses the same partitioning.  Integer day gaps sum
+    exactly; the mean is a single integer/integer IEEE division
+    rounded identically on both engines.  Ties on order date resolve
+    by o_orderkey in the lag ordering on both sides."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("gap_days").alias("n_repeat"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count("gap_days"), 4
+            ).alias("mean_gap_days"),
+        )
+        .filter(F.col("n_repeat") >= 1)
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_market_basket",
+    oracle="""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, p_brand AS brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+bc AS (SELECT brand, count(*) AS c FROM basket GROUP BY brand),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_n
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, pair_n, ca.c AS c_a, cb.c AS c_b,
+       round(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(pair_n AS DOUBLE) / ca.c, 6) AS confidence,
+       round(CAST(pair_n AS DOUBLE) * n_orders / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN bc ca ON pairs.brand_a = ca.brand
+JOIN bc cb ON pairs.brand_b = cb.brand
+CROSS JOIN tot
+WHERE pair_n >= 2
+""",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at brand granularity:
+    support / confidence / lift for every brand pair co-occurring in
+    ≥2 orders — the classic co-purchase affinity panel (Agrawal-style
+    frequent itemsets, restricted to 2-itemsets which cover the bulk
+    of production recommender rules).
+
+    Scale shape: the basket (order, brand) set derives from ONE
+    lineitem scan (broadcast part dim for the brand lookup) and is
+    localCheckpoint-ed so the three consumers — pair self-join, brand
+    marginals, order total — reuse the materialized copy instead of
+    re-scanning the fact table.  The pair join is keyed on
+    l_orderkey: per-order distinct brands are bounded by lines per
+    order (≤7 in TPC-H), so candidate pairs stay LINEAR in orders —
+    never a brand-keyed quadratic.  Marginals and the 1-row total
+    attach as broadcast joins; every ratio is an integer/integer IEEE
+    division rounded identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bc = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.select(F.col("l_orderkey"), F.col("brand").alias("brand_a"))
+    b = basket.select(
+        F.col("l_orderkey").alias("bk"), F.col("brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("bk"))
+               & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .join(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            "c_a",
+            "c_b",
+            F.round(F.col("pair_n").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("pair_n").cast("double") / F.col("c_a"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -809,21 +809,30 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded day × events interval join, never a per-day rescan of
     history.
 
-    Scale shape: the day spine is tiny and broadcasts onto events
-    (each event lands in ≤ 7 windows — bounded fan-out), both
-    distinct aggregates partial-aggregate, and the final 3-way join
-    runs at day grain."""
+    Scale shape: events collapse ONCE to the distinct (user, day)
+    panel, which is localCheckpoint-ed — the day spine, DAU counts,
+    and the WAU interval join all derive from the materialized panel,
+    so the event stream is scanned exactly once (the previous
+    4-branch lineage re-scanned it per consumer).  The broadcast day
+    spine joins the PANEL, not raw events: fan-out is ≤7 panel rows
+    per (user, day), and the distinct aggregates partial-aggregate
+    before their shuffles.  The final 3-way join runs at day grain."""
     ev = _t(spark, sf_dir, "events")
-    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
-    dau = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.countDistinct("user_id").alias("dau")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = daily.select(F.col("d").alias("day")).distinct()
+    dau = daily.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
     )
     wau = (
         F.broadcast(days)
         .join(
-            ev,
-            (F.col("ts") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
-            & (F.col("ts") < F.col("day") + F.expr("INTERVAL 1 DAY")),
+            daily,
+            (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("d") <= F.col("day")),
         )
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
@@ -839,4 +848,160 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stickiness"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_anomaly_ewma",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT a.event_type, a.day, a.n, b.n AS pn,
+           datediff('day', b.day, a.day) AS gap
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND datediff('day', b.day, a.day) BETWEEN 1 AND 14
+)
+SELECT event_type, day, n,
+       count(*) AS n_prior,
+       round(sum(CAST(pn AS DOUBLE) / (1::BIGINT << gap))
+             / sum(1.0 / (1::BIGINT << gap)), 6) AS ewma,
+       CASE WHEN n > 2.0 * (sum(CAST(pn AS DOUBLE) / (1::BIGINT << gap))
+                            / sum(1.0 / (1::BIGINT << gap)))
+            THEN 1 ELSE 0 END AS is_burst
+FROM j GROUP BY 1, 2, 3
+""",
+)
+def ev_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA anomaly baseline per event type: each day's count vs the
+    exponentially-weighted mean of the preceding 14 days with decay
+    α = 1/2 — the recency-weighted sibling of ev_anomaly_zscore
+    (uniform window) and ev_anomaly_mad (robust), completing the
+    anomaly-detector family.
+
+    Determinism: the decay weight is 1/2^gap built from an integer
+    shift (``shiftleft``/``<<``), NEVER libm ``pow`` — every weight is
+    an exact binary double, every term n·2⁻ᵍᵃᵖ is exact (≤31
+    significant bits), and the 14-term sums are exact in double, so
+    numerator/denominator are order-independent and the flag
+    threshold is engine-identical without rounding tricks.
+
+    Scale shape: the daily panel is ONE partial-aggregated shuffle of
+    the event stream, localCheckpoint-ed so the self-join reads the
+    tiny (type × day) panel, not the stream, twice.  The join is
+    equi-keyed on event_type with the 14-day band as residual —
+    per-key rows are bounded by the calendar (days), not the data."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("pn"),
+    )
+    gap = F.datediff(F.col("day"), F.col("b_day"))
+    j = (
+        daily.join(
+            b,
+            (F.col("event_type") == F.col("b_type")) & gap.between(1, 14),
+        )
+        .withColumn("gap", gap)
+        .withColumn("w", F.expr("1.0d / shiftleft(1L, cast(gap AS INT))"))
+    )
+    ewma_raw = F.sum(F.col("pn").cast("double") * F.col("w")) / F.sum("w")
+    return j.groupBy("event_type", "day", "n").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.round(ewma_raw, 6).alias("ewma"),
+        F.when(F.col("n") > 2.0 * ewma_raw, 1).otherwise(0).alias("is_burst"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_session_paths",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+),
+ranked AS (
+    SELECT user_id, session_no, event_type,
+           row_number() OVER (PARTITION BY user_id, session_no
+                              ORDER BY ts, event_id) AS rn
+    FROM sess
+),
+paths AS (
+    SELECT user_id, session_no,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths: the first ≤3 event types of every
+    30-min session concatenated ('view>click>purchase'), ranked by
+    session count — the path-analysis panel product teams read next
+    to the funnel (which fixes the stage order; this one discovers
+    it).
+
+    Scale shape: sessionization is the ev_sessionize lag→cumsum shape
+    (one user-keyed shuffle, partitioned windows only); the per-session
+    path folds via sort_array over a ≤3-element collect_list (bounded
+    by the rn filter BEFORE the aggregate, so state per session is 3
+    structs, not the whole session); the final top-20 is
+    TakeOrderedAndProject (no global sort), tie-broken on the path
+    string so the cut is deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(cum))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    )
+    first3 = sess.withColumn("rn", rn).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
     )

@@ -816,3 +816,92 @@ def sim_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mutual_degree")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+           FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+    SELECT p.probe_id, p.plabel, c.vec_id, c.label,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM embeddings c, p
+    WHERE c.vec_id <> p.probe_id
+),
+nn AS (
+    SELECT probe_id, plabel, label FROM (
+        SELECT probe_id, plabel, label,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rk
+        FROM scored) t
+    WHERE rk <= 3
+),
+votes AS (
+    SELECT probe_id, plabel, label, count(*) AS v
+    FROM nn GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT probe_id, plabel, label AS pred_label FROM (
+        SELECT probe_id, plabel, label,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY v DESC, label) AS rk
+        FROM votes) t
+    WHERE rk = 1
+)
+SELECT plabel AS label,
+       count(*) AS n_probes,
+       CAST(sum(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS accuracy
+FROM pred GROUP BY plabel
+""",
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 3-NN classification accuracy per label — the
+    standard embedding-quality eval (if labels aren't recoverable
+    from neighborhoods, the embedding space is noise and every
+    downstream ANN/cluster pass inherits it).  Majority vote over the
+    3 nearest neighbors, ties broken to the smallest label on both
+    engines.
+
+    Scale shape: reuses brute_topk — probes broadcast, corpus scored
+    map-side, per-partition partial top-k ahead of the only corpus
+    shuffle.  Neighbor labels attach via a broadcast join on the tiny
+    (probes × 3) winner set; the vote and the accuracy rollup are
+    probe-keyed partitioned windows and partial-aggregated group-bys.
+    The 100 TB upgrade swaps brute_topk for the IVF/PQ path — the
+    vote/accuracy stages are index-agnostic."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 5 == 0)
+    winners = brute_topk(
+        probes.select("vec_id", "embedding"), emb, k=3, exclude_self=True
+    )
+    clabels = emb.select("vec_id", "label")
+    nn = clabels.join(F.broadcast(winners), "vec_id")
+    votes = nn.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("v"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"))
+    )
+    truth = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("plabel")
+    )
+    correct = F.when(F.col("pred_label") == F.col("plabel"), 1).otherwise(0)
+    return (
+        pred.join(F.broadcast(truth), "probe_id")
+        .groupBy(F.col("plabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(correct).alias("n_correct"),
+            F.round(
+                F.sum(correct).cast("double") / F.count(F.lit(1)), 4
+            ).alias("accuracy"),
+        )
+    )

@@ -573,3 +573,52 @@ def sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_or_default"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_json_funcs",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CAST(json_array_length(concat('[', repeat('0,', user_id % 4), '0]'))
+            AS BIGINT) AS arr_len,
+       json_extract_string(
+           concat('{"u":', user_id, ',"tags":["a","b"]}'), '$.tags[1]')
+           AS tag1
+FROM events
+""",
+)
+def sql_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function class (round 5): path extraction
+    (``get_json_object`` ↔ ``json_extract_string``), typed extraction
+    via ``from_json`` with an explicit schema (↔ CAST of
+    ``json_extract``), key enumeration (``json_object_keys`` ↔
+    ``json_keys``), array length, and array-index paths — the
+    semi-structured surface DuckDB serves over HDFS JSON/NDJSON files
+    and the hot path of every props-bearing event pipeline.
+
+    All map-only JVM expressions (Spark's JSON path functions are
+    codegen'd, not UDFs) — embarrassingly parallel at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"u":'), F.col("user_id"), F.lit(',"tags":["a","b"]}')
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT")["k"].alias("k_typed"),
+        F.array_join(F.json_object_keys("props"), ",").alias("prop_keys"),
+        F.json_array_length(
+            F.concat(
+                F.lit("["),
+                F.repeat(F.lit("0,"), (F.col("user_id") % 4).cast("int")),
+                F.lit("0]"),
+            )
+        )
+        .cast("long")
+        .alias("arr_len"),
+        F.get_json_object(nested, "$.tags[1]").alias("tag1"),
+    )

@@ -178,6 +178,11 @@ _SCAN_BUDGET_EXCEPTIONS = {
                                 # two label-only scans (column-pruned to
                                 # (vec_id,label) — no embedding read) that
                                 # attach labels to the tiny winner set
+    "sim_knn_label_accuracy": 4,  # same shape as sim_knn_join: corpus +
+                                # broadcast probes for scoring, plus a
+                                # label-only neighbor scan and a
+                                # label-only truth scan (both pruned to
+                                # (vec_id,label)) on the tiny winner set
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
     "sketch_hll_distinct": 3,   # audit query: per-type branch + sketch-union
