@@ -967,3 +967,108 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_priority_drift",
+    oracle="""
+WITH panel AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderpriority AS prio, count(*) AS n
+    FROM orders GROUP BY 1, 2
+),
+m AS (SELECT month, sum(n) AS m_tot FROM panel GROUP BY month),
+g AS (SELECT prio, sum(n) AS gn FROM panel GROUP BY prio),
+t AS (SELECT sum(n) AS tot FROM panel),
+d AS (
+    SELECT panel.month, m.m_tot, panel.prio,
+           round(abs(CAST(panel.n AS DOUBLE) / m.m_tot
+                     - CAST(g.gn AS DOUBLE) / t.tot), 6) AS delta
+    FROM panel JOIN m USING (month) JOIN g USING (prio) CROSS JOIN t
+),
+agg AS (
+    SELECT month, CAST(m_tot AS BIGINT) AS n_orders,
+           CAST(sum(CAST(delta AS DECIMAL(18,6))) AS DOUBLE)
+               AS l1_distance,
+           max(delta) AS max_abs_delta
+    FROM d GROUP BY month, m_tot
+),
+top AS (
+    SELECT month, prio AS top_priority FROM (
+        SELECT month, prio,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY delta DESC, prio DESC) AS rk
+        FROM d) t WHERE rk = 1
+)
+SELECT agg.month, n_orders, l1_distance, max_abs_delta, top_priority
+FROM agg JOIN top USING (month)
+""",
+)
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-priority mix-shift monitor: per month, the L1
+    distance (= 2x total variation) between that month's priority
+    distribution and the all-time mix, plus the most-drifted priority —
+    the input-drift alarm every production pipeline wants BEFORE a
+    model retrains on a skewed month.
+
+    Determinism: each |share_month − share_global| is an
+    integer/integer IEEE division pair rounded to 6 decimals BEFORE
+    the L1 sum, which runs in DECIMAL and converts to double exactly
+    (halving to TV would force a second double-round, which differs
+    across engines at .5 boundaries — report L1, halve downstream);
+    the arg-max
+    priority ties break to the lexicographically larger priority on
+    both engines (max_by struct ↔ row_number DESC, DESC).
+
+    Scale shape: ONE orders scan collapses to the (month × priority)
+    panel (partial-aggregated, cardinality = months × 5), which is
+    localCheckpoint-ed; month totals, global mix, and the grand total
+    all derive from the panel and re-attach as broadcast joins —
+    nothing after the first shuffle is data-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    panel = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    m = panel.groupBy("month").agg(F.sum("n").alias("m_tot"))
+    g = panel.groupBy("prio").agg(F.sum("n").alias("gn"))
+    t = panel.agg(F.sum("n").alias("tot"))
+    d = (
+        panel.join(m, "month")
+        .join(F.broadcast(g), "prio")
+        .join(F.broadcast(t))
+        .withColumn(
+            "delta",
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("m_tot")
+                    - F.col("gn").cast("double") / F.col("tot")
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        d.groupBy("month", "m_tot")
+        .agg(
+            F.sum(F.col("delta").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("l1_distance"),
+            F.max("delta").alias("max_abs_delta"),
+            F.max_by(
+                "prio", F.struct(F.col("delta"), F.col("prio"))
+            ).alias("top_priority"),
+        )
+        .select(
+            "month",
+            F.col("m_tot").alias("n_orders"),
+            "l1_distance",
+            "max_abs_delta",
+            "top_priority",
+        )
+    )

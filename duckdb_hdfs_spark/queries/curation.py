@@ -796,3 +796,99 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_length_drift_by_source",
+    oracle="""
+WITH panel AS (
+    SELECT source, length(bin(n_chars)) AS bucket, count(*) AS n
+    FROM documents GROUP BY 1, 2
+),
+s AS (SELECT source, sum(n) AS s_tot FROM panel GROUP BY source),
+g AS (SELECT bucket, sum(n) AS gn FROM panel GROUP BY bucket),
+t AS (SELECT sum(n) AS tot FROM panel),
+d AS (
+    SELECT panel.source, s.s_tot, panel.bucket,
+           round(abs(CAST(panel.n AS DOUBLE) / s.s_tot
+                     - CAST(g.gn AS DOUBLE) / t.tot), 6) AS delta
+    FROM panel JOIN s USING (source) JOIN g USING (bucket) CROSS JOIN t
+),
+agg AS (
+    SELECT source, CAST(s_tot AS BIGINT) AS n_docs,
+           CAST(sum(CAST(delta AS DECIMAL(18,6))) AS DOUBLE)
+               AS l1_distance,
+           max(delta) AS max_abs_delta
+    FROM d GROUP BY source, s_tot
+),
+top AS (
+    SELECT source, CAST(bucket AS BIGINT) AS top_bucket FROM (
+        SELECT source, bucket,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY delta DESC, bucket DESC) AS rk
+        FROM d) t WHERE rk = 1
+)
+SELECT agg.source, n_docs, l1_distance, max_abs_delta, top_bucket
+FROM agg JOIN top USING (source)
+""",
+)
+def corpus_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift: L1 distance (= 2x total
+    variation) between each source's power-of-two length histogram
+    and the corpus-wide histogram, plus the most-divergent bucket — the
+    provenance QC that catches a source whose scrape changed shape
+    (truncated pages, boilerplate inflation) before it poisons the
+    mix weights.  Shares the text_length_histogram bucket expression
+    (``bin()`` string length — no floating log) and the
+    orders_priority_drift L1 recipe (per-cell deltas rounded to 6
+    decimals, then a DECIMAL sum — order-independent).
+
+    Scale shape: ONE documents scan → (source × ~40 buckets) panel,
+    localCheckpoint-ed; marginals re-attach as broadcast joins."""
+    docs = _t(spark, sf_dir, "documents")
+    panel = (
+        docs.groupBy(
+            "source",
+            F.length(F.expr("bin(n_chars)")).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = panel.groupBy("source").agg(F.sum("n").alias("s_tot"))
+    g = panel.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    t = panel.agg(F.sum("n").alias("tot"))
+    d = (
+        panel.join(s, "source")
+        .join(F.broadcast(g), "bucket")
+        .join(F.broadcast(t))
+        .withColumn(
+            "delta",
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("s_tot")
+                    - F.col("gn").cast("double") / F.col("tot")
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        d.groupBy("source", "s_tot")
+        .agg(
+            F.sum(F.col("delta").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("l1_distance"),
+            F.max("delta").alias("max_abs_delta"),
+            F.max_by(
+                "bucket", F.struct(F.col("delta"), F.col("bucket"))
+            ).alias("top_bucket"),
+        )
+        .select(
+            "source",
+            F.col("s_tot").alias("n_docs"),
+            "l1_distance",
+            "max_abs_delta",
+            "top_bucket",
+        )
+    )

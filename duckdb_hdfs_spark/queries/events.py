@@ -1005,3 +1005,65 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_daily_conversion_wilson",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events GROUP BY 1
+)
+SELECT day, n_events, purchases,
+       round(CAST(purchases AS DOUBLE) / n_events, 6) AS purchase_share,
+       round((CAST(purchases AS DOUBLE) / n_events
+              + (1.96 * 1.96) / (2 * CAST(n_events AS DOUBLE))
+              - 1.96 * sqrt(((CAST(purchases AS DOUBLE) / n_events)
+                             * (1 - CAST(purchases AS DOUBLE) / n_events)
+                             + (1.96 * 1.96) / (4 * CAST(n_events AS DOUBLE)))
+                            / CAST(n_events AS DOUBLE)))
+             / (1 + (1.96 * 1.96) / CAST(n_events AS DOUBLE)), 6)
+           AS wilson_low
+FROM daily
+""",
+)
+def ev_daily_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase share (purchases / ALL events — a true
+    proportion in [0,1]) with the 95% Wilson-score lower bound — the
+    statistically honest way to rank days (or experiments) when daily
+    volumes differ by orders of magnitude (a 2-of-3 day shouldn't
+    outrank a 400-of-1000 day).
+
+    Determinism: the Wilson formula uses only +,−,×,÷ and one IEEE
+    ``sqrt`` (correctly rounded by the standard, so engine-identical
+    — the repo's libm rule bans transcendentals, not sqrt), composed
+    in the SAME association order on both engines, then rounded once.
+
+    Scale shape: one conditional-count aggregation (map-side partial)
+    at day grain; the bound is a map-only expression on the tiny
+    panel."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    z2 = F.lit(1.96) * F.lit(1.96)
+    nv = F.col("n_events").cast("double")
+    p = F.col("purchases").cast("double") / F.col("n_events")
+    wilson = (
+        p
+        + z2 / (2 * nv)
+        - F.lit(1.96) * F.sqrt((p * (1 - p) + z2 / (4 * nv)) / nv)
+    ) / (1 + z2 / nv)
+    return daily.select(
+        "day",
+        "n_events",
+        "purchases",
+        F.round(p, 6).alias("purchase_share"),
+        F.round(wilson, 6).alias("wilson_low"),
+    )

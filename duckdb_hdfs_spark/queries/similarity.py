@@ -905,3 +905,77 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "emb_matryoshka_recall",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe,
+                  embedding[1:16] AS pe16
+           FROM embeddings WHERE vec_id % 20 = 0),
+full_nn AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY {cosine_sql('p.pe', 'c.embedding')} DESC,
+                             c.vec_id) AS rk
+        FROM embeddings c, p
+        WHERE c.vec_id <> p.probe_id) t
+    WHERE rk <= 5
+),
+trunc_nn AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY {cosine_sql('p.pe16', 'c.e16')} DESC,
+                             c.vec_id) AS rk
+        FROM (SELECT vec_id, embedding[1:16] AS e16 FROM embeddings) c, p
+        WHERE c.vec_id <> p.probe_id) t
+    WHERE rk <= 5
+)
+SELECT f.probe_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       round(CAST(count(t.vec_id) AS DOUBLE) / 5, 2) AS recall_at_5
+FROM full_nn f
+LEFT JOIN trunc_nn t
+  ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+GROUP BY f.probe_id
+""",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@5 of exact
+    top-k computed on the FIRST 16 of 64 dimensions vs the full-dim
+    top-k — the go/no-go number for serving truncated embeddings
+    (MRL-trained models keep this high; if recall craters, the index
+    can't shed dimensions).  At 100 TB a 4× dimension cut is a 4× cut
+    in scan bytes, shuffle volume, and ANN memory — this eval prices
+    that trade.
+
+    Scale shape: both arms are brute_topk (broadcast probes, map-side
+    scoring, partial top-k before the only shuffle); the truncated
+    arm slices vectors map-side.  The overlap join runs on the tiny
+    probes × 5 winner sets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    sliced = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    full_nn = brute_topk(
+        probes.select("vec_id", "embedding"), emb, k=5, exclude_self=True
+    )
+    trunc_nn = brute_topk(
+        probes.select("vec_id", sliced),
+        emb.select("vec_id", sliced),
+        k=5,
+        exclude_self=True,
+    )
+    hits = trunc_nn.select("probe_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        full_nn.join(F.broadcast(hits), ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            F.round(F.count("hit").cast("double") / 5, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -183,6 +183,9 @@ _SCAN_BUDGET_EXCEPTIONS = {
                                 # label-only neighbor scan and a
                                 # label-only truth scan (both pruned to
                                 # (vec_id,label)) on the tiny winner set
+    "emb_matryoshka_recall": 4,  # two brute_topk arms (full-dim +
+                                # truncated), each scanning corpus +
+                                # broadcast probes once
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
     "sketch_hll_distinct": 3,   # audit query: per-type branch + sketch-union
