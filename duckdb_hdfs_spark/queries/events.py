@@ -1067,3 +1067,62 @@ def ev_daily_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("purchase_share"),
         F.round(wilson, 6).alias("wilson_low"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_active_streaks",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+isl AS (
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', d)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+    FROM daily
+),
+streaks AS (
+    SELECT user_id, island, count(*) AS len
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+)
+def ev_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands classic at day grain (engagement teams ship this
+    as 'your streak'; cohort analysts use it as a habit-strength
+    feature).  Island id = day-number minus per-user row_number:
+    constant exactly on consecutive runs.
+
+    Scale shape: events collapse to the distinct (user, day) panel in
+    one partial-aggregated pass, then every window is PARTITIONED by
+    user (bounded by calendar days per user) — the same single
+    user-keyed shuffle sessionization uses, reused by both the window
+    and the two group-bys."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = daily.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01")))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

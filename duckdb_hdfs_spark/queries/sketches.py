@@ -514,3 +514,102 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("cms_est"),
         (est >= F.col("n_exact")).alias("never_undercounts"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_intersection",
+    oracle="""
+WITH panel AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+n AS (SELECT event_type, count(*) AS n FROM panel GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_inter
+    FROM panel a JOIN panel b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       na.n AS n_a, nb.n AS n_b, n_inter,
+       TRUE AS inter_ok
+FROM inter
+JOIN n na ON inter.type_a = na.event_type
+JOIN n nb ON inter.type_b = nb.event_type
+""",
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user OVERLAP between event types estimated
+    from HLL sketches by inclusion-exclusion (|A∩B| ≈ |A| + |B| −
+    |A∪B|, the union via sketch merge — no rescan), exact-audited:
+    the emitted boolean asserts the estimate lands within
+    5%·(|A|+|B|)+2 of the exact intersection (intersection error
+    compounds both sketches' bounds, hence the summed tolerance).
+    The production value: audience-overlap matrices over 10⁹-user
+    sets from kilobyte sketches, no pairwise user-level join.
+
+    Scale shape: ONE events scan → distinct (type, user) panel,
+    localCheckpoint-ed; per-type sketches AND exact counts derive
+    from the panel (sketch state is constant bytes per type); the
+    5×5 pair frame is sketch-sized and joins on a literal key
+    (broadcast hash, not cartesian); the exact-intersection AUDIT
+    self-joins the panel on user_id — the one data-sized shuffle,
+    absent from the production form which carries only sketches."""
+    ev = _t(spark, sf_dir, "events")
+    panel = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per = panel.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("k", F.lit(1))
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+        "k",
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+        "k",
+    )
+    pairs = a.join(F.broadcast(b), "k").filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    inter = (
+        panel.alias("x")
+        .join(
+            panel.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    est = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.abs(est - F.col("n_inter"))
+                <= 0.05 * (F.col("n_a") + F.col("n_b")) + 2
+            ).alias("inter_ok"),
+        )
+    )

@@ -358,3 +358,59 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 5).alias("symbol_ratio"),
         ((ratio > 0.02) | (n_kw >= 3)).alias("looks_like_code"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_tokenizer_fertility",
+    oracle=rf"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+           AS total_word_tokens,
+       round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+             / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6)
+           AS fertility,
+       round(CAST(sum(n_chars) AS DOUBLE)
+             / sum(len(regexp_extract_all(text, '{_BPE_RE}'))), 6)
+           AS chars_per_token
+FROM documents
+GROUP BY source, lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility panel per (source, lang): BPE-ish tokens
+    per whitespace word (fertility — the classic cross-lingual
+    tokenizer-cost metric) and characters per token — what a training
+    team reads to price each slice's context-window cost before
+    committing mix weights (a high-fertility slice buys fewer
+    effective documents per token budget).
+
+    Scale shape: pure map work (two regexp token counts per doc)
+    into ONE partial-aggregated group-by at (source × lang) grain;
+    integer token sums are exact, the two ratios are single
+    long/long IEEE divisions rounded identically on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+    )
+    words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    return (
+        docs.select("source", "lang", "n_chars", bpe.alias("b"), words.alias("w"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("b").alias("total_bpe_tokens"),
+            F.sum("w").alias("total_word_tokens"),
+            F.round(
+                F.sum("b").cast("double") / F.sum("w"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("b"), 6
+            ).alias("chars_per_token"),
+        )
+    )
