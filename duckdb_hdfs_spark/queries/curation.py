@@ -892,3 +892,79 @@ def corpus_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             "top_bucket",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_quality_dup_calibration",
+    oracle=rf"""
+WITH scored AS (
+    SELECT doc_id, {quality_score_sql('text', _TOKS)} AS q,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM documents
+),
+flagged AS (
+    SELECT doc_id, q,
+           CASE WHEN count(*) OVER (PARTITION BY h) > 1
+                THEN 1 ELSE 0 END AS is_dup
+    FROM scored
+),
+tiled AS (
+    SELECT q, is_dup,
+           ntile(4) OVER (ORDER BY q DESC, doc_id) AS q_tile
+    FROM flagged
+)
+SELECT q_tile, count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate,
+       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_quality
+FROM tiled GROUP BY q_tile
+""",
+)
+def corpus_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile × exact-duplicate calibration: does the cheap
+    quality score actually separate duplicated boilerplate?  Each
+    quartile reports its duplicate rate and mean quality — if dup
+    rate doesn't fall with quality, the filter threshold is mis-set
+    (this cross-check is how curation teams catch a quality heuristic
+    that accidentally REWARDS templates).
+
+    Scale shape: one documents scan computes score + content hash
+    map-side; the dup flag is a hash-PARTITIONED window count; the
+    quartile comes from operators/ranks.distributed_ntile — range
+    buckets on broadcast quantile bounds, per-bucket rank, broadcast
+    offsets — so there is NO partition-less window anywhere despite
+    the global quartile semantics (hash-matches DuckDB's global
+    ntile)."""
+    from duckdb_hdfs_spark.operators.dedup import norm_text
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.col("text"), toks).alias("q"),
+        F.md5(norm_text(F.col("text"))).alias("h"),
+    )
+    wc = Window.partitionBy("h")
+    flagged = scored.withColumn(
+        "is_dup",
+        F.when(F.count(F.lit(1)).over(wc) > 1, 1).otherwise(0),
+    ).drop("h")
+    tiled = distributed_ntile(
+        flagged, [("q", "desc"), ("doc_id", "asc")], out="q_tile", n_buckets=4
+    )
+    return tiled.groupBy("q_tile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dups"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )

@@ -1126,3 +1126,104 @@ def ev_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_funnel_windowed",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, event_type, ts, event_id,
+           max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lv
+    FROM events
+),
+s2 AS (
+    SELECT user_id, event_type, ts, event_id, lv,
+           CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(lv) <= 3600000000
+                THEN 1 ELSE 0 END AS is_qc
+    FROM s1
+),
+s3 AS (
+    SELECT user_id, event_type, ts, is_qc,
+           max(CASE WHEN is_qc = 1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS qc_ts
+    FROM s2
+),
+per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           max(is_qc) AS has_qc,
+           max(CASE WHEN event_type = 'purchase' AND qc_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(qc_ts) <= 86400000000
+                    THEN 1 ELSE 0 END) AS has_qp
+    FROM s3 GROUP BY user_id
+)
+SELECT CAST(sum(has_view) AS BIGINT) AS n_view_users,
+       CAST(sum(has_qc) AS BIGINT) AS n_click_1h_users,
+       CAST(sum(has_qp) AS BIGINT) AS n_purchase_24h_users
+FROM per_user
+""",
+)
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel: view → click within 1 hour of the latest
+    view → purchase within 24 hours of the latest qualifying click —
+    the realistic attribution funnel (ev_funnel's unbounded ordering
+    credits a purchase to a view from three weeks earlier).
+
+    Spark-first shape: NO self-joins — the 'latest view before me'
+    and 'latest qualifying click before me' lookups are running
+    conditional ``max`` windows over the per-user ordered stream
+    (the as-of union-sort trick applied twice in one pass), so the
+    whole funnel costs ONE user-keyed shuffle; the second window
+    reuses the first's partitioning and sort.  Per-user flags then
+    roll up map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ev = _t(spark, sf_dir, "events")
+    s1 = ev.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "is_qc",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("lv").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("lv")
+                <= 3_600_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s3 = s2.withColumn(
+        "qc_ts", F.max(F.when(F.col("is_qc") == 1, F.col("ts"))).over(w)
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_view"),
+        F.max("is_qc").alias("has_qc"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("qc_ts").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros("qc_ts")
+                    <= 86_400_000_000
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("has_qp"),
+    )
+    return per_user.agg(
+        F.sum("has_view").alias("n_view_users"),
+        F.sum("has_qc").alias("n_click_1h_users"),
+        F.sum("has_qp").alias("n_purchase_24h_users"),
+    )
