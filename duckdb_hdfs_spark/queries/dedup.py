@@ -988,3 +988,102 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("n_pairs")
         )
     )
+
+
+# --------------------------------------------------------------------------
+_SWEEP_CONFIGS = ((12, 1), (6, 2), (4, 3), (3, 4), (2, 6))  # (bands, rows)
+
+
+def _sweep_arm_sql(nb: int, rows: int) -> str:
+    """One UNION arm of the band-sweep oracle: bucket-mass stats for
+    a (bands × rows) regrouping of the shared 12-perm signature."""
+    return f"""
+SELECT 'b{nb}r{rows}' AS config,
+       CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pair_mass,
+       count(*) AS n_buckets_multi,
+       CAST(max(sz) AS BIGINT) AS max_bucket
+FROM (
+    SELECT band_idx, band_key, count(*) AS sz FROM (
+        SELECT doc_id, gs.i - 1 AS band_idx,
+               {band_keys_sql('sig', band_rows=rows, num_bands=nb)}[gs.i]
+                   AS band_key
+        FROM sigs
+        CROSS JOIN (SELECT unnest(generate_series(1, {nb})) AS i) gs
+    ) GROUP BY band_idx, band_key
+) WHERE sz > 1"""
+
+
+@query(
+    "dedup_lsh_band_sweep",
+    oracle=f"""
+WITH
+sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> {shingle_hash_sql('s')}) AS hashes
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id, {minhash_sigints_sql('hashes')} AS sig FROM hs
+)
+{' UNION ALL '.join(_sweep_arm_sql(nb, rows) for nb, rows in _SWEEP_CONFIGS)}
+""",
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/row S-curve calibration sweep: candidate-pair mass
+    (Σ C(bucket, 2)), multi-doc bucket count, and max bucket size for
+    FIVE (bands × rows) regroupings of the SAME 12-permutation
+    minhash signature — b12r1 (recall-greedy) through b2r6
+    (precision-greedy).  This is the table an engineer reads before
+    committing a 100 TB dedup run: pair mass IS the shuffle+compare
+    cost of the pair stage, and the sweep prices every config from
+    one signature pass (dedup_lsh_recall_eval measures recall; this
+    measures cost).
+
+    Scale shape: the signature frame (doc_id + 12 ints) is computed
+    ONCE and localCheckpoint-ed; each config is a map-side band-key
+    array + posexplode + partial-aggregated bucket count — counts,
+    never pair explosion (C(n,2) is computed from bucket SIZES).  The
+    5 config arms union as 1-row aggregates."""
+    from duckdb_hdfs_spark.functions.hashing import NUM_PERM
+    from duckdb_hdfs_spark.operators.dedup import minhash_signature_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature_cols(docs).localCheckpoint(eager=True)
+    arms = []
+    for nb, rows in _SWEEP_CONFIGS:
+        assert nb * rows == NUM_PERM
+        bands = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                    )
+                )
+                for b in range(nb)
+            ]
+        )
+        banded = sig.select(F.posexplode(bands).alias("band_idx", "band_key"))
+        sizes = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > 1)
+        )
+        arms.append(
+            sizes.agg(
+                F.lit(f"b{nb}r{rows}").alias("config"),
+                F.sum(F.expr("(sz * (sz - 1)) div 2")).alias(
+                    "candidate_pair_mass"
+                ),
+                F.count(F.lit(1)).alias("n_buckets_multi"),
+                F.max("sz").alias("max_bucket"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

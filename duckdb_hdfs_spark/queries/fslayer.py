@@ -501,3 +501,75 @@ def fs_read_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("good_total"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_typed_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_price,
+       strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+       strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') AS max_ship,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS qty_sum,
+       CAST(round(sum(CAST(l_tax AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS tax_sum
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def fs_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-column parquet round-trip: DECIMAL(18,6), DATE,
+    ARRAY<DOUBLE>, STRUCT, and MAP columns written to parquet and
+    read back, with every aggregate computed FROM THE READ-BACK
+    nested types (array element, struct field, map lookup) — pinning
+    that the writer+reader preserve the full logical-type system
+    (the reference inherits DuckDB's parquet type mapping; Spark must
+    round-trip the same surface losslessly for a drop-in user).
+
+    The oracle aggregates the SOURCE table directly — equality proves
+    the round-trip changed nothing.
+
+    Scale shape: one scan each side of the write; the write is
+    parallel (one file per task) and the read-back aggregate
+    partial-aggregates as usual."""
+    path = os.path.join(_SCRATCH, "typed_roundtrip")
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    typed = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price_dec"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.array("l_quantity", "l_discount").alias("qty_arr"),
+        F.struct("l_returnflag", "l_linestatus").alias("flags"),
+        F.create_map(F.lit("tax"), F.col("l_tax")).alias("props_m"),
+    )
+    typed.write.parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(
+            F.col("flags.l_returnflag").alias("l_returnflag"),
+            F.col("flags.l_linestatus").alias("l_linestatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price_dec"), 2).cast("double").alias("total_price"),
+            F.date_format(F.min("ship_d"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("ship_d"), "yyyy-MM-dd").alias("max_ship"),
+            F.round(
+                F.sum(F.element_at("qty_arr", 1).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("qty_sum"),
+            F.round(
+                F.sum(
+                    F.element_at("props_m", F.lit("tax")).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("tax_sum"),
+        )
+    )
