@@ -622,3 +622,54 @@ def sql_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("arr_len"),
         F.get_json_object(nested, "$.tags[1]").alias("tag1"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_any_all",
+    oracle="""
+SELECT s_suppkey, s_name,
+       CASE WHEN s_acctbal > ALL (SELECT c_acctbal FROM customer c
+                                  WHERE c.c_nationkey = s.s_nationkey)
+            THEN 1 ELSE 0 END AS beats_all,
+       CASE WHEN s_acctbal > ANY (SELECT c_acctbal FROM customer c
+                                  WHERE c.c_nationkey = s.s_nationkey)
+            THEN 1 ELSE 0 END AS beats_any
+FROM supplier s
+""",
+)
+def sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified-comparison parity (``> ALL`` / ``> ANY`` correlated
+    subqueries): per supplier, does its balance beat ALL (resp. ANY)
+    customer balances in its nation?  Spark SQL has no quantified
+    comparisons, so the scalable lowering is the textbook one — ALL ⇔
+    compare against the per-key MAX, ANY ⇔ against the per-key MIN —
+    with SQL's empty-set semantics preserved explicitly: ALL over an
+    empty set is TRUE (left join + NULL max ⇒ pass), ANY over empty
+    is FALSE.
+
+    Scale shape: the correlated subquery becomes ONE partial-
+    aggregated group-by at nation grain broadcast onto the supplier
+    scan — no per-row subquery execution, no shuffle of supplier."""
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    bounds = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.max("c_acctbal").alias("mx"), F.min("c_acctbal").alias("mn")
+    )
+    j = sup.join(
+        F.broadcast(bounds), sup.s_nationkey == F.col("nk"), "left"
+    )
+    return j.select(
+        "s_suppkey",
+        "s_name",
+        F.when(
+            F.col("mx").isNull() | (F.col("s_acctbal") > F.col("mx")), 1
+        )
+        .otherwise(0)
+        .alias("beats_all"),
+        F.when(
+            F.col("mn").isNotNull() & (F.col("s_acctbal") > F.col("mn")), 1
+        )
+        .otherwise(0)
+        .alias("beats_any"),
+    )

@@ -601,3 +601,68 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_sliding_counts",
+    # complete-mode + availableNow drains every row into OVERLAPPING
+    # epoch-aligned 2h/1h sliding windows: each event lands in exactly
+    # two windows, so the streaming result equals the batch unnest of
+    # the two window starts — SQL-expressible and decimal-deterministic.
+    oracle="""
+WITH w AS (
+    SELECT value, event_type,
+           unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS win_start
+    FROM events
+)
+SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
+FROM w GROUP BY 1, 2, 3
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation (2-hour windows advancing
+    every hour — each event feeds TWO windows) across 2 micro-batches
+    with watermarked state — the overlap is what distinguishes this
+    from the tumbling pipeline: window state must accumulate
+    contributions from different micro-batches into overlapping
+    panes.  Complete-mode drain == the batch formulation where every
+    event is exploded into its two enclosing window starts, which is
+    the oracle.
+
+    Scale: sliding windows multiply state by window/slide (here 2×),
+    not by data volume; the aggregation partial-aggregates per pane
+    exactly like the tumbling case."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    src = _rewrite_events(spark, sf_dir, n_files=2, tag="slide")
+    name = f"t_streaming_sliding_counts_{next(_run_counter)}"
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_available_now_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
