@@ -64,6 +64,8 @@ _QUERY_MODULES = (
     # allocated to the round-3 tail + timestamp re-verifies); locally
     # oracle-checked, rotate into the window next round.
     "duckdb_hdfs_spark.queries.curation",
+    # round-5 additions
+    "duckdb_hdfs_spark.queries.graph",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of

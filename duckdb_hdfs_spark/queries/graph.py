@@ -1,0 +1,154 @@
+"""Graph analytics over the near-dup candidate graph (SURVEY.md
+§2.5 extension): iterative PageRank with FIXED-POINT integer
+arithmetic so the distributed iteration is bit-deterministic and
+DuckDB-oracle-checkable — float PageRank sums contributions in
+reducer order and can never hash-match across engines.
+
+Reference parity note: the reference serves DuckDB SQL over HDFS;
+recursive/iterative graph analytics there run as recursive CTEs.
+Here the iteration is a driver-side loop over DataFrame
+transformations with per-iteration localCheckpoint (lineage
+truncation — the same pattern operators/dedup.py uses for connected
+components), which is the scalable Spark formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries._helpers import _t
+from duckdb_hdfs_spark.queries.dedup import _BANDED_SQL
+
+#: total probability mass in fixed-point micro-units and damping
+#: numerator/denominator — integers so every engine computes the
+#: identical floor-division result.
+_MASS = 1_000_000_000_000
+_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer-PageRank oracle (_ITERS iterations),
+    mirroring the Spark loop term for term (same floor divisions,
+    same order)."""
+    base = f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+it0 AS (
+    SELECT node, deg, CAST({_MASS} // n AS BIGINT) AS pr
+    FROM deg CROSS JOIN nn
+)"""
+    arms = []
+    for k in range(1, _ITERS + 1):
+        arms.append(f""",
+it{k} AS (
+    SELECT d.node, d.deg,
+           CAST((15 * ({_MASS} // nn.n)) // 100
+                + (85 * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS pr
+    FROM deg d CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.pr // p.deg) AS BIGINT) AS inflow
+        FROM edges e JOIN it{k - 1} p ON e.src = p.node
+        GROUP BY e.dst
+    ) s ON d.node = s.node
+)""")
+    return (
+        base
+        + "".join(arms)
+        + f"""
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree, pr
+FROM it{_ITERS}
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+@query("dedup_graph_pagerank", oracle=_pagerank_oracle())
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH near-dup candidate graph (5 iterations,
+    damping 0.85) — centrality-based KEEPER selection:
+    in a boilerplate family, the highest-PageRank document is the
+    template everything else derives from, a better canonical pick
+    than 'longest doc' (dedup_keep_best) when near-dup clusters chain.
+
+    Determinism (the reason this is oracle-checkable at all): the
+    rank lives in fixed-point micro-units (total mass 10^12) and
+    every update is integer arithmetic — contribution = pr DIV deg,
+    damped inflow = (85·Σ) DIV 100 — so reducer ordering cannot
+    perturb a single bit, unlike float PageRank.  The floor-division
+    leakage (mass not exactly conserved) is a documented property,
+    not a bug; rankings are unaffected.
+
+    Scale shape: the candidate edge list comes from the band-bucket
+    explode (bounded pairs, no self-join) and is localCheckpoint-ed;
+    each iteration is one edge-keyed shuffle join + one node-keyed
+    aggregate, re-checkpointed so lineage stays CONSTANT depth across
+    iterations (the CC pointer-jumping pattern).  The 1-row node
+    count broadcasts; nothing driver-side except the loop counter."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    cur = (
+        deg.join(F.broadcast(nn))
+        .withColumn("pr", F.expr(f"CAST({_MASS} div n AS BIGINT)"))
+        .select("node", "deg", "pr")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_ITERS):
+        contrib = cur.select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        inflow = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+            .withColumnRenamed("dst", "node")
+        )
+        cur = (
+            deg.join(F.broadcast(nn))
+            .join(inflow, "node", "left")
+            .withColumn(
+                "pr",
+                F.expr(
+                    f"CAST((15 * ({_MASS} div n)) div 100"
+                    " + (85 * coalesce(inflow, 0)) div 100 AS BIGINT)"
+                ),
+            )
+            .select("node", "deg", "pr")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        "pr",
+    )
