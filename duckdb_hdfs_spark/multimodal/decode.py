@@ -499,3 +499,51 @@ def wav_decode_batches(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dec, WAV_DECODED_SCHEMA)
+
+
+#: framed audio-energy panel schema
+WAV_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("peak", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("mean_s", DoubleType()),
+    ]
+)
+
+AUDIO_FRAME = 16
+
+
+def wav_frame_energy_batches(media: DataFrame) -> DataFrame:
+    """Frame the decoded sample stream into fixed AUDIO_FRAME-sample
+    windows (full frames only — the tail remainder is dropped, as
+    every streaming feature extractor does) and emit per-frame
+    energy features: peak, RMS, signed mean.  1:N fan-out bounded by
+    n_samples/AUDIO_FRAME.  RMS math stays exact for the synthetic
+    square waves (sum of 16 squares ≤ 16·(25,600)² is integer-exact
+    in double; sqrt of the exact mean is IEEE-correctly rounded), so
+    the analytic oracle hash-matches."""
+    import math
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "frame_len", "peak", "rms", "mean_s",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode_audio(bytes(payload))
+                for fi in range(len(samples) // AUDIO_FRAME):
+                    fr = samples[fi * AUDIO_FRAME : (fi + 1) * AUDIO_FRAME]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["frame_len"].append(len(fr))
+                    out["peak"].append(max(fr))
+                    out["rms"].append(
+                        math.sqrt(sum(s * s for s in fr) / len(fr))
+                    )
+                    out["mean_s"].append(sum(fr) / len(fr))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(frames, WAV_FRAME_SCHEMA)

@@ -208,3 +208,50 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_wav_batches(_t(spark, sf_dir, "documents"))
     return wav_decode_batches(media)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_frame_energy",
+    # analytic oracle: the synthesized wave is a ±A square wave
+    # alternating EVERY sample, so each full 16-sample frame holds
+    # 8×(+A) and 8×(−A): peak = A, RMS = A exactly (sqrt of the exact
+    # A² mean), signed mean = 0.  Frames = n_samples // 16.
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+               * 100 AS amp,
+           64 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT
+               % 64 AS n
+    FROM documents
+)
+SELECT doc_id, CAST(gs.i AS BIGINT) AS frame_idx,
+       CAST(16 AS BIGINT) AS frame_len,
+       amp AS peak,
+       CAST(amp AS DOUBLE) AS rms,
+       CAST(0 AS DOUBLE) AS mean_s
+FROM params
+CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n // 16 - 1)) AS i) gs
+""",
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio feature extraction (round 5): decode the REAL
+    RIFF/WAVE payloads, window the sample stream into 16-sample
+    frames, and emit per-frame peak / RMS / signed mean — the
+    standard first stage of every audio featurizer (VAD, loudness
+    normalization, spectrogram prep all start from framed energy).
+    The oracle re-derives every frame analytically from the md5-seeded
+    wave parameters, so the full decode→frame→feature path is
+    hash-checked, not rows-only.
+
+    Scale shape: three chained Arrow-batched mapInPandas stages
+    (synth → decode+frame), zero shuffles, bounded 1:N fan-out
+    (n_samples/16 frames per item)."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        synth_wav_batches,
+        wav_frame_energy_batches,
+    )
+
+    media = synth_wav_batches(_t(spark, sf_dir, "documents"))
+    return wav_frame_energy_batches(media)

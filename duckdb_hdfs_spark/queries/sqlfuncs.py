@@ -673,3 +673,37 @@ def sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("beats_any"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_hash_funcs",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS h_md5,
+       sha256(c_name) AS h_sha256,
+       length(md5(c_name)) AS md5_len,
+       ascii(c_mktsegment) AS first_code,
+       bit_length(c_name) AS name_bits,
+       left(md5(c_name), 8) AS md5_prefix,
+       right(c_name, 3) AS name_tail
+FROM customer
+""",
+)
+def sql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest/byte-function class: md5 and sha256 hex digests (the
+    engine-portable hash surface every dedup/split operator in this
+    repo builds on — both engines emit identical lowercase hex),
+    ascii code of the leading char, bit_length, left/right slicing.
+    Map-only, codegen'd."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+        F.ascii("c_mktsegment").alias("first_code"),
+        F.bit_length("c_name").alias("name_bits"),
+        F.substring(F.md5("c_name"), 1, 8).alias("md5_prefix"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_tail"),
+    )
