@@ -1227,3 +1227,51 @@ def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_qc").alias("n_click_1h_users"),
         F.sum("has_qp").alias("n_purchase_24h_users"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_new_vs_returning",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first_day AS (
+    SELECT user_id, min(day) AS d0 FROM daily GROUP BY user_id
+)
+SELECT day,
+       CAST(count(*) FILTER (WHERE day = d0) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE day > d0) AS BIGINT) AS returning_users,
+       round(CAST(count(*) FILTER (WHERE day = d0) AS DOUBLE) / count(*), 6)
+           AS new_share
+FROM daily JOIN first_day USING (user_id)
+GROUP BY day
+""",
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split — the growth
+    dashboard's first panel (is the DAU curve acquisition or
+    retention?).  A user is 'new' on their first active day, ever.
+
+    Scale shape: events collapse to the distinct (user, day) panel;
+    first-active day is a per-user MIN window over the SAME user-keyed
+    shuffle partitioning (no join back to the raw stream — the oracle
+    writes the join formulation, Spark reuses the panel's window),
+    then one day-grain conditional rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    flagged = daily.withColumn("d0", F.min("day").over(w))
+    return flagged.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("d0"), 1)).alias("new_users"),
+        F.count(F.when(F.col("day") > F.col("d0"), 1)).alias(
+            "returning_users"
+        ),
+        F.round(
+            F.count(F.when(F.col("day") == F.col("d0"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("new_share"),
+    )

@@ -573,3 +573,59 @@ def fs_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tax_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_read_json_nested",
+    oracle="""
+SELECT event_id,
+       user_id,
+       event_type,
+       CAST(round(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS val,
+       concat(event_type, ':', CAST(user_id % 10 AS VARCHAR)) AS tag0
+FROM events
+""",
+)
+def fs_read_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED NDJSON round-trip: events re-shaped into nested records
+    (struct ``who{id, bucket}``, array ``tags``), written as
+    newline-delimited JSON, read back with an EXPLICIT nested schema
+    (production pipelines never let a 100 TB JSON read infer-scan),
+    and projected back to scalars from the nested fields.  Equality
+    with the source-table oracle proves the JSON writer+reader
+    round-trip nested structure losslessly (the reference serves
+    DuckDB read_json_auto over HDFS NDJSON — this is the typed-schema
+    Spark equivalent).
+
+    Scale shape: one scan each side of the write; JSON parse is
+    JVM-side with the explicit schema (no sampling pass)."""
+    path = os.path.join(_SCRATCH, "events_nested_json")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"),
+            (F.col("user_id") % 10).alias("bucket"),
+        ).alias("who"),
+        F.array(
+            F.concat_ws(":", "event_type", (F.col("user_id") % 10)),
+            F.col("event_type"),
+        ).alias("tags"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+    )
+    nested.write.json(path)
+    schema = (
+        "event_id BIGINT, who STRUCT<id: BIGINT, bucket: BIGINT>, "
+        "tags ARRAY<STRING>, event_type STRING, val_dec DECIMAL(18,6)"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "event_id",
+        F.col("who.id").alias("user_id"),
+        "event_type",
+        F.round(F.col("val_dec"), 4).cast("double").alias("val"),
+        F.element_at("tags", 1).alias("tag0"),
+    )

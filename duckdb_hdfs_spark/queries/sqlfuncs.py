@@ -7,8 +7,9 @@ array/list functions.
 Engine-alignment notes:
 - ``instr``/``strpos`` are 1-based with 0-for-absent in both engines;
 - ``add_months`` and ``+ INTERVAL n MONTH`` both clamp to month end;
-- day-of-week is deliberately absent (Spark 1=Sunday vs DuckDB
-  0=Sunday) — use extract(dow)+arithmetic if ever needed;
+- day-of-week encodings diverge (Spark ``dayofweek`` 1=Sunday..7 vs
+  DuckDB ``extract(dow)`` 0=Sunday..6); ``sql_dayofweek_normalized``
+  pins the portable ``dayofweek − 1`` lowering;
 - array element floats are rounded before compare.
 """
 
@@ -706,4 +707,54 @@ def sql_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("c_name").alias("name_bits"),
         F.substring(F.md5("c_name"), 1, 8).alias("md5_prefix"),
         F.substring(F.col("c_name"), -3, 3).alias("name_tail"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_dayofweek_normalized",
+    oracle="""
+SELECT CAST(extract(dow FROM o_orderdate) AS INT) AS dow_sun0,
+       CASE CAST(extract(dow FROM o_orderdate) AS INT)
+            WHEN 0 THEN 'Sun' WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue'
+            WHEN 3 THEN 'Wed' WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri'
+            ELSE 'Sat' END AS dow_name,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue
+FROM orders GROUP BY 1, 2
+""",
+)
+def sql_dayofweek_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week parity via explicit normalization — the one
+    calendar field whose encodings DIVERGE across engines (Spark
+    ``dayofweek`` is 1=Sunday..7; DuckDB ``extract(dow)`` is
+    0=Sunday..6).  The module docstring used to declare this class
+    deliberately absent; the portable lowering is simply
+    ``dayofweek − 1`` on the Spark side, pinned here with a name
+    mapping and a revenue rollup so the alignment is value-checked
+    across all seven encodings.
+
+    Scale: map-side expression + one 7-group partial aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    dow = (F.dayofweek("o_orderdate") - 1).cast("int")
+    names = {0: "Sun", 1: "Mon", 2: "Tue", 3: "Wed", 4: "Thu", 5: "Fri", 6: "Sat"}
+    mapped = None
+    for k, v in names.items():
+        mapped = (
+            F.when(F.col("dow_sun0") == k, v)
+            if mapped is None
+            else mapped.when(F.col("dow_sun0") == k, v)
+        )
+    return (
+        o.select(dow.alias("dow_sun0"), "o_totalprice")
+        .groupBy("dow_sun0")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("dow_name", mapped)
+        .select("dow_sun0", "dow_name", "n_orders", "revenue")
     )
