@@ -968,3 +968,66 @@ def corpus_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("mean_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+_SHARD_TOKENS = 5_000
+
+
+@query(
+    "corpus_shard_planner",
+    oracle=f"""
+WITH costed AS (
+    SELECT doc_id, len({_TOKS}) AS cost FROM documents
+),
+cum AS (
+    SELECT doc_id, cost,
+           sum(cost) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM costed
+)
+SELECT CAST((c - 1) // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(cost) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+""",
+)
+def corpus_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard planner: assign documents (in
+    stable doc_id order) to ~5,000-token shards by
+    cumulative token count — the write-side layout step of a corpus
+    release (training readers want shards of near-equal TOKEN mass,
+    not file count; a size-skewed shard becomes the straggler of
+    every epoch).
+
+    Scale shape: the global running total uses
+    operators/ranks.grouped_cumsum (range-bucket on broadcast
+    quantile bounds → per-bucket partials → broadcast prefix
+    offsets → bucket-local window) under a constant group — NO
+    partition-less window even though the semantics are a global
+    ORDER BY cumsum; the shard rollup is one partial-aggregated
+    group-by."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    costed = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("cost")
+    ).withColumn("__g", F.lit(1))
+    cum = grouped_cumsum(
+        costed, ["__g"], [("doc_id", "asc")], val="cost", out="c"
+    )
+    return (
+        cum.withColumn(
+            "shard_id", F.expr(f"CAST((c - 1) div {_SHARD_TOKENS} AS BIGINT)")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cost").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

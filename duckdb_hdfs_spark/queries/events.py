@@ -1275,3 +1275,58 @@ def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("new_share"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_gap_filled_daily",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+)
+SELECT spine.day, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine LEFT JOIN daily USING (day)
+""",
+)
+def ev_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts: a generated calendar spine
+    (min..max day) left-joined onto the observed daily panel so
+    MISSING days appear as explicit zero rows — the prerequisite for
+    any window/forecast arithmetic downstream (a moving average over
+    a panel with silent holes is wrong; ev_anomaly_ewma et al. are
+    only safe because this dataset happens to be dense — this
+    operator makes that assumption checkable and repairable).
+
+    Scale shape: one partial-aggregated scan to the day panel; the
+    spine derives from the panel's 1-row min/max aggregate via
+    ``sequence`` + explode (calendar-sized, broadcast onto the panel
+    join — never a data-sized generate)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

@@ -1264,3 +1264,52 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "emb_dim_variance",
+    oracle="""
+WITH r AS (
+    SELECT gs.i AS dim,
+           CAST(round(CAST(embedding[gs.i] AS DOUBLE), 6)
+                AS DECIMAL(12,6)) AS v
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+)
+SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_val,
+       round((CAST(sum(v * v) AS DOUBLE)
+              - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
+             / (count(*) - 1), 6) AS var_val
+FROM r GROUP BY dim
+""",
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking input — the pre-PCA diagnostic
+    (dead dimensions carry no variance and cost scan/shuffle bytes;
+    a handful of dominant dims suggests truncation — see
+    emb_matryoshka_recall for pricing that cut).
+
+    Determinism: per-element values round to 6 decimals then sum in
+    DECIMAL (the sim_norm_outliers moment recipe), so Σx and Σx² are
+    exact and order-independent; the variance assembles in double
+    with the identical association order on both engines.
+
+    Scale shape: posexplode → (dim, value) → ONE partial-aggregated
+    shuffle at dimension grain (64 groups, constant state)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    r = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double"), 6)
+        .cast("decimal(12,6)")
+        .alias("v"),
+    )
+    s1 = F.sum("v").cast("double")
+    s2 = F.sum(F.col("v") * F.col("v")).cast("double")
+    n = F.count(F.lit(1))
+    return r.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(s1 / n, 6).alias("mean_val"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_val"),
+    )
