@@ -629,3 +629,109 @@ def fs_read_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("val_dec"), 4).cast("double").alias("val"),
         F.element_at("tags", 1).alias("tag0"),
     )
+
+
+# --------------------------------------------------------------------------
+def _summarize_oracle() -> str:
+    num = {
+        "l_orderkey": "l_orderkey",
+        "l_quantity": "l_quantity",
+        "l_extendedprice": "l_extendedprice",
+    }
+    arms = []
+    for c in num:
+        arms.append(f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 4) AS min_num,
+       round(CAST(max({c}) AS DOUBLE), 4) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem""")
+    for c in ("l_returnflag", "l_linestatus"):
+        arms.append(f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM lineitem""")
+    arms.append("""
+SELECT 'l_shipdate' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       count(DISTINCT l_shipdate) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_str,
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_str
+FROM lineitem""")
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("fs_summarize_table", oracle=_summarize_oracle())
+def fs_summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling parity (DuckDB ``SUMMARIZE`` over HDFS files is
+    a headline reference workflow): per-column row count, null count,
+    exact distinct count, and typed min/max (numeric columns in
+    ``min_num``/``max_num``, strings and timestamps rendered to
+    ``min_str``/``max_str`` — engines format doubles differently, so
+    numerics NEVER go through string casts).
+
+    Scale shape: ALL per-column statistics come from ONE pass — a
+    single aggregate (the multi-distinct triggers Catalyst's Expand,
+    a deliberate one-scan trade documented here), localCheckpoint-ed
+    so the six per-column projection branches read the 1-row result
+    instead of re-running the scan per column (DataFrame reuse is
+    plan reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    ts_col = "l_shipdate"
+    all_cols = num_cols + str_cols + [ts_col]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in all_cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    for c in num_cols:
+        aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"min_{c}"))
+        aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    aggs.append(
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            f"min_{ts_col}"
+        )
+    )
+    aggs.append(
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            f"max_{ts_col}"
+        )
+    )
+    stats = li.agg(*aggs).localCheckpoint(eager=True)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in all_cols:
+        is_num = c in num_cols
+        rows.append(
+            stats.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (F.col(f"min_{c}") if is_num else null_d).alias("min_num"),
+                (F.col(f"max_{c}") if is_num else null_d).alias("max_num"),
+                (null_s if is_num else F.col(f"min_{c}")).alias("min_str"),
+                (null_s if is_num else F.col(f"max_{c}")).alias("max_str"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

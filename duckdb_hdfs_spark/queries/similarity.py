@@ -979,3 +979,99 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _ivf_sweep_oracle() -> str:
+    truth = f"""
+    SELECT probe_id, vec_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {cosine_sql('p.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rk
+        FROM embeddings c, (SELECT * FROM embeddings WHERE {_PROBE_FILTER}) p
+        WHERE c.vec_id <> p.vec_id
+    ) WHERE rk <= 5"""
+    arms = []
+    for p in (1, 2, 4):
+        arms.append(f"""
+SELECT CAST({p} AS BIGINT) AS nprobe,
+       count(*) AS n_probes,
+       round(avg(r), 4) AS recall_at_5
+FROM (
+    SELECT t.probe_id, CAST(count(a.vec_id) AS DOUBLE) / count(*) AS r
+    FROM truth t LEFT JOIN (
+        SELECT probe_id, vec_id FROM (
+            SELECT cand.probe_id, cand.vec_id,
+                   row_number() OVER (PARTITION BY cand.probe_id
+                       ORDER BY {cosine_sql('pe.embedding', 'ce.embedding')}
+                                DESC, cand.vec_id) AS rk
+            FROM ({_ivf_cand_sql(16, p)}) cand
+            JOIN embeddings pe ON pe.vec_id = cand.probe_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        ) WHERE rk <= 5
+    ) a ON t.probe_id = a.probe_id AND t.vec_id = a.vec_id
+    GROUP BY t.probe_id
+)""")
+        
+    return f"WITH truth AS ({truth})\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("sim_ivf_probe_sweep", oracle=_ivf_sweep_oracle())
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe sweep: recall@5 at nprobe ∈ {1, 2, 4} against the
+    exact top-5 — the latency/recall dial of an IVF index priced in
+    one eval (nprobe is THE production knob: scan cost grows linearly
+    with it, recall saturates; this table shows where).  Completes
+    the calibration family: dedup_lsh_band_sweep prices banded
+    dedup, this prices IVF search.
+
+    Scale shape: truth and each nprobe arm are eagerly checkpointed
+    (probes × 5 rows each) so the recall joins run over tiny
+    materialized sets; each arm reuses the same map-side IVF
+    machinery (broadcast codebook argmax assignment, partial top-k
+    before the only shuffle)."""
+    from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    truth = (
+        brute_topk(probes, emb, k=5)
+        .select("probe_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    arms = []
+    for p in (1, 2, 4):
+        approx = (
+            ivf_ann(probes, emb, n_cells=16, nprobe=p, k=5)
+            .select("probe_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        hits = truth.join(approx, ["probe_id", "vec_id"])
+        per_probe = (
+            truth.groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias("n_truth"))
+            .join(
+                hits.groupBy("probe_id").agg(
+                    F.count(F.lit(1)).alias("n_hit")
+                ),
+                "probe_id",
+                "left",
+            )
+            .select(
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")
+                ).alias("r")
+            )
+        )
+        arms.append(
+            per_probe.agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.count(F.lit(1)).alias("n_probes"),
+                F.round(F.avg("r"), 4).alias("recall_at_5"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

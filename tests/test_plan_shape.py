@@ -188,6 +188,8 @@ _SCAN_BUDGET_EXCEPTIONS = {
                                 # broadcast probes once
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
+    "sim_ivf_probe_sweep": 0,   # eval utility: truth + all 3 nprobe arms
+                                # eagerly checkpointed
     "sketch_hll_distinct": 3,   # audit query: per-type branch + sketch-union
                                 # branch + global exact-distinct audit; the
                                 # production form carries only the sketch
