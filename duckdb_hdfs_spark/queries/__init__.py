@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "duckdb_hdfs_spark.queries.curation",
     # round-5 additions
     "duckdb_hdfs_spark.queries.graph",
+    "duckdb_hdfs_spark.queries.dq",
 )
 
 # Names forced to the FRONT of the registry (in this order), ahead of

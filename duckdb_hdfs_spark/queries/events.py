@@ -1330,3 +1330,73 @@ def ev_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_linear_attribution",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id AS v_user, ts AS v_ts FROM events
+    WHERE event_type = 'view'
+),
+j AS (
+    SELECT p.event_id, p.value, v.v_ts,
+           count(*) OVER (PARTITION BY p.event_id) AS n_views
+    FROM p JOIN v
+      ON p.user_id = v.v_user
+     AND v.v_ts <= p.ts AND v.v_ts > p.ts - INTERVAL 7 DAY
+)
+SELECT date_trunc('day', v_ts) AS view_day,
+       count(*) AS n_credited_views,
+       CAST(sum(CAST(round(1.0 / n_views, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS credited_purchases,
+       CAST(sum(CAST(round(value / n_views, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS credited_value
+FROM j GROUP BY 1
+""",
+)
+def ev_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (equal-credit) attribution: every view in the 7 days
+    before a purchase gets 1/n of the conversion and 1/n of its value
+    — completing the attribution family (asof_purchase_last_view =
+    last-touch, ev_first_touch_attribution = first-touch; linear is
+    what growth teams reconcile the two against).  Credited mass per
+    view-DAY is the output a channel-spend dashboard consumes.
+
+    Determinism: per-view credits (1/n and value/n — IEEE divisions)
+    round to 6 decimals BEFORE the day-level sum, which runs in
+    DECIMAL — reducer order cannot move the total.
+
+    Scale shape: the same user-keyed interval join the other
+    attribution ops use (per-key bounded fan-out), the per-purchase
+    view count is a purchase-PARTITIONED window on the join output,
+    and the day rollup partial-aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") > F.col("ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("event_id")
+    jj = j.withColumn("n_views", F.count(F.lit(1)).over(w))
+    credit = F.round(F.lit(1.0) / F.col("n_views"), 6).cast("decimal(18,6)")
+    vcredit = F.round(F.col("value") / F.col("n_views"), 6).cast(
+        "decimal(18,6)"
+    )
+    return jj.groupBy(F.date_trunc("day", "v_ts").alias("view_day")).agg(
+        F.count(F.lit(1)).alias("n_credited_views"),
+        F.sum(credit).cast("double").alias("credited_purchases"),
+        F.sum(vcredit).cast("double").alias("credited_value"),
+    )
