@@ -547,3 +547,51 @@ def wav_frame_energy_batches(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(frames, WAV_FRAME_SCHEMA)
+
+
+#: image patch-grid panel schema
+PATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("patch_x", LongType()),
+        StructField("patch_y", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+PATCH = 2
+
+
+def image_patch_batches(media: DataFrame) -> DataFrame:
+    """Split each decoded image into a grid of PATCH×PATCH pixel
+    patches (the ViT tokenization step) and emit per-patch channel
+    means.  Bounded 1:N fan-out ((W/PATCH)·(H/PATCH) patches per
+    item); means of small integer sums are exact in double, so the
+    analytic gradient oracle hash-matches."""
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "patch_x", "patch_y", "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = decode_image(bytes(payload))
+                for py in range(h // PATCH):
+                    for px in range(w // PATCH):
+                        pix = [
+                            rows[py * PATCH + dy][px * PATCH + dx]
+                            for dy in range(PATCH)
+                            for dx in range(PATCH)
+                        ]
+                        n = len(pix)
+                        out["doc_id"].append(int(doc_id))
+                        out["patch_x"].append(px)
+                        out["patch_y"].append(py)
+                        out["mean_r"].append(sum(p[0] for p in pix) / n)
+                        out["mean_g"].append(sum(p[1] for p in pix) / n)
+                        out["mean_b"].append(sum(p[2] for p in pix) / n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(patches, PATCH_SCHEMA)

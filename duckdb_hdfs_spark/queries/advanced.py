@@ -1072,3 +1072,87 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_priority",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_abc_class",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
+    FROM orders GROUP BY o_custkey
+),
+cum AS (
+    SELECT o_custkey, sp,
+           sum(sp) OVER (ORDER BY sp DESC, o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM spend
+),
+t AS (SELECT sum(sp) AS tot FROM spend),
+classed AS (
+    SELECT o_custkey, sp,
+           CASE WHEN c * 100 <= tot * 80 THEN 'A'
+                WHEN c * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM cum CROSS JOIN t
+)
+SELECT abc, count(*) AS n_customers,
+       CAST(round(sum(sp), 2) AS DOUBLE) AS class_revenue,
+       round(CAST(sum(sp) AS DOUBLE) / (SELECT CAST(tot AS DOUBLE) FROM t), 6)
+           AS revenue_share
+FROM classed GROUP BY abc
+""",
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification: customers ranked by lifetime spend,
+    class A = the head covering 80% of cumulative revenue, B = next
+    15%, C = the tail — inventory/CRM's standard concentration cut
+    (orders_pareto_deciles buckets by COUNT; ABC cuts by cumulative
+    SHARE, which is what account teams actually staff against).
+
+    Determinism: spend, the running total, and the grand total are
+    all exact DECIMAL sums; class boundaries compare c·100 ≤ tot·80
+    IN DECIMAL — no float ever touches the classification.
+
+    Scale shape: the global spend-ordered running total uses
+    operators/ranks.grouped_cumsum under a constant group (range
+    buckets on broadcast quantile bounds — no partition-less window);
+    the grand total broadcasts; the class rollup partial-aggregates."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp"))
+        .withColumn("spd", F.col("sp").cast("double"))
+        .withColumn("__g", F.lit(1))
+    )
+    cum = grouped_cumsum(
+        spend, ["__g"], [("spd", "desc"), ("o_custkey", "asc")],
+        val="sp", out="c",
+    )
+    t = cum.agg(F.sum("sp").alias("tot"))
+    classed = cum.join(F.broadcast(t)).withColumn(
+        "abc",
+        F.when(F.col("c") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("c") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C"),
+    )
+    tot_d = classed.select(F.col("tot").cast("double").alias("totd")).limit(1)
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("sp"), 2).cast("double").alias("class_revenue"),
+            F.sum("sp").alias("__sp_sum"),
+        )
+        .join(F.broadcast(tot_d))
+        .select(
+            "abc",
+            "n_customers",
+            "class_revenue",
+            F.round(
+                F.col("__sp_sum").cast("double") / F.col("totd"), 6
+            ).alias("revenue_share"),
+        )
+    )

@@ -1400,3 +1400,55 @@ def ev_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(credit).cast("double").alias("credited_purchases"),
         F.sum(vcredit).cast("double").alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_user_entropy",
+    oracle="""
+WITH tc AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       count(*) AS n_types,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - CAST(sum(
+                   CAST(c AS DECIMAL(20, 8))
+                   * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20, 8))
+               ) AS DOUBLE) / sum(c), 4) AS entropy
+FROM tc
+GROUP BY user_id
+""",
+)
+def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types — H = ln n −
+    (Σ c·ln c)/n, the text_token_entropy recipe applied to the event
+    stream: 0 = single-action bots, high = diverse organic usage (a
+    standard bot/engagement feature next to ev_inter_event_times and
+    ev_burst_flags).
+
+    Determinism: per-type ln(c) rounds to 6 decimals, the weighted
+    sum runs in DECIMAL, and the final assembly is the identical
+    double expression on both engines (the repo's log-sum
+    discipline).
+
+    Scale shape: two chained partial-aggregated group-bys on the same
+    user-keyed shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.col("c").cast("decimal(20,8)") * F.round(
+        F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(20,8)")
+    return tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(term).cast("double") / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )

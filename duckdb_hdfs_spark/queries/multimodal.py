@@ -255,3 +255,49 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_wav_batches(_t(spark, sf_dir, "documents"))
     return wav_frame_energy_batches(media)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_patch_grid",
+    # analytic oracle: gradient R = r0+x, G = g0+y, B = b0 over the
+    # 6×4 image → a 2×2 patch at (px, py) has mean R = r0 + 2px + 0.5,
+    # mean G = g0 + 2py + 0.5, mean B = b0 (exact halves in double).
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 200
+               AS r0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 200
+               AS g0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2))::BIGINT AS b0
+    FROM documents
+)
+SELECT doc_id, CAST(gx.i AS BIGINT) AS patch_x, CAST(gy.i AS BIGINT) AS patch_y,
+       CAST(r0 + 2 * gx.i + 0.5 AS DOUBLE) AS mean_r,
+       CAST(g0 + 2 * gy.i + 0.5 AS DOUBLE) AS mean_g,
+       CAST(b0 AS DOUBLE) AS mean_b
+FROM params
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) gx
+CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) gy
+""",
+)
+def mm_image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid tokenization of REAL decoded images (round 5): the
+    ViT preprocessing step — decode each BMP/PPM payload, split the
+    pixel grid into 2×2 patches, emit per-patch channel means.  The
+    oracle re-derives every patch mean analytically from the
+    md5-seeded gradient (a parser that forgets BMP's bottom-up row
+    order or the row stride padding produces wrong means and fails
+    the hash).
+
+    Scale shape: two chained Arrow-batched mapInPandas stages
+    (synth → decode+patch), zero shuffles, bounded 6-patch fan-out
+    per item."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        image_patch_batches,
+        synth_image_batches,
+    )
+
+    media = synth_image_batches(_t(spark, sf_dir, "documents"))
+    return image_patch_batches(media)
