@@ -1087,3 +1087,152 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_chain_capture_eval",
+    oracle=f"""
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> {shingle_hash_sql('s')}) AS hashes
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id, {minhash_sigints_sql('hashes')} AS sig FROM hs
+),
+banded AS (
+    SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
+    FROM sigs
+    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+ws AS (SELECT doc_id, list_distinct({tokens_sql('text')}) AS words
+       FROM documents),
+scored AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE)
+               / len(list_distinct(list_concat(wa.words, wb.words))) AS j
+    FROM pairs p
+    JOIN ws wa ON p.doc_a = wa.doc_id
+    JOIN ws wb ON p.doc_b = wb.doc_id
+),
+strong AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.6),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM strong
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM strong
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+clusters AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+weak AS (
+    SELECT s.j,
+           CASE WHEN ca.cid IS NOT NULL AND ca.cid = cb.cid
+                THEN 1 ELSE 0 END AS captured
+    FROM scored s
+    LEFT JOIN clusters ca ON s.doc_a = ca.node
+    LEFT JOIN clusters cb ON s.doc_b = cb.node
+    WHERE s.j < 0.6
+)
+SELECT CAST((SELECT count(*) FROM strong) AS BIGINT) AS n_strong_pairs,
+       CAST(count(*) AS BIGINT) AS n_weak_pairs,
+       CAST(sum(captured) AS BIGINT) AS n_weak_captured,
+       round(CAST(sum(CASE WHEN captured = 1
+                  THEN CAST(round(j, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+             / nullif(sum(captured), 0), 6) AS captured_mean_j,
+       round(CAST(sum(CASE WHEN captured = 0
+                  THEN CAST(round(j, 6) AS DECIMAL(18,6)) END) AS DOUBLE)
+             / nullif(count(*) - sum(captured), 0), 6) AS uncaptured_mean_j
+FROM weak
+""",
+)
+def dedup_chain_capture_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining audit for threshold dedup: cluster on
+    STRONG candidate pairs (Jaccard ≥ 0.6), then measure how many
+    sub-threshold candidate pairs end up INSIDE one cluster anyway —
+    the classic near-dup failure mode where A~B~C chains glue
+    unrelated documents (captured weak pairs with LOW mean Jaccard =
+    over-merging; the keeper then deletes non-duplicates).  One row:
+    strong/weak pair counts, weak pairs captured by transitivity, and
+    mean Jaccard of captured vs uncaptured weak pairs.
+
+    Determinism: the Jaccard threshold compares the raw
+    integer-ratio double (identical on both engines); mean Jaccards
+    round per-pair to 6 decimals then sum in DECIMAL.
+
+    Scale shape: candidate scoring is the bucket-bounded
+    jaccard_pairs pass, checkpointed once for the strong filter, the
+    weak filter, and the two cluster-map joins; clustering is the
+    pointer-jumping CC operator over the thresholded (smaller) edge
+    set; the final row is a 1-row aggregate."""
+    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = jaccard_pairs(docs, minhash_candidate_pairs(docs)).localCheckpoint(
+        eager=True
+    )
+    strong = scored.filter(F.col("jaccard") >= 0.6)
+    clusters = connected_clusters(
+        strong.select("doc_a", "doc_b")
+    ).localCheckpoint(eager=True)
+    ca = clusters.select(
+        F.col("node").alias("doc_a"), F.col("cluster_id").alias("cid_a")
+    )
+    cb = clusters.select(
+        F.col("node").alias("doc_b"), F.col("cluster_id").alias("cid_b")
+    )
+    weak = (
+        scored.filter(F.col("jaccard") < 0.6)
+        .join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .withColumn(
+            "captured",
+            F.when(
+                F.col("cid_a").isNotNull()
+                & (F.col("cid_a") == F.col("cid_b")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    n_strong = strong.agg(F.count(F.lit(1)).alias("n_strong_pairs"))
+    jdec = F.round(F.col("jaccard"), 6).cast("decimal(18,6)")
+    return (
+        weak.agg(
+            F.count(F.lit(1)).alias("n_weak_pairs"),
+            F.sum("captured").alias("n_weak_captured"),
+            F.round(
+                F.sum(F.when(F.col("captured") == 1, jdec)).cast("double")
+                / F.nullif(F.sum("captured"), F.lit(0)),
+                6,
+            ).alias("captured_mean_j"),
+            F.round(
+                F.sum(F.when(F.col("captured") == 0, jdec)).cast("double")
+                / F.nullif(
+                    F.count(F.lit(1)) - F.sum("captured"), F.lit(0)
+                ),
+                6,
+            ).alias("uncaptured_mean_j"),
+        )
+        .join(F.broadcast(n_strong))
+        .select(
+            "n_strong_pairs",
+            "n_weak_pairs",
+            "n_weak_captured",
+            "captured_mean_j",
+            "uncaptured_mean_j",
+        )
+    )

@@ -666,3 +666,81 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_hll_rollup",
+    # the incremental sketch state (3 merges) must estimate within 5%
+    # of the exact distinct per type — HLL register-max merging is
+    # order/batching-independent, so the flag is deterministic.
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+FROM events GROUP BY event_type
+""",
+)
+def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sketch maintenance (round 5): the event stream
+    arrives in 3 micro-batches; ``foreachBatch`` builds a per-type
+    HLL partial for the batch, merges it into a parquet sketch-state
+    table via ``hll_union_agg``, and publishes with write-to-temp +
+    atomic swap.  The drained state's estimates are audited against
+    the batch exact distinct — this is the daily-distinct-users
+    rollup pattern at 100 TB: each day touches ONLY its own data and
+    kilobytes of sketch state, never the historical raw stream
+    (the batch twin sketch_hll_distinct proves the same merge over
+    one static pass).
+
+    Scale: per-batch work is one partial-aggregated sketch pass over
+    the batch plus a 5-row state union; state size is types ×
+    sketch-bytes, constant in data volume."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_apply,
+    )
+
+    run_id = next(_run_counter)
+    src = _rewrite_events(spark, sf_dir, n_files=3, tag=f"hll_{run_id}")
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_hll_state_{run_id}"
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        if os.path.exists(state_dir):
+            state = s.read.parquet(state_dir)
+            merged = (
+                state.unionByName(partial)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = partial
+        tmp = state_dir + "_new"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_available_now_apply(stream, apply_batch, output_mode="append")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_ok"),
+        )
+    )
