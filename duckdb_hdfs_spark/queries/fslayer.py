@@ -735,3 +735,55 @@ def fs_summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_parquet_codecs",
+    oracle="""
+SELECT codec, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total
+FROM (
+    SELECT 'snappy' AS codec, o_totalprice FROM orders
+    UNION ALL
+    SELECT 'gzip' AS codec, o_totalprice FROM orders
+    UNION ALL
+    SELECT 'zstd' AS codec, o_totalprice FROM orders
+)
+GROUP BY codec
+""",
+)
+def fs_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trip: the SAME table written as
+    snappy, gzip, and zstd parquet, each read back and re-aggregated
+    — content must be codec-invariant (the reference inherits
+    DuckDB's codec support over HDFS; at 100 TB the codec choice is
+    a 2-3× storage/scan-throughput trade, and this pins that
+    switching it can never change query results).
+
+    Scale shape: one write+read per codec, aggregates partial-
+    aggregate; nothing driver-side."""
+    results = []
+    for codec in ("snappy", "gzip", "zstd"):
+        path = os.path.join(_SCRATCH, f"orders_codec_{codec}")
+        shutil.rmtree(path, ignore_errors=True)
+        load_table(spark, sf_dir, "orders").select("o_totalprice").write.option(
+            "compression", codec
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        results.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+                )
+                .cast("double")
+                .alias("total"),
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

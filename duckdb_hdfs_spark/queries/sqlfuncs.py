@@ -758,3 +758,41 @@ def sql_dayofweek_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dow_name", mapped)
         .select("dow_sun0", "dow_name", "n_orders", "revenue")
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_union_by_name",
+    oracle="""
+SELECT * FROM (
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           o_orderpriority AS prio, NULL AS seg
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT c_custkey AS k, c_mktsegment AS seg,
+           CAST(NULL AS DOUBLE) AS price
+    FROM customer WHERE c_custkey % 100 = 0
+)
+""",
+)
+def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION BY NAME parity: combining two differently-shaped
+    relations by COLUMN NAME with NULL-fill for the missing ones —
+    DuckDB's ``UNION ALL BY NAME`` ↔ Spark's
+    ``unionByName(allowMissingColumns=True)``.  This is the
+    schema-evolution append path (yesterday's files lack today's
+    column); positional UNION silently mis-aligns it.
+
+    Scale: two filtered scans concatenated — no shuffle at all."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    left = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    right = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)

@@ -511,3 +511,48 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_et"),
         F.nth_value("event_type", 2).over(w).alias("second_et"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_value_range_frame",
+    oracle="""
+SELECT event_id, event_type, value,
+       count(*) OVER w AS n_similar,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+           AS sum_similar
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+""",
+)
+def win_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame: for each event, aggregate over all
+    same-type events whose ``value`` lies within ±5 of it — the RANGE
+    frame keyed on a NUMERIC column rather than time
+    (win_time_range_frame covers the temporal case; this pins the
+    density-neighborhood form used for local smoothing and
+    percentile-free outlier context).  Frame membership depends only
+    on the value spacing, so ties need no tiebreaker — the frame is
+    identical on both engines.
+
+    Scale shape: one shuffle on event_type, sort by value within the
+    partition; the decimal sum keeps the frame aggregate
+    order-independent."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(-5, 5)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_similar"),
+    )
