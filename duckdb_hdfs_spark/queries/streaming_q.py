@@ -744,3 +744,133 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_left_outer_join",
+    # LEFT-outer stream-stream semantics: an unmatched view emits its
+    # NULL-padded row only once the watermark passes view_ts + horizon
+    # (state eviction).  The final global watermark is
+    # least(max view ts, max purchase ts) − 1 min (per-side maxima —
+    # the join watermark is the MIN across inputs); comparing only
+    # views at least horizon+delay+margin (63 min) older guarantees
+    # every compared view's outcome is DECIDED by end-of-stream, so
+    # the drain equals the batch left join over the same set.
+    oracle="""
+WITH mx AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+    ) AS m
+),
+v AS (
+    SELECT user_id, ts FROM events, mx
+    WHERE event_type = 'view' AND ts <= m - INTERVAL 63 MINUTE
+),
+p AS (
+    SELECT user_id AS p_user, ts AS p_ts, value FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.ts AS view_ts, p.p_ts AS purchase_ts,
+       p.value AS purchase_value,
+       CASE WHEN p.p_ts IS NULL THEN 1 ELSE 0 END AS unmatched
+FROM v LEFT JOIN p
+  ON v.user_id = p.p_user
+ AND p.p_ts >= v.ts AND p.p_ts < v.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join (round 5): views with no
+    purchase in the following hour must STILL emit (NULL-padded) —
+    but only after the watermark proves no match can arrive; this is
+    the state-EVICTION semantics the inner join never exercises
+    (an unmatched row's emission is triggered by watermark progress,
+    not by data).  The events rewrite is split into two files in
+    EVENT-TIME order (arrival order == event time), so the tight
+    1-minute watermark drops nothing, advances past batch 1's views
+    during batch 2, and the availableNow drain's final no-data batch
+    flushes the remaining decided rows.  Views in the last
+    horizon+delay of the stream are EXCLUDED on both engines — their
+    outcome is genuinely undecidable at end-of-stream, and the
+    restriction makes that semantics explicit rather than wrong.
+
+    Scale: both streams shuffle on user_id once; view state is
+    bounded by horizon+delay of event-time, independent of history."""
+    import glob as _glob
+
+    run_id = next(_run_counter)
+    base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"louter_{run_id}")
+    ev_static = spark.read.parquet(base)
+    # the final global watermark is the MIN of the two sides' (max
+    # event time − delay); each side's max is per-TYPE, not the
+    # table-wide max — the decidability cutoff must use the smaller.
+    mid, mxv, mxp = ev_static.agg(
+        F.percentile_approx("ts", 0.5),
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+    ).first()
+    mx = min(mxv, mxp)
+    src = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_louter_split_{run_id}"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    ev_static.filter(F.col("ts") <= F.lit(mid)).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(_glob.glob(os.path.join(src, "*.parquet")))
+    ev_static.filter(F.col("ts") > F.lit(mid)).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    t0 = 1_700_000_000
+    for p in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
+        os.utime(p, (t0, t0) if p in first else (t0 + 60, t0 + 60))
+
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    # the cutoff must NOT filter the stream itself: the views-side
+    # watermark tracks the max event time flowing through its node,
+    # and the global join watermark is the MIN of both sides — a
+    # truncated view stream would cap the watermark below the cutoff
+    # views' decision point and their NULL rows would never flush.
+    # Stream everything; restrict to the DECIDED set after the drain.
+    cutoff = F.lit(mx) - F.expr("INTERVAL 63 MINUTE")
+    views = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 minute")
+        .select("user_id", F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """user_id = p_user
+               AND purchase_ts >= view_ts
+               AND purchase_ts < view_ts + INTERVAL 1 HOUR"""
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+        F.when(F.col("purchase_ts").isNull(), 1).otherwise(0).alias(
+            "unmatched"
+        ),
+    )
+    name = f"t_streaming_left_outer_join_{run_id}"
+    run_available_now_to_memory(joined, name, output_mode="append")
+    return spark.table(name).filter(F.col("view_ts") <= cutoff)
