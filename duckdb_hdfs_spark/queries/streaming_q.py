@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
+from duckdb_hdfs_spark.queries.events import SESSION_GAP_MIN
 from duckdb_hdfs_spark.sources.catalog import load_table
 
 _run_counter = itertools.count()
@@ -874,3 +875,108 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"t_streaming_left_outer_join_{run_id}"
     run_available_now_to_memory(joined, name, output_mode="append")
     return spark.table(name).filter(F.col("view_ts") <= cutoff)
+
+
+# --------------------------------------------------------------------------
+def _rewrite_events_time_ordered(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> str:
+    """Two-file events rewrite SPLIT BY EVENT TIME with arrival order
+    matching (mtimes ordered) — for tight-watermark pipelines where
+    out-of-order arrival would drop rows."""
+    import glob as _glob
+
+    base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"{tag}_base")
+    ev_static = spark.read.parquet(base)
+    (mid,) = ev_static.agg(F.percentile_approx("ts", 0.5)).first()
+    src = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{tag}_split"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    ev_static.filter(F.col("ts") <= F.lit(mid)).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(_glob.glob(os.path.join(src, "*.parquet")))
+    ev_static.filter(F.col("ts") > F.lit(mid)).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    t0 = 1_700_000_000
+    for p in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
+        os.utime(p, (t0, t0) if p in first else (t0 + 60, t0 + 60))
+    return src
+
+
+@query(
+    "streaming_session_timeout",
+    # the custom sessionizer closes sessions two ways: a later event
+    # breaching the 30-min gap (data-driven), or the EVENT-TIME
+    # TIMEOUT when the watermark passes last_event + gap.  Comparing
+    # sessions ending <= max_ts − 32 min (gap + delay + margin)
+    # restricts to sessions provably closed by end-of-stream; they
+    # must equal the batch gaps-and-islands sessions.
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM flagged
+),
+rolled AS (
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, session_end, n_events
+FROM rolled, (SELECT max(ts) AS m FROM events) mx
+WHERE session_end <= m - INTERVAL 32 MINUTE
+""",
+)
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization with EVENT-TIME TIMEOUTS
+    (round 5): ``applyInPandasWithState`` + 
+    ``GroupStateTimeout.EventTimeTimeout`` — a later event breaching
+    the 30-min gap closes a session immediately; idle users' final
+    sessions close when the WATERMARK passes last_event + gap (the
+    timer path ``streaming_session_windows``' built-in operator
+    hides, and the only way an idle user's last session ever emits).
+    Time-ordered 2-file arrival under a tight 1-minute watermark;
+    sessions ending in the last gap+delay margin are undecidable at
+    end-of-stream and excluded on both engines.
+
+    Scale: state is one (start, last, n) triple per ACTIVE user;
+    timeout processing touches only fired timers."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+        session_timeout_sessions,
+    )
+
+    run_id = next(_run_counter)
+    src = _rewrite_events_time_ordered(spark, sf_dir, tag=f"sesto_{run_id}")
+    (mx,) = spark.read.parquet(src).agg(F.max("ts")).first()
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    name = f"t_streaming_session_timeout_{run_id}"
+    run_available_now_to_memory(
+        session_timeout_sessions(stream), name, output_mode="append"
+    )
+    cutoff = F.lit(mx) - F.expr("INTERVAL 32 MINUTE")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("end_us")).alias("session_end"),
+            "n_events",
+        )
+        .filter(F.col("session_end") <= cutoff)
+    )

@@ -300,3 +300,98 @@ def run_available_now_foreach_batch(
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError(f"streaming foreachBatch did not finish in {timeout_s}s")
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_timeout_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Custom event-time sessionizer: 30-min gap closes a session
+    (emitted immediately); an OPEN session closes via EVENT-TIME
+    TIMEOUT when the watermark passes last_event + gap — the state
+    machine a built-in session_window hides.  State per user is one
+    (start, last, n) triple."""
+    closed = {"user_id": [], "start_us": [], "end_us": [], "n_events": []}
+
+    def emit(start, last, n):
+        closed["user_id"].append(key[0])
+        closed["start_us"].append(start)
+        closed["end_us"].append(last)
+        closed["n_events"].append(n)
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        emit(start, last, n)
+        state.remove()
+        yield pd.DataFrame(closed)
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    ts_us = sorted(
+        int(t)
+        for pdf in batches
+        for t in (pdf["ts"].astype("int64") // 1000).tolist()
+    )
+    for t in ts_us:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > SESSION_GAP_US:
+            emit(start, last, n)
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    wm_ms = state.getCurrentWatermarkMs()
+    close_ms = (last + SESSION_GAP_US) // 1000 + 1
+    if close_ms <= wm_ms:
+        # the gap already elapsed in event time — close immediately
+        # (setTimeoutTimestamp would reject a timestamp <= watermark)
+        emit(start, last, n)
+        state.remove()
+    else:
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(close_ms)
+    yield pd.DataFrame(closed)
+
+
+def session_timeout_sessions(events: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator with
+    event-time timeouts (``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout``): data closes sessions when
+    a later event breaches the gap; the WATERMARK closes the rest —
+    the semantics production session stores rely on to ever emit the
+    final session of an idle user.
+
+    Scale: state is one triple per ACTIVE user (closed state is
+    removed); timeout processing touches only keys whose timers fire,
+    not the whole store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
