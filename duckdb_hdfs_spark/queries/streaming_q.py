@@ -980,3 +980,66 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("session_end") <= cutoff)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_partitioned_sink",
+    # exactly-once file sink: the drained hive-partitioned output must
+    # re-aggregate to the batch per-type totals.
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS val_sum
+FROM events GROUP BY event_type
+""",
+)
+def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HIVE-PARTITIONED parquet sink (round 5): the event
+    stream lands in an ``event_type=…/`` directory layout through a
+    checkpointed exactly-once file sink (3 micro-batches), then the
+    written lake is read back and re-aggregated — the continuous-
+    ingest layout every downstream partition-pruned reader
+    (fs_partitioned_prune) assumes.  The sink's _spark_metadata
+    commit log is what makes re-reads see only committed files.
+
+    Scale: each micro-batch appends only its own files per partition;
+    the sink never rewrites history.  (Production compacts small
+    files periodically — fs_compact_small_files.)"""
+    run_id = next(_run_counter)
+    src = _rewrite_events(spark, sf_dir, n_files=3, tag=f"psink_{run_id}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_psink_out_{run_id}"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_psink_ckpt_{run_id}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from duckdb_hdfs_spark.streaming.pipelines import read_event_stream
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:  # pragma: no cover - guard against hung trigger
+        q.stop()
+        raise TimeoutError("partitioned sink did not finish")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("val_sum"),
+        )
+    )
