@@ -1156,3 +1156,65 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_monthly_growth",
+    oracle="""
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT a.month,
+       a.n_orders,
+       CAST(round(a.rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(b.rev, 2) AS DOUBLE) AS prev_revenue,
+       round((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+             / CAST(b.rev AS DOUBLE) * 100, 4) AS growth_pct
+FROM m a LEFT JOIN m b ON b.month = a.month - INTERVAL 1 MONTH
+""",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the top line of every
+    business review.  The previous month attaches by a JOIN on
+    month−1 (not a partition-less lag window over the global month
+    ordering, which would be a single-task funnel and is banned
+    repo-wide); first month reports NULL growth honestly.
+
+    Determinism: monthly revenue is an exact DECIMAL sum; the growth
+    ratio divides the exact-decimal-derived doubles in the same
+    association order on both engines and rounds once.
+
+    Scale shape: one partial-aggregated scan to the month panel, then
+    a panel self-join at month grain (calendar-sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = m.select(
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("nm"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        m.join(F.broadcast(b), m.month == b.nm, "left")
+        .select(
+            "month",
+            "n_orders",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round("prev_rev", 2).cast("double").alias("prev_revenue"),
+            F.round(
+                (F.col("rev").cast("double") - F.col("prev_rev").cast("double"))
+                / F.col("prev_rev").cast("double")
+                * 100,
+                4,
+            ).alias("growth_pct"),
+        )
+    )

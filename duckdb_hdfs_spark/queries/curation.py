@@ -1031,3 +1031,81 @@ def corpus_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+),
+firsts AS (
+    SELECT doc_id AS first_doc, count(*) AS n_new
+    FROM (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok) t
+    GROUP BY doc_id
+),
+j AS (
+    SELECT p.doc_id, p.n_tok, coalesce(f.n_new, 0) AS n_new
+    FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.first_doc
+)
+SELECT doc_id,
+       CAST(sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+       CAST(sum(n_new) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vocab
+FROM j
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct tokens
+    vs cumulative token count in ingest (doc_id) order — the panel
+    that says whether a corpus is still contributing NEW vocabulary
+    or re-treading (flattening curve ⇒ diminishing data value; the
+    empirical basis for dataset-mixing decisions).
+
+    Spark-first shape: 'cumulative distinct' is NOT computed by
+    rescanning prefixes — each token contributes at its FIRST doc
+    only (min(doc_id) per token, one shuffle), so the curve is two
+    running sums over per-doc increments, both via the two-phase
+    distributed cumsum under a constant group (no partition-less
+    window).  Linear at any corpus size."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    j = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("__g", F.lit(1))
+    )
+    c1 = grouped_cumsum(
+        j, ["__g"], [("doc_id", "asc")], val="n_tok", out="cum_tokens"
+    )
+    c2 = grouped_cumsum(
+        c1, ["__g"], [("doc_id", "asc")], val="n_new", out="cum_vocab"
+    )
+    return c2.select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    )
