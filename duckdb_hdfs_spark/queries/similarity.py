@@ -1075,3 +1075,53 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_range_search",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE {_PROBE_FILTER})
+SELECT probe_id, vec_id, round(cos_raw, 6) AS cos_sim
+FROM (
+    SELECT p.probe_id, c.vec_id,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM embeddings c, p
+    WHERE c.vec_id <> p.probe_id
+) t
+WHERE cos_raw >= 0.25
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) similarity search: ALL corpus vectors with
+    cosine ≥ τ = 0.25 per probe — the threshold-query counterpart of
+    top-k (dedup wants 'everything above τ', not 'the best 5'; a
+    top-k index silently truncates dense neighborhoods).  The
+    threshold compares the RAW fold cosine (bit-identical across
+    engines); rounding is output-only.
+
+    Scale shape: probes broadcast, corpus scored map-side, and the
+    τ-filter applies BEFORE any shuffle — the result set (not the
+    score set) is all that moves; no top-k state at all.  The 100 TB
+    path puts the same filter after an IVF/LSH candidate stage."""
+    from duckdb_hdfs_spark.functions.vectors import cosine
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    c = rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
+    cos_raw = cosine(F.col("pe"), F.col("embedding"))
+    return (
+        c.join(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= 0.25)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
