@@ -556,3 +556,56 @@ def win_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_similar"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_locf_ignore_nulls",
+    oracle="""
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value,
+       lag(CASE WHEN event_type = 'purchase' THEN value END,
+           1 IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_purchase_value
+FROM events
+""",
+)
+def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — last-observation-carried-
+    forward (LOCF): every event row carries the user's most recent
+    purchase value (and the one before it, via ``lag IGNORE NULLS``),
+    the standard sparse-to-dense gap-fill for feature generation and
+    sensor/price panels.  Pins Spark's ``ignorenulls=True`` argument
+    against SQL's ``IGNORE NULLS`` clause on both ``last_value`` and
+    ``lag`` — semantics diverge subtly from a self-join formulation
+    at ties, so the window form is the one to trust.
+
+    Scale shape: one user-keyed shuffle, both windows share the same
+    partitioning and sort; values pass through unrounded (no
+    arithmetic, no float hazard)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # F.lag has no ignorenulls parameter — the SQL form is the
+    # supported spelling of lag ... IGNORE NULLS in Spark
+    prev = F.expr(
+        """lag(CASE WHEN event_type = 'purchase' THEN value END, 1)
+           IGNORE NULLS
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)"""
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(pv, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("last_purchase_value"),
+        prev.alias("prev_purchase_value"),
+    )
