@@ -1452,3 +1452,106 @@ def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_conversion_survival",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (
+    SELECT user_id, ts AS v_ts FROM events, mx
+    WHERE event_type = 'view' AND ts <= m - INTERVAL 24 HOUR
+),
+p AS (
+    SELECT user_id AS p_user, ts AS p_ts FROM events
+    WHERE event_type = 'purchase'
+),
+firstp AS (
+    SELECT v.user_id, v.v_ts, min(p.p_ts) AS fp_ts
+    FROM v LEFT JOIN p
+      ON v.user_id = p.p_user
+     AND p.p_ts >= v.v_ts AND p.p_ts < v.v_ts + INTERVAL 24 HOUR
+    GROUP BY v.user_id, v.v_ts
+),
+d AS (
+    SELECT CASE WHEN fp_ts IS NULL THEN NULL
+                ELSE epoch_us(fp_ts) - epoch_us(v_ts) END AS dt_us
+    FROM firstp
+)
+SELECT count(*) AS n_views,
+       CAST(sum(CASE WHEN dt_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_1m,
+       CAST(sum(CASE WHEN dt_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_1h,
+       CAST(sum(CASE WHEN dt_us <= 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_6h,
+       CAST(sum(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_24h,
+       round(CAST(sum(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS conv_rate_24h
+FROM d
+""",
+)
+def ev_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion SURVIVAL curve: of all views with a
+    FULL 24-hour follow-up window (views in the last day of the
+    stream are right-censored and excluded — the censoring-honest
+    cut), how many converted within 1 min / 1 h / 6 h / 24 h?  The
+    cumulative-incidence numbers product teams fit attribution
+    horizons against (the 7-day lookback in the attribution ops is a
+    choice; this curve is the evidence).
+
+    Scale shape: the first-purchase lookup is the user-keyed interval
+    join (bounded fan-out) collapsed by min() per view; the horizon
+    counts are conditional sums in ONE 1-row aggregate — adding a
+    horizon adds an expression, not a pass."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(mx))
+        .filter(F.col("ts") <= F.col("m") - F.expr("INTERVAL 24 HOUR"))
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("fp_ts"))
+    )
+    dt = F.when(
+        F.col("fp_ts").isNotNull(),
+        F.unix_micros("fp_ts") - F.unix_micros("v_ts"),
+    )
+    d = firstp.select(dt.alias("dt_us"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.when(F.col("dt_us") <= 60_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("conv_1m"),
+        F.sum(F.when(F.col("dt_us") <= 3_600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("conv_1h"),
+        F.sum(F.when(F.col("dt_us") <= 21_600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("conv_6h"),
+        F.sum(F.when(F.col("dt_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("conv_24h"),
+        F.round(
+            F.sum(F.when(F.col("dt_us").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conv_rate_24h"),
+    )

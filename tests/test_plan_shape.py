@@ -186,6 +186,10 @@ _SCAN_BUDGET_EXCEPTIONS = {
     "emb_matryoshka_recall": 4,  # two brute_topk arms (full-dim +
                                 # truncated), each scanning corpus +
                                 # broadcast probes once
+    "ev_conversion_survival": 3,  # views leg + purchases leg (the
+                                # standard two-scan attribution shape)
+                                # + the censoring-cutoff max(ts)
+                                # branch, column-pruned to ts only
     "sql_set_ops": 4,           # two set-op legs x two branches
     "sim_recall_eval": 0,       # eval utility: inputs eagerly checkpointed
     "sim_ivf_probe_sweep": 0,   # eval utility: truth + all 3 nprobe arms
