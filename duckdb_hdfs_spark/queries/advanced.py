@@ -1218,3 +1218,81 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("growth_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_segment_migration",
+    oracle="""
+WITH p1 AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_custkey
+),
+p2 AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_custkey
+),
+t1 AS (
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY sp DESC, o_custkey) AS tile
+    FROM p1
+),
+t2 AS (
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY sp DESC, o_custkey) AS tile
+    FROM p2
+)
+SELECT coalesce(t1.tile, 0) AS tile_before,
+       coalesce(t2.tile, 0) AS tile_after,
+       count(*) AS n_customers
+FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
+GROUP BY 1, 2
+""",
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-MIGRATION matrix: spend quartile before vs
+    after the 1996 split (tile 0 = absent from that period) — the
+    lifecycle panel behind churn/win-back programs (a heavy
+    1→absent flow is churn of the best customers; 4→1 is successful
+    activation).  Both period quartiles use the two-phase distributed
+    ntile, then a full outer join on customer aligns the eras.
+
+    Scale shape: two filtered partial-aggregated scans to per-period
+    spend, distributed ntile per period (no global window), one
+    customer-keyed full outer join, calendar-free 5×5 output."""
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp")
+
+    def tiles(df, name):
+        spend = (
+            df.groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp")
+            )
+            .withColumn("spd", F.col("sp").cast("double"))
+        )
+        t = distributed_ntile(
+            spend, [("spd", "desc"), ("o_custkey", "asc")],
+            out="tile", n_buckets=4,
+        )
+        return t.select("o_custkey", F.col("tile").alias(name))
+
+    t1 = tiles(orders.filter(F.col("o_orderdate") < split), "tile_before")
+    t2 = tiles(orders.filter(F.col("o_orderdate") >= split), "tile_after")
+    return (
+        t1.join(t2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("tile_before", F.lit(0)).cast("long").alias(
+                "tile_before"
+            ),
+            F.coalesce("tile_after", F.lit(0)).cast("long").alias(
+                "tile_after"
+            ),
+        )
+        .groupBy("tile_before", "tile_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -613,3 +613,77 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sketch_hll_rolling_wau",
+    # the rolling 7-day distinct must land within 5% of exact for
+    # every day; HLL union is order-independent so the flag is
+    # deterministic.
+    oracle="""
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+panel AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events)
+SELECT day,
+       CAST((SELECT count(DISTINCT user_id) FROM panel
+             WHERE d >= day - INTERVAL 6 DAY AND d <= day) AS BIGINT)
+           AS wau_exact,
+       TRUE AS hll_ok
+FROM days
+""",
+)
+def sketch_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-day distinct users from DAILY HLL sketches: one
+    sketch per day, each day's WAU = union of its trailing 7 sketches
+    — the scalable form of ev_rolling_dau (the exact version
+    re-touches 7 days of user rows per day; the sketch version
+    touches 7 KILOBYTE summaries, and the daily sketches are the
+    same ones the daily dashboard already stores).  Estimates are
+    exact-audited within 5%.
+
+    Scale shape: events collapse ONCE to (day, user) for the daily
+    sketches AND the exact audit panel (checkpointed); the rolling
+    union is a day-spine × 7-sketch interval join at calendar grain —
+    data volume appears only in the first aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    panel = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    daily_sk = panel.groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=True)
+    days = daily_sk.select(F.col("d").alias("day"))
+    rolled = (
+        F.broadcast(days)
+        .join(
+            daily_sk,
+            (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("sk7"))
+    )
+    exact = (
+        F.broadcast(days.withColumnRenamed("day", "xday"))
+        .join(
+            panel,
+            (F.col("d") >= F.col("xday") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("d") <= F.col("xday")),
+        )
+        .groupBy("xday")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .withColumnRenamed("xday", "day")
+    )
+    return (
+        rolled.join(exact, "day")
+        .select(
+            "day",
+            "wau_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk7") - F.col("wau_exact"))
+                <= 0.05 * F.col("wau_exact")
+            ).alias("hll_ok"),
+        )
+    )
