@@ -1109,3 +1109,84 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_quality_rule_ablation",
+    oracle=rf"""
+WITH scored AS (
+    SELECT source,
+           CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 1000
+                THEN 1 ELSE 0 END AS pass_len,
+           CASE WHEN CAST(list_reduce(list_transform({_TOKS},
+                         t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+                     / len({_TOKS}) >= 2.0
+                 AND CAST(list_reduce(list_transform({_TOKS},
+                         t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+                     / len({_TOKS}) <= 12.0
+                THEN 1 ELSE 0 END AS pass_word,
+           CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE) / len({_TOKS}) >= 0.05
+                THEN 1 ELSE 0 END AS pass_stop
+    FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(pass_len) AS BIGINT) AS pass_len,
+       CAST(sum(pass_word) AS BIGINT) AS pass_word,
+       CAST(sum(pass_stop) AS BIGINT) AS pass_stop,
+       CAST(sum(pass_len * pass_word * pass_stop) AS BIGINT) AS pass_all,
+       round(CAST(sum(pass_len * pass_word * pass_stop) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM scored GROUP BY source
+""",
+)
+def corpus_quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter RULE ABLATION per source: how many documents
+    pass each sub-rule of the composite quality score (token-count
+    band, mean-token-length band, stopword density) independently,
+    and how many pass all three — which tells you WHICH rule is doing
+    the cutting in each source before you ship a threshold change
+    (pipeline_quality_filter gives the verdict; this explains it, the
+    dq_rule_violations pattern applied to the curation filter).
+
+    Scale shape: all rule flags are map-side expressions over one
+    tokenization, collapsed in ONE partial-aggregated group-by at
+    source grain — adding a rule adds an expression, never a pass."""
+    from duckdb_hdfs_spark.functions.text import stopword_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / n
+    )
+    stop_ratio = stopword_hits(toks, "en").cast("double") / n
+    scored = docs.select(
+        "source",
+        F.when((n >= 20) & (n <= 1000), 1).otherwise(0).alias("pass_len"),
+        F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1)
+        .otherwise(0)
+        .alias("pass_word"),
+        F.when(stop_ratio >= 0.05, 1).otherwise(0).alias("pass_stop"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_len").cast("long").alias("pass_len"),
+        F.sum("pass_word").cast("long").alias("pass_word"),
+        F.sum("pass_stop").cast("long").alias("pass_stop"),
+        F.sum(
+            F.col("pass_len") * F.col("pass_word") * F.col("pass_stop")
+        )
+        .cast("long")
+        .alias("pass_all"),
+        F.round(
+            F.sum(
+                F.col("pass_len") * F.col("pass_word") * F.col("pass_stop")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )
