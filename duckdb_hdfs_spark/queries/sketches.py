@@ -687,3 +687,120 @@ def sketch_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _cms_join_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    def col_sql(j: int, key: str) -> str:
+        expr = f"'cms{j}-' || CAST({key} AS VARCHAR)"
+        return f"{md5_int60_sql(expr)} % {CMS_W}"
+
+    cells = " UNION ALL ".join(
+        f"""SELECT event_type, {j} AS j, {col_sql(j, 'user_id')} AS c
+            FROM events WHERE event_type IN ('view', 'purchase')"""
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH cells AS ({cells}),
+cnt AS MATERIALIZED (
+    SELECT event_type, j, c, count(*) AS n FROM cells GROUP BY 1, 2, 3
+),
+ip AS (
+    SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS ip
+    FROM (SELECT j, c, n FROM cnt WHERE event_type = 'view') a
+    JOIN (SELECT j, c, n FROM cnt WHERE event_type = 'purchase') b
+      ON a.j = b.j AND a.c = b.c
+    GROUP BY a.j
+),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+truth AS (
+    SELECT CAST(sum(v * p) AS BIGINT) AS true_join_size
+    FROM (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'view') AS v,
+               count(*) FILTER (WHERE event_type = 'purchase') AS p
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    )
+)
+SELECT true_join_size, cms_est,
+       cms_est >= true_join_size AS never_undercounts
+FROM truth CROSS JOIN est
+"""
+
+
+@query("sketch_cms_join_size", oracle=_cms_join_oracle())
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from Count-Min sketches: |views ⋈
+    purchases on user| estimated as minⱼ Σ_c cA[j][c]·cB[j][c] — the
+    AMS/CMS inner-product identity query optimizers use to predict a
+    join's output cardinality from per-relation kilobyte sketches
+    BEFORE paying for the join (each row's inner product
+    over-estimates, so the min keeps CMS's one-sided guarantee,
+    emitted as a checked boolean beside the exact Σ fA·fB truth).
+
+    Scale shape: BOTH sides' sketches build in one pass over the
+    filtered stream (cells keyed by (side, row, counter),
+    partial-aggregated, checkpointed); the inner product joins two
+    d×w count sets (768 rows each); the exact truth is the audit —
+    the production use carries only sketches, no raw-data join."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def cms_col(j: int):
+        return md5_int60(
+            F.concat(F.lit(f"cms{j}-"), F.col("user_id").cast("string"))
+        ) % CMS_W
+
+    cells = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), cms_col(j).alias("c"))
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("event_type", "cell.j", "cell.c")
+    cnt = (
+        cells.groupBy("event_type", "j", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = cnt.filter(F.col("event_type") == "view").select(
+        "j", "c", F.col("n").alias("na")
+    )
+    b = cnt.filter(F.col("event_type") == "purchase").select(
+        "j", "c", F.col("n").alias("nb")
+    )
+    est = (
+        a.join(b, ["j", "c"])
+        .groupBy("j")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("cms_est"))
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+        )
+        .agg(
+            F.sum(F.col("v") * F.col("p")).cast("bigint").alias(
+                "true_join_size"
+            )
+        )
+    )
+    return truth.join(F.broadcast(est)).select(
+        "true_join_size",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_join_size")).alias(
+            "never_undercounts"
+        ),
+    )

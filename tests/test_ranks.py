@@ -116,3 +116,40 @@ def test_distributed_ntile_no_global_window(spark):
         s = line.lstrip(" +-:")
         if s.startswith("Window "):
             assert "__bkt" in s, f"global window in plan: {s[:120]}"
+
+
+@pytest.mark.parametrize("metric_expr", ["id % 7", "0"])
+def test_grouped_cumsum_constant_group(spark, metric_expr):
+    """The constant-group form (global running total with no natural
+    partition key) used by corpus_shard_planner / corpus_vocab_growth
+    / orders_abc_class — including the fully-degenerate case where
+    every lead-order value ties (metric ≡ 0: all rows land in ONE
+    range bucket; correctness must survive, only load balance
+    degrades)."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    df = spark.range(300).select(
+        F.lit(1).alias("__g"),
+        F.col("id").alias("key"),
+        F.expr(metric_expr).cast("bigint").alias("metric"),
+        (F.col("id") % 13 + 1).cast("bigint").alias("v"),
+    )
+    got = {
+        r["key"]: r["c"]
+        for r in grouped_cumsum(
+            df,
+            ["__g"],
+            [("metric", "asc"), ("key", "asc")],
+            "v",
+            "c",
+            n_ranges=8,
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("metric"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["key"]: r["c"]
+        for r in df.select("key", F.sum("v").over(w).alias("c")).collect()
+    }
+    assert got == want
