@@ -425,3 +425,94 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     return merged.filter(F.col("n_orders") > 0)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "cdc_reordered_apply",
+    oracle=f"""
+WITH log AS (
+    SELECT o_orderkey, o_totalprice AS price, 0 AS v, 'I' AS op
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 10.0, 1, 'U'
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 20.0, 2, 'U'
+    FROM orders WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, 3, 'D'
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+lww AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY v DESC) AS rn
+    FROM log
+)
+SELECT op AS action, count(*) AS n_rows,
+       {{price_sum}} AS total_price
+FROM lww WHERE rn = 1
+GROUP BY op
+""".replace("{price_sum}", _osum("CASE WHEN op = 'D' THEN 0.0 ELSE price END")),
+)
+def cdc_reordered_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER CDC apply: a 4-version change log (insert →
+    update → update → delete) merged in the SHUFFLED order
+    [v3, v1, v0, v2] through the same version-guarded union + max_by
+    fold the in-order pipelines use — the final state must equal
+    last-writer-wins regardless of arrival order, which is the
+    commutativity property that lets a production apply tolerate
+    replayed, delayed, or parallel-partition batches without
+    coordination (an apply that depends on arrival order corrupts
+    state on the first replay).
+
+    Scale shape: each fold step is ONE hash-aggregate shuffle on the
+    key (join-free merge), checkpointed so the 4-step fold keeps
+    constant lineage depth; the version column, not wall-clock
+    arrival, is the total order."""
+    orders = _t(spark, sf_dir, "orders")
+    batches = [
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit(0).alias("v"),
+            F.lit("I").alias("op"),
+        ),
+        orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10.0).alias("price"),
+            F.lit(1).alias("v"),
+            F.lit("U").alias("op"),
+        ),
+        orders.filter(F.col("o_orderkey") % 8 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 20.0).alias("price"),
+            F.lit(2).alias("v"),
+            F.lit("U").alias("op"),
+        ),
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("price"),
+            F.lit(3).alias("v"),
+            F.lit("D").alias("op"),
+        ),
+    ]
+    state = None
+    for b in (batches[3], batches[1], batches[0], batches[2]):
+        merged = b if state is None else state.unionByName(b)
+        state = (
+            merged.groupBy("o_orderkey")
+            .agg(
+                F.max_by(
+                    F.struct("price", "v", "op"), F.col("v")
+                ).alias("r")
+            )
+            .select("o_orderkey", "r.price", "r.v", "r.op")
+            .localCheckpoint(eager=True)
+        )
+    return state.groupBy(F.col("op").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(
+            F.when(F.col("op") == "D", 0.0).otherwise(F.col("price"))
+        ).alias("total_price"),
+    )

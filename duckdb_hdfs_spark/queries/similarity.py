@@ -1125,3 +1125,75 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_cell_stats",
+    oracle=f"""
+SELECT cent_id, count(*) AS n_vectors
+FROM (
+    SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
+                            c.cent_id) AS crk
+        FROM embeddings e, (
+            SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+        ) c
+    ) WHERE crk = 1
+)
+GROUP BY cent_id
+""",
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-size histogram — the load-balance monitor for the IVF
+    index (dedup_lsh_bucket_stats' sibling): a skewed cell is both a
+    probe-latency straggler and a recall risk (its vectors crowd out
+    neighbors in fixed-k scans).  Read next to sim_ivf_probe_sweep
+    when sizing n_cells for a corpus.
+
+    Scale shape: the same map-side assignment ivf_ann uses — the
+    16-centroid codebook folds into ONE broadcast array row, each
+    vector scores all centroids inside a transform() and keeps its
+    argmax WITHOUT any corpus-keyed Exchange — then one 16-group
+    partial-aggregated count."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent"),
+            norm(F.col("embedding")).alias("cent_n"),
+        )
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(16)
+    )
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
+    )
+    corpus = rebalance_cpu_heavy(
+        emb.select("vec_id", F.col("embedding").alias("ce"))
+    ).select("vec_id", "ce", norm(F.col("ce")).alias("cn"))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(dot(F.col("ce"), c["cent"]) / (F.col("cn") * c["cent_n"]))
+            ).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    assigned = (
+        corpus.join(F.broadcast(cent_arr))
+        .withColumn(
+            "cent_id",
+            F.element_at(F.sort_array(scored), 1)["cent_id"],
+        )
+    )
+    return assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
