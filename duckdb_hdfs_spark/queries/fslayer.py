@@ -787,3 +787,40 @@ def fs_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_sql_join_views",
+    oracle="""
+SELECT n_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def fs_sql_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SQL over path-registered views — the reference's
+    core workflow one step up from single-path reads: register two
+    HDFS parquet paths as named relations, then run a JOIN in plain
+    SQL against them (``fs_sql_path`` pins the single-table
+    ``FROM parquet.`path``` form; this pins the catalog-of-views
+    form every BI tool generates).
+
+    Scale shape: identical to the DataFrame join — Catalyst plans the
+    25-row nation view as the broadcast side; SQL text changes
+    nothing about the physical plan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_balance
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
