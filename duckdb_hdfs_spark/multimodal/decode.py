@@ -595,3 +595,45 @@ def image_patch_batches(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(patches, PATCH_SCHEMA)
+
+
+#: routed media feature schema
+ROUTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("feature", LongType()),
+    ]
+)
+
+
+def route_decode_batches(media: DataFrame) -> DataFrame:
+    """Heterogeneous decode DISPATCH: one Arrow-batched stage routes
+    each payload to its modality's parser by ``media_type`` (images →
+    decode_image, audio → decode_audio) and emits a modality-specific
+    integer feature (images: top-left green channel; audio: peak
+    amplitude) — the mixed-media ingest shape a real lake has, where
+    one job handles whatever arrived rather than one job per format.
+    Unknown types would raise NotImplementedError loudly (same policy
+    as the individual decoders)."""
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "feature": []}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt.startswith("image/"):
+                    _w, _h, rows = decode_image(bytes(payload))
+                    feature = rows[0][0][1]  # top-left green
+                elif mt.startswith("audio/"):
+                    _rate, samples = decode_audio(bytes(payload))
+                    feature = max(samples)
+                else:  # pragma: no cover - policy guard
+                    raise NotImplementedError(f"unroutable media type {mt}")
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["feature"].append(int(feature))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(route, ROUTED_SCHEMA)

@@ -301,3 +301,59 @@ def mm_image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_image_batches(_t(spark, sf_dir, "documents"))
     return image_patch_batches(media)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_media_router",
+    # analytic oracle over the md5-seeded synth params: images carry
+    # top-left green = g0 (even doc_id → BMP, odd → PPM), audio
+    # carries peak = amp; every document contributes one image AND
+    # one wav, so the per-type feature sums derive in plain SQL.
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 200
+               AS g0,
+           100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+               * 100 AS amp
+    FROM documents
+)
+SELECT media_type, count(*) AS n_items,
+       CAST(sum(feature) AS BIGINT) AS feature_sum
+FROM (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS media_type,
+           g0 AS feature
+    FROM params
+    UNION ALL
+    SELECT 'audio/wav' AS media_type, amp AS feature FROM params
+)
+GROUP BY media_type
+""",
+)
+def mm_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-MODALITY decode routing (round 5): image (BMP/PPM) and
+    audio (WAV) payloads flow through ONE dispatch stage that picks
+    the parser per row by media_type — the heterogeneous-lake ingest
+    shape (one job per arrival batch, not one job per format), with
+    unknown types failing loudly.  Per-type counts and feature sums
+    are re-derived analytically by the oracle, so routing AND both
+    decoders are hash-checked in one query.
+
+    Scale shape: synth + routed decode are chained Arrow-batched
+    mapInPandas stages, then one 3-group partial-aggregated rollup;
+    zero shuffles before it."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        route_decode_batches,
+        synth_image_batches,
+        synth_wav_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_image_batches(docs).unionByName(synth_wav_batches(docs))
+    routed = route_decode_batches(media)
+    return routed.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("feature").cast("bigint").alias("feature_sum"),
+    )
