@@ -609,3 +609,56 @@ def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_purchase_value"),
         prev.alias("prev_purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "win_nulls_ordering",
+    oracle="""
+SELECT event_type, event_id, score, rk_desc, rk_asc
+FROM (
+    SELECT event_type, event_id,
+           CASE WHEN value > 50 THEN round(value, 4) END AS score,
+           row_number() OVER (PARTITION BY event_type
+                ORDER BY (CASE WHEN value > 50 THEN value END)
+                         DESC NULLS LAST, event_id) AS rk_desc,
+           row_number() OVER (PARTITION BY event_type
+                ORDER BY (CASE WHEN value > 50 THEN value END)
+                         ASC NULLS FIRST, event_id) AS rk_asc
+    FROM events
+) t
+WHERE rk_desc <= 3 OR rk_asc <= 3
+""",
+)
+def win_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering parity in window sorts: rank per type over a
+    PARTIALLY-NULL score both ways — DESC NULLS LAST (real values
+    win) and ASC NULLS FIRST (nulls rank first) — the two defaults
+    engines disagree about most (Spark's bare DESC puts nulls last,
+    Postgres's puts them first; explicit ``desc_nulls_last`` /
+    ``asc_nulls_first`` is the only portable spelling, pinned here
+    value-for-value).  Ties among the nulls break on event_id so the
+    cut is deterministic.
+
+    Scale shape: two ranks over the SAME type-keyed partition sort
+    family; the ≤3 filter keeps the output frame tiny."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    score_raw = F.when(F.col("value") > 50, F.col("value"))
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc_nulls_last(score_raw), F.asc("event_id")
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first(score_raw), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(score_raw, 4).alias("score"),
+            F.row_number().over(wd).alias("rk_desc"),
+            F.row_number().over(wa).alias("rk_asc"),
+        )
+        .filter((F.col("rk_desc") <= 3) | (F.col("rk_asc") <= 3))
+    )
