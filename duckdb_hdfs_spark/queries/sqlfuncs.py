@@ -796,3 +796,37 @@ def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     )
     return left.unionByName(right, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_paginated_topn",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10 OFFSET 10
+""",
+)
+def sql_paginated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination parity — page 2 (rows 11-20) of a
+    fully-deterministic ordering (the tiebreaker is what makes
+    pagination coherent: without it, page boundaries shuffle between
+    requests).  Spark 3.4+ exposes ``offset()`` natively; combined
+    with orderBy+limit it plans as a bounded global top-(offset+limit)
+    — no full sort — which is the only pagination shape that survives
+    at scale (OFFSET 10⁶ is still a 10⁶+10 heap, not a sort).
+
+    Determinism: strict (balance DESC, custkey) total order on both
+    engines; the page cut lands identically."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10)
+        .limit(10)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+    )
