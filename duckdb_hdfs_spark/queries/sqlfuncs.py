@@ -830,3 +830,44 @@ def sql_paginated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c_acctbal", 2).alias("bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_variant_type",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_num,
+       json_extract_string(
+           concat('{"u":', user_id, ',"tags":["a","b"]}'), '$.tags[0]')
+           AS tag0,
+       'OBJECT<k: BIGINT>' AS v_schema
+FROM events
+""",
+)
+def sql_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` into a
+    binary variant column, typed extraction via ``variant_get`` with
+    target-type casts, and ``schema_of_variant`` introspection — the
+    open-lakehouse answer to storing JSON without string re-parsing
+    per access (the variant encodes once; every downstream
+    ``variant_get`` is a binary field lookup, not a parse).  DuckDB
+    has no variant type, so the oracle extracts the same values
+    through its JSON path functions — equal values prove the variant
+    round-trip is lossless for this surface.
+
+    Scale shape: map-only expressions; at 100 TB the win is parsing
+    each props string ONCE instead of once per extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested_v = F.parse_json(
+        F.concat(F.lit('{"u":'), F.col("user_id"), F.lit(',"tags":["a","b"]}'))
+    )
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.variant_get(v, "$.k", "double").alias("k_num"),
+        F.variant_get(nested_v, "$.tags[0]", "string").alias("tag0"),
+        F.schema_of_variant(v).alias("v_schema"),
+    )
