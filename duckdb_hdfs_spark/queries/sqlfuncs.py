@@ -871,3 +871,70 @@ def sql_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(nested_v, "$.tags[0]", "string").alias("tag0"),
         F.schema_of_variant(v).alias("v_schema"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_array_mutation_funcs",
+    oracle="""
+SELECT event_id,
+       array_to_string(list_append(
+           [CAST(user_id % 5 AS VARCHAR), CAST(user_id % 3 AS VARCHAR),
+            CAST(user_id % 5 AS VARCHAR)], 'z'), ',') AS appended,
+       array_to_string(list_prepend('a',
+           [CAST(user_id % 5 AS VARCHAR), CAST(user_id % 3 AS VARCHAR)]),
+           ',') AS prepended,
+       array_to_string(list_filter(
+           [CAST(user_id % 5 AS VARCHAR), NULL,
+            CAST(user_id % 3 AS VARCHAR)], x -> x IS NOT NULL), ',')
+           AS compacted,
+       coalesce(array_to_string(list_filter(
+           [CAST(user_id % 5 AS VARCHAR), CAST(user_id % 3 AS VARCHAR),
+            CAST(user_id % 5 AS VARCHAR)],
+           x -> x <> CAST(user_id % 5 AS VARCHAR)), ','), '') AS removed,
+       array_to_string(list_sort(list_distinct(
+           [CAST(user_id % 5 AS VARCHAR), CAST(user_id % 3 AS VARCHAR),
+            CAST(user_id % 5 AS VARCHAR)])), ',') AS distinct_sorted,
+       array_to_string(list_reverse(
+           [CAST(user_id % 5 AS VARCHAR), CAST(user_id % 3 AS VARCHAR)]),
+           ',') AS reversed_arr,
+       array_to_string(flatten(
+           [[CAST(user_id % 5 AS VARCHAR)], ['x', 'y']]), ',') AS flat
+FROM events
+""",
+)
+def sql_array_mutation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array MUTATION class (the construction/edit half of the list
+    surface; sql_array_funcs covers inspection): append, prepend,
+    compact (null removal), remove-by-value, distinct (order
+    normalized by a sort — DuckDB's list_distinct does not preserve
+    first-occurrence order, so raw distinct output can never
+    hash-match), reverse, and flatten — all map-only codegen'd
+    expressions, outputs joined to scalars for the comparator."""
+    ev = _t(spark, sf_dir, "events")
+    e1 = (F.col("user_id") % 5).cast("string")
+    e2 = (F.col("user_id") % 3).cast("string")
+    base3 = F.array(e1, e2, e1)
+    base2 = F.array(e1, e2)
+    withnull = F.array(e1, F.lit(None).cast("string"), e2)
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_append(base3, F.lit("z")), ",").alias(
+            "appended"
+        ),
+        F.array_join(F.array_prepend(base2, F.lit("a")), ",").alias(
+            "prepended"
+        ),
+        F.array_join(F.array_compact(withnull), ",").alias("compacted"),
+        F.coalesce(
+            F.array_join(F.array_remove(base3, e1), ","), F.lit("")
+        ).alias("removed"),
+        F.array_join(
+            F.sort_array(F.array_distinct(base3)), ","
+        ).alias("distinct_sorted"),
+        F.array_join(F.reverse(base2), ",").alias("reversed_arr"),
+        F.array_join(
+            F.flatten(F.array(F.array(e1), F.array(F.lit("x"), F.lit("y")))),
+            ",",
+        ).alias("flat"),
+    )
