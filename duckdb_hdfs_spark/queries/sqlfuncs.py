@@ -938,3 +938,49 @@ def sql_array_mutation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("flat"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_map_funcs",
+    oracle="""
+SELECT event_id,
+       map(['k1', 'k2'], [user_id % 5, user_id % 3])['k1'][1] AS v1,
+       array_to_string(map_keys(
+           map(['k1', 'k2'], [user_id % 5, user_id % 3])), ',') AS keys_s,
+       array_to_string(list_transform(map_values(
+           map(['k1', 'k2'], [user_id % 5, user_id % 3])),
+           x -> CAST(x AS VARCHAR)), ',') AS vals_s,
+       CAST(cardinality(map(['k1', 'k2'], [user_id % 5, user_id % 3]))
+            AS BIGINT) AS n_entries,
+       list_contains(map_keys(
+           map(['k1', 'k2'], [user_id % 5, user_id % 3])), 'k1') AS has_k1,
+       list_contains(map_keys(
+           map(['k1', 'k2'], [user_id % 5, user_id % 3])), 'k9') AS has_k9
+FROM events
+""",
+)
+def sql_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-function class: construction, key lookup (scalar), key and
+    value enumeration (joined to scalars — entry order is insertion
+    order in both engines for literal construction), cardinality, and
+    key-membership — the per-row dictionary surface config/props
+    pipelines lean on (sql_nested_types pins struct field access;
+    this pins the dynamic-key half).
+
+    Scale: map-only codegen'd expressions."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k1"), F.col("user_id") % 5, F.lit("k2"), F.col("user_id") % 3
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k1").alias("v1"),
+        F.array_join(F.map_keys(m), ",").alias("keys_s"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda x: x.cast("string")), ","
+        ).alias("vals_s"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.map_contains_key(m, "k1").alias("has_k1"),
+        F.map_contains_key(m, "k9").alias("has_k9"),
+    )
