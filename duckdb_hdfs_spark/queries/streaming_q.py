@@ -1043,3 +1043,59 @@ def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "streaming_complete_topk",
+    # complete mode re-emits the full result each batch, which is the
+    # ONLY output mode where streaming sort+limit is legal; the final
+    # drain therefore equals the batch top-3.
+    oracle="""
+SELECT user_id, total_value, rk FROM (
+    SELECT user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value,
+           row_number() OVER (
+               ORDER BY sum(CAST(value AS DECIMAL(18,6))) DESC, user_id)
+               AS rk
+    FROM events GROUP BY user_id
+) t WHERE rk <= 3
+""",
+)
+def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-mode streaming top-k: running per-user value totals
+    across 3 micro-batches, sorted and limited INSIDE the streaming
+    query — legal only in complete mode (append/update reject
+    sorting because their incremental output has no total order; this
+    entry pins that asymmetry and the leaderboard-dashboard use it
+    enables).  The final drain's top-3 equals the batch ranking on
+    the exact decimal totals.
+
+    Scale: complete mode re-emits the whole aggregate per batch —
+    viable precisely because the result is top-k-bounded; the
+    underlying aggregate state stays one decimal pair per user."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        read_event_stream,
+        run_available_now_to_memory,
+    )
+
+    run_id = next(_run_counter)
+    src = _rewrite_events(spark, sf_dir, n_files=3, tag=f"topk_{run_id}")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_total"))
+        .orderBy(F.desc("dec_total"), F.asc("user_id"))
+        .limit(3)
+        .select(
+            "user_id",
+            F.round("dec_total", 2).cast("double").alias("total_value"),
+        )
+    )
+    name = f"t_streaming_complete_topk_{run_id}"
+    run_available_now_to_memory(agg, name, output_mode="complete")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return spark.table(name).withColumn("rk", F.row_number().over(w))
