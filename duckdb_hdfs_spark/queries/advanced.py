@@ -1296,3 +1296,61 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tile_before", "tile_after")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+WITH rev AS (
+    SELECT s_nationkey, l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey, l_suppkey
+),
+tot AS (SELECT s_nationkey, sum(r) AS t FROM rev GROUP BY s_nationkey)
+SELECT rev.s_nationkey AS nationkey,
+       count(*) AS n_suppliers,
+       round(CAST(sum(CAST(
+           round(round(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                 * round(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                 * 10000, 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS hhi
+FROM rev JOIN tot USING (s_nationkey)
+GROUP BY rev.s_nationkey
+""",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-revenue concentration per nation — the
+    Herfindahl-Hirschman index (Σ shareᵢ², ×10,000 on the antitrust
+    scale): >2,500 = the nation's supply rides on few suppliers, the
+    procurement-risk number sourcing teams track.
+
+    Determinism: each share is an exact-decimal-derived double
+    division rounded to 6 BEFORE squaring; the squared terms round to
+    8 and sum in DECIMAL — reducer order cannot move the index.
+
+    Scale shape: one lineitem scan with the supplier dim broadcast,
+    two chained partial-aggregated group-bys (supplier grain →
+    nation grain), nation totals re-attached by a 25-row join."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("r").alias("t"))
+    share = F.round(
+        F.col("r").cast("double") / F.col("t").cast("double"), 6
+    )
+    term = F.round(share * share * 10000, 8).cast("decimal(18,8)")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(term).cast("double"), 4).alias("hhi"),
+        )
+    )
