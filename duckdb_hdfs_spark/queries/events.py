@@ -1555,3 +1555,99 @@ def ev_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conv_rate_24h"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ev_bot_score_panel",
+    oracle="""
+WITH tc AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+ent AS (
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - CAST(sum(
+                       CAST(c AS DECIMAL(20, 8))
+                       * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                              AS DECIMAL(20, 8))
+                   ) AS DOUBLE) / sum(c), 4) AS entropy
+    FROM tc GROUP BY user_id
+),
+gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+    FROM events
+),
+cadence AS (
+    SELECT user_id, CAST(min(g) AS BIGINT) AS min_gap_us
+    FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT ent.user_id, n_events, entropy,
+       coalesce(min_gap_us, -1) AS min_gap_us,
+       CASE WHEN n_events >= 20 AND entropy < 0.6 THEN 1 ELSE 0 END
+           + CASE WHEN coalesce(min_gap_us, -1) BETWEEN 0 AND 1000000
+                  THEN 1 ELSE 0 END AS bot_score,
+       (CASE WHEN n_events >= 20 AND entropy < 0.6 THEN 1 ELSE 0 END
+        + CASE WHEN coalesce(min_gap_us, -1) BETWEEN 0 AND 1000000
+               THEN 1 ELSE 0 END) >= 2 AS is_bot
+FROM ent LEFT JOIN cadence ON ent.user_id = cadence.user_id
+""",
+)
+def ev_bot_score_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite BOT-SCORE panel: the behavioral family's capstone —
+    low type-entropy at volume (single-action automation) and a
+    sub-second minimum inter-event gap each add a point; two points
+    flags the user (the pipeline_quality_filter reason-code pattern
+    applied to behavior).  Each signal is individually available
+    (ev_user_entropy, ev_inter_event_times, ev_burst_flags); the
+    panel is what a trust-and-safety reviewer actually reads.
+
+    Scale shape: both signals reuse ONE user-keyed shuffle family
+    (type counts aggregate; lag window), joined at user grain; all
+    thresholds integer/rounded-double — engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clogc = F.col("c").cast("decimal(20,8)") * F.round(
+        F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(20,8)")
+    ent = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(clogc).cast("double") / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    cadence = gaps.groupBy("user_id").agg(
+        F.min("g").cast("bigint").alias("min_gap_us")
+    )
+    j = ent.join(cadence, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "entropy",
+        F.coalesce("min_gap_us", F.lit(-1)).alias("min_gap_us"),
+    )
+    p1 = F.when(
+        (F.col("n_events") >= 20) & (F.col("entropy") < 0.6), 1
+    ).otherwise(0)
+    p2 = F.when(
+        F.col("min_gap_us").between(0, 1_000_000), 1
+    ).otherwise(0)
+    return j.select(
+        "user_id",
+        "n_events",
+        "entropy",
+        "min_gap_us",
+        (p1 + p2).alias("bot_score"),
+        ((p1 + p2) >= 2).alias("is_bot"),
+    )

@@ -1313,3 +1313,108 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1 / n, 6).alias("mean_val"),
         F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_val"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "emb_cluster_purity",
+    oracle=f"""
+WITH assign AS (
+    SELECT vec_id, label, cent_id FROM (
+        SELECT e.vec_id, e.label, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
+                            c.cent_id) AS crk
+        FROM embeddings e, (
+            SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+        ) c
+    ) WHERE crk = 1
+),
+votes AS (
+    SELECT cent_id, label, count(*) AS v FROM assign GROUP BY 1, 2
+),
+top AS (
+    SELECT cent_id, label AS top_label, v AS top_v FROM (
+        SELECT cent_id, label, v,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY v DESC, label) AS rk
+        FROM votes) t WHERE rk = 1
+),
+sizes AS (SELECT cent_id, count(*) AS n FROM assign GROUP BY cent_id)
+SELECT sizes.cent_id, CAST(n AS BIGINT) AS n_vectors,
+       CAST(top_label AS BIGINT) AS top_label,
+       round(CAST(top_v AS DOUBLE) / n, 6) AS purity
+FROM sizes JOIN top USING (cent_id)
+""",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster PURITY against ground-truth labels: assign every
+    vector to its nearest of 8 md5-sampled centroids (the
+    emb_kmeans_update codebook), then report each cell's majority
+    label and majority share — the external-validity eval that says
+    whether unsupervised cells recover the label structure (purity
+    near 1/n_labels = the clustering is noise; cohesion/separation
+    audits are internal, this one is supervised).
+
+    Scale shape: the map-side broadcast-codebook argmax (no
+    corpus-keyed Exchange), then cell-grain vote and size aggregates
+    with a cell-partitioned argmax window — 8-row output."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent"),
+            norm(F.col("embedding")).alias("cent_n"),
+        )
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(8)
+    )
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
+    )
+    corpus = rebalance_cpu_heavy(
+        emb.select("vec_id", "label", F.col("embedding").alias("ce"))
+    ).select("vec_id", "label", "ce", norm(F.col("ce")).alias("cn"))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(dot(F.col("ce"), c["cent"]) / (F.col("cn") * c["cent_n"]))
+            ).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    assign = (
+        corpus.join(F.broadcast(cent_arr))
+        .withColumn(
+            "cent_id", F.element_at(F.sort_array(scored), 1)["cent_id"]
+        )
+        .select("vec_id", "label", "cent_id")
+    )
+    votes = assign.groupBy("cent_id", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("cent_id").orderBy(F.desc("v"), F.asc("label"))
+    top = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cent_id",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("v").alias("top_v"),
+        )
+    )
+    sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.join(top, "cent_id").select(
+        "cent_id",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        "top_label",
+        F.round(F.col("top_v").cast("double") / F.col("n"), 6).alias(
+            "purity"
+        ),
+    )
