@@ -1395,6 +1395,10 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id", F.element_at(F.sort_array(scored), 1)["cent_id"]
         )
         .select("vec_id", "label", "cent_id")
+        # three-column assignment materialized once: the vote branch
+        # and the size branch would otherwise each re-run the scoring
+        # scan (DataFrame reuse is plan reuse, not result reuse)
+        .localCheckpoint(eager=True)
     )
     votes = assign.groupBy("cent_id", "label").agg(
         F.count(F.lit(1)).alias("v")
