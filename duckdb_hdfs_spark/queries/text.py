@@ -414,3 +414,54 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_pii_prevalence",
+    oracle=rf"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT)
+           AS n_emails,
+       CAST(sum(len(regexp_extract_all(text, '{_LONGNUM_RE}'))) AS BIGINT)
+           AS n_longnums,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+                       OR len(regexp_extract_all(text, '{_LONGNUM_RE}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       round(CAST(sum(CASE WHEN
+                     len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+                       OR len(regexp_extract_all(text, '{_LONGNUM_RE}')) > 0
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS pii_doc_rate
+FROM documents GROUP BY source
+""",
+)
+def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII PREVALENCE panel per source: occurrence counts per PII
+    class (emails, long digit runs) and the share of documents
+    carrying any — the measurement that decides whether a source
+    needs the scrub pass at all and audits it afterwards
+    (text_scrub_pii redacts; this reports — run it before AND after,
+    the after-rate should be zero).
+
+    Scale shape: two regexp_extract_all counts per doc, map-side,
+    into one source-grain partial-aggregated rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    n_em = F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+    n_num = F.size(F.expr(f"regexp_extract_all(text, '{_LONGNUM_RE}', 0)"))
+    flagged = docs.select(
+        "source",
+        n_em.alias("ne"),
+        n_num.alias("nn"),
+        F.when((n_em > 0) | (n_num > 0), 1).otherwise(0).alias("has_pii"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ne").cast("bigint").alias("n_emails"),
+        F.sum("nn").cast("bigint").alias("n_longnums"),
+        F.sum("has_pii").cast("bigint").alias("n_docs_with_pii"),
+        F.round(
+            F.sum("has_pii").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pii_doc_rate"),
+    )
