@@ -1354,3 +1354,70 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 4).alias("hhi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_seasonality_index",
+    oracle="""
+WITH m AS (
+    SELECT CAST(extract(month FROM o_orderdate) AS INT) AS moy,
+           date_trunc('month', o_orderdate) AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1, 2
+),
+per_moy AS (
+    SELECT moy, count(*) AS n_months,
+           sum(rev) AS moy_rev
+    FROM m GROUP BY moy
+),
+base AS (
+    SELECT sum(moy_rev) AS tot, sum(n_months) AS n_tot FROM per_moy
+)
+SELECT moy, n_months,
+       CAST(round(moy_rev, 2) AS DOUBLE) AS moy_revenue,
+       round((CAST(moy_rev AS DOUBLE) / n_months)
+             / (CAST(tot AS DOUBLE) / n_tot), 6) AS seasonal_index
+FROM per_moy CROSS JOIN base
+""",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year SEASONALITY index: each calendar month's average
+    revenue relative to the all-months average (1.0 = neutral,
+    1.3 = a 30%-hot month) — the classical multiplicative
+    decomposition's seasonal factor, and the deseasonalization input
+    for any forecast or anomaly baseline on the revenue series
+    (ev_anomaly_ewma et al. track level; this isolates the calendar
+    shape).
+
+    Determinism: revenue is exact DECIMAL; the index is a ratio of
+    two exact-derived averages in identical association order,
+    rounded once.
+
+    Scale shape: one partial-aggregated scan to (month-of-year ×
+    month) grain, a 12-row rollup, and a broadcast 1-row base."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.month("o_orderdate").alias("moy"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    per_moy = m.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("rev").alias("moy_rev"),
+    )
+    base = per_moy.agg(
+        F.sum("moy_rev").alias("tot"), F.sum("n_months").alias("n_tot")
+    )
+    return (
+        per_moy.join(F.broadcast(base))
+        .select(
+            "moy",
+            "n_months",
+            F.round("moy_rev", 2).cast("double").alias("moy_revenue"),
+            F.round(
+                (F.col("moy_rev").cast("double") / F.col("n_months"))
+                / (F.col("tot").cast("double") / F.col("n_tot")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )

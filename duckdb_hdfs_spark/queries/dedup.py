@@ -1236,3 +1236,139 @@ def dedup_chain_capture_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uncaptured_mean_j",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_shingle_sensitivity",
+    oracle=f"""
+WITH
+sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+),
+hs AS (
+    SELECT doc_id,
+           list_transform(shingles, s -> {shingle_hash_sql('s')}) AS hashes
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id, {minhash_sigints_sql('hashes')} AS sig FROM hs
+),
+banded AS (
+    SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
+    FROM sigs
+    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+g2 AS (SELECT doc_id, {word_shingles_sql('toks', k=2)} AS g
+       FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)),
+g3 AS (SELECT doc_id, {word_shingles_sql('toks', k=3)} AS g
+       FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)),
+scored AS (
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_intersect(a2.g, b2.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a2.g, b2.g))), 6) AS j2,
+           round(CAST(len(list_intersect(a3.g, b3.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a3.g, b3.g))), 6) AS j3
+    FROM pairs p
+    JOIN g2 a2 ON p.doc_a = a2.doc_id
+    JOIN g2 b2 ON p.doc_b = b2.doc_id
+    JOIN g3 a3 ON p.doc_a = a3.doc_id
+    JOIN g3 b3 ON p.doc_b = b3.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(j2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_j2,
+       round(CAST(sum(CAST(j3 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_j3,
+       CAST(sum(CASE WHEN j2 >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_at_k2,
+       CAST(sum(CASE WHEN j3 >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_at_k3,
+       CAST(sum(CASE WHEN (j2 >= 0.6) <> (j3 >= 0.6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_verdict_flips
+FROM scored
+""",
+)
+def dedup_shingle_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size SENSITIVITY eval: the same candidate pairs scored
+    with 2-gram AND 3-gram Jaccard, reporting how many pairs flip the
+    ≥0.6 duplicate verdict between the two — the k knob changes what
+    'near-duplicate' MEANS (k=2 forgiving of reordering, k=3 strict
+    on phrasing), and this table quantifies the disagreement BEFORE a
+    100 TB run bakes one in (completing the parameter-calibration
+    family: band sweep = pair cost, recall eval = banding quality,
+    this = scoring-definition stability).
+
+    Determinism: both Jaccards round to 6 then DECIMAL-sum for the
+    means; verdict flips compare the rounded values identically.
+
+    Scale shape: ONE candidate stream (band-bucket bounded), each
+    side's 2-gram and 3-gram sets attached by doc-keyed joins, a
+    1-row rollup."""
+    from duckdb_hdfs_spark.functions.hashing import tokens, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    grams = docs.select(
+        "doc_id",
+        word_shingles(tokens(F.col("text")), 2).alias("g2"),
+        word_shingles(tokens(F.col("text")), 3).alias("g3"),
+    ).localCheckpoint(eager=True)
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("g2").alias("g2_a"),
+        F.col("g3").alias("g3_a"),
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("g2").alias("g2_b"),
+        F.col("g3").alias("g3_b"),
+    )
+    j2 = F.round(
+        F.size(F.array_intersect("g2_a", "g2_b")).cast("double")
+        / F.size(F.array_union("g2_a", "g2_b")),
+        6,
+    )
+    j3 = F.round(
+        F.size(F.array_intersect("g3_a", "g3_b")).cast("double")
+        / F.size(F.array_union("g3_a", "g3_b")),
+        6,
+    )
+    scored = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(j2.alias("j2"), j3.alias("j3"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("j2").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_j2"),
+        F.round(
+            F.sum(F.col("j3").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_j3"),
+        F.sum(F.when(F.col("j2") >= 0.6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_at_k2"),
+        F.sum(F.when(F.col("j3") >= 0.6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_at_k3"),
+        F.sum(
+            F.when((F.col("j2") >= 0.6) != (F.col("j3") >= 0.6), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_verdict_flips"),
+    )
