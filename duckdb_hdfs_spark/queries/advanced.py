@@ -1421,3 +1421,76 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "stats_linear_regression",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS BIGINT) AS x,
+           CAST(round(value, 4) AS DECIMAL(18,6)) AS y
+    FROM events
+),
+mo AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(x) AS sx,
+           sum(x * x) AS sxx,
+           sum(y) AS sy,
+           sum(CAST(x AS DECIMAL(18,6)) * y) AS sxy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM mo
+""",
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares regression per event type — value vs
+    hour-of-day slope and intercept, the trend-line primitive
+    (completes the statistics family: stats_moments = dispersion,
+    stats_welch_ttest = comparison, stats_quantiles = distribution,
+    this = trend).  Built from EXACT moment sums, not the engines'
+    ``regr_*`` aggregates, whose internal float accumulation is
+    reducer-order-dependent and can never hash-match: x is integer,
+    y rounds to DECIMAL, so n, Σx, Σx², Σy, Σxy are all exact and
+    order-independent; slope/intercept assemble in double with
+    identical association order and round once.
+
+    Scale shape: one partial-aggregated shuffle at type grain —
+    the same single-pass shape the Welch t-test uses."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.round("value", 4).cast("decimal(18,6)").alias("y"),
+    )
+    mo = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,6)") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mo.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
