@@ -1,0 +1,42 @@
+"""bench.py contract: the driver parses its stdout as ONE JSON line
+with fixed keys — a stray print or schema drift breaks the round's
+BENCH_r{N}.json silently, so pin the contract here (at sf0.001 so
+the test is cheap; the driver runs sf0.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_single_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got {lines!r}"
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "headline_query_wall_time"
+    assert payload["unit"] == "sec"
+    assert payload["value"] > 0
+    assert isinstance(payload["queries"], dict) and payload["queries"]
+    from duckdb_hdfs_spark.queries import load_all
+
+    headliners = {n for n, qd in load_all().items() if qd.headline}
+    assert set(payload["queries"]) == headliners
