@@ -71,69 +71,71 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-5 allocation: the 22
-# round-4 additions that have NEVER had a driver CORRECTNESS row, then
-# the 28 keys whose last driver-green row is round 2 — testdata is
-# regenerated per round, so a two-round-old row is re-verified only by
-# the local sf0.001 pytest sweep (VERDICT r4 "What's missing" #2).
+# Keep this list at exactly ≤50 names.  Round-6 allocation (VERDICT r5
+# "Next round" #1): 50 of the 116 round-5 additions that have NEVER
+# had a driver CORRECTNESS row, highest-novelty/highest-risk first —
+# pipeline_corpus_release, the graph/dq modules, all 8 new streaming
+# keys, the 5 real-decode multimodal keys, the LSH/IVF sweeps, then
+# the sqlfuncs parity classes and the round-5 sketch/cdc/embedding
+# waves.  The remaining 66 never-checked keys rotate in round 7.
 _DRIVER_PRIORITY = (
-    # --- never driver-checked: §2.12 curation (round 4, 8 keys) ---
-    "text_unigram_logprob",
-    "text_token_entropy",
-    "dedup_containment",
-    "sample_quality_resample",
-    "corpus_dataset_card",
-    "text_length_histogram",
-    "corpus_token_budget",
-    "emb_whitening_check",
-    # --- never driver-checked: round-4 similarity / dedup (5) ---
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_norm_outliers",
-    "dedup_lsh_bucket_stats",
-    "cdc_merge_with_deletes",
-    # --- never driver-checked: round-4 events / windows / SQL (6) ---
-    "win_first_last",
-    "sql_higher_order_funcs",
-    "ev_user_lifetime",
-    "ev_markov_transitions",
-    "ev_inter_event_times",
-    "ev_hourly_profile",
-    # --- never driver-checked: round-4 relational / fs (3) ---
-    "asof_view_next_purchase",
-    "orders_rfm_scores",
-    "fs_read_binary",
-    # --- re-verify: r2-stale TPC-H keys (16) ---
-    "q2_part_supplier_stats",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_supplier_value",
-    "q13_cust_order_distribution",
-    "q15_top_supplier",
-    "q16_brand_type_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_cust",
-    "q19_disjunctive_preds",
-    "q20_part_supplier_ship",
-    "q21_waiting_orders",
-    "q22_acctbal_opportunity",
-    # --- re-verify: r2-stale window/advanced-SQL keys (10) ---
-    "win_topk_per_group",
-    "win_lag_delta",
-    "rollup_sales",
-    "cube_sales",
-    "grouping_sets_sales",
-    "pivot_event_types",
-    "distinct_users_exact",
-    "sql_cte_chain",
-    "win_rank_functions",
-    "grouping_id_sales",
-    # --- re-verify: r2-stale fs keys (2) ---
-    "fs_read_json",
-    "fs_glob",
+    # --- end-to-end pipeline + graph + data-quality (4) ---
+    "pipeline_corpus_release",
+    "dedup_graph_pagerank",
+    "dq_referential_audit",
+    "dq_rule_violations",
+    # --- round-5 streaming keys (8) ---
+    "streaming_late_event_drops",
+    "streaming_cdc_apply",
+    "streaming_sliding_counts",
+    "streaming_hll_rollup",
+    "streaming_left_outer_join",
+    "streaming_session_timeout",
+    "streaming_partitioned_sink",
+    "streaming_complete_topk",
+    # --- real-decode multimodal keys (5) ---
+    "mm_decode_real",
+    "mm_decode_wav",
+    "mm_audio_frame_energy",
+    "mm_image_patch_grid",
+    "mm_media_router",
+    # --- calibration sweeps + high-risk dedup/sim evals (7) ---
+    "dedup_lsh_band_sweep",
+    "sim_ivf_probe_sweep",
+    "dedup_lsh_recall_eval",
+    "dedup_winnowing",
+    "dedup_simhash_pairs",
+    "sim_range_search",
+    "text_bigram_logprob",
+    # --- sqlfuncs parity classes (18) ---
+    "sql_math_funcs",
+    "sql_filtered_aggs",
+    "sql_bit_funcs",
+    "sql_pattern_match",
+    "sql_string_agg",
+    "sql_nested_types",
+    "sql_lateral_join",
+    "sql_distinct_on",
+    "sql_try_cast",
+    "sql_json_funcs",
+    "sql_any_all",
+    "sql_hash_funcs",
+    "sql_dayofweek_normalized",
+    "sql_union_by_name",
+    "sql_paginated_topn",
+    "sql_variant_type",
+    "sql_array_mutation_funcs",
+    "sql_map_funcs",
+    # --- round-5 sketches (5) ---
+    "sketch_bloom_filter",
+    "sketch_count_min",
+    "sketch_hll_intersection",
+    "sketch_hll_rolling_wau",
+    "sketch_cms_join_size",
+    # --- round-5 cdc (3) ---
+    "cdc_snapshot_at",
+    "cdc_incremental_agg",
+    "cdc_reordered_apply",
 )
 
 
