@@ -3,15 +3,18 @@ as DataFrame compositions.
 
 Scale design (100 TB): every operator is per-row map work plus ONE
 shuffle on a content-derived key (hash / band key / block key).
-Candidate generation is always a bounded-bucket equi-join — never an
-all-pairs cross join.  At 1000-executor scale the band-key shuffle
-partitions by hash prefix, so buckets co-locate and AQE splits any
-hot bucket (e.g. boilerplate-heavy shards).
+Candidate generation is always a bounded-bucket enumeration — never
+an all-pairs cross join — and pair explosion inside a bucket goes
+through ``bucketed_pairs``, which salts fat buckets into hash chunks
+and spreads their pair cells across the cluster, so no single task
+ever materializes a whole bucket (a skewed GROUP's collect_list is
+ONE row in ONE task — AQE cannot split it; the cell partitioner is
+the fix, not AQE).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
@@ -93,41 +96,131 @@ def minhash_banded(docs: DataFrame) -> DataFrame:
     )
 
 
+#: chunk size for the two-level bucket pair enumeration: per-task pair
+#: arrays are bounded by PAIR_CHUNK² structs (~8 MB at 512), and the
+#: replication factor a fat bucket pays is n/PAIR_CHUNK — always
+#: strictly dominated by its n²/2 pair output.
+PAIR_CHUNK = 512
+
+
+def bucketed_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    chunk: int = PAIR_CHUNK,
+) -> DataFrame:
+    """All unordered in-bucket (id_a, id_b) pairs with id_a < id_b —
+    one output row per (bucket, pair) — via two-level salted "cell"
+    enumeration, so NO single task ever materializes a whole bucket.
+
+    The naive shape (collect_list the bucket, explode its pairs) puts
+    a 10⁶-member boilerplate mega-bucket into ONE multi-GB array row
+    and an O(bucket²) explode in ONE task; AQE's skew handling splits
+    skewed join/aggregation partitions, not a single group's row, so
+    it cannot help.  Instead: a bucket of n members is salted into
+    S = ceil(n/chunk) hash chunks (S from a per-bucket count window —
+    rows stream through the window and spill, never forming an array),
+    and each member is replicated to the S cells (i, j), i ≤ j, that
+    touch its chunk — the balanced all-pairs partitioner of the
+    MapReduce triangle-enumeration literature.  One groupBy over
+    (bucket, cell) then collects two ≤~chunk lists and enumerates
+    diagonal-cell in-chunk pairs / off-diagonal cross-chunk pairs
+    JVM-side.  Per-task state is O(chunk²) REGARDLESS of bucket size,
+    and a fat bucket's S(S+1)/2 cells hash-spread across the whole
+    cluster.  Normal buckets (n ≤ chunk) take the S=1 fast path: one
+    cell, one row, exactly the old per-bucket cost.
+
+    ``id_col`` may be any orderable column (including a struct used to
+    carry a payload through the pair enumeration); ordering and the
+    id_a < id_b normalization use its natural (lexicographic) order.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    chunked = (
+        rows.select(*bucket_cols, F.col(id_col).alias("_id"))
+        .withColumn(
+            "_S", F.ceil(F.count(F.lit(1)).over(w) / F.lit(chunk)).cast("int")
+        )
+        .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_S")).cast("int"))
+    )
+    # replicate each member to every cell (i, j) touching its chunk;
+    # partner index _p sweeps 0..S-1, cell = (min, max) of (_c, _p)
+    cells = chunked.select(
+        *bucket_cols,
+        "_id",
+        "_c",
+        F.explode(F.sequence(F.lit(0), F.col("_S") - 1)).alias("_p"),
+    ).select(
+        *bucket_cols,
+        "_id",
+        "_c",
+        F.least("_c", "_p").alias("_i"),
+        F.greatest("_c", "_p").alias("_j"),
+    )
+    # the cell groupBy keys extend the window's partitioning keys, so
+    # no additional exchange is planned for it (hash on the bucket
+    # cols already co-locates every cell of a bucket's rows)
+    grouped = cells.groupBy(*bucket_cols, "_i", "_j").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_c") == F.col("_i"), F.col("_id")))
+        ).alias("ids_a"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_c") != F.col("_i"), F.col("_id")))
+        ).alias("ids_b"),
+    )
+    # diagonal cell (_i == _j): ids_a is the whole chunk, ids_b empty →
+    # in-chunk (lo, hi) pairs from the sorted list.  off-diagonal:
+    # cross product of the two chunks, pair normalized by least/greatest.
+    intra = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda lo, i: F.transform(
+                F.slice(
+                    F.col("ids_a"),
+                    i + 2,
+                    F.greatest(F.size("ids_a") - i - 1, F.lit(0)),
+                ),
+                lambda hi: F.struct(lo.alias("a"), hi.alias("b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda x: F.transform(
+                F.col("ids_b"),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    return grouped.select(
+        *bucket_cols,
+        F.explode(
+            F.when(F.col("_i") == F.col("_j"), intra).otherwise(cross)
+        ).alias("_pr"),
+    ).select(
+        *bucket_cols,
+        F.col("_pr.a").alias("id_a"),
+        F.col("_pr.b").alias("id_b"),
+    )
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
-    Formulated as bucket-explode, not a banded self-join: group the
-    banded rows by (band_idx, band_key), collect the doc_ids per
-    bucket, and emit in-bucket (lo, hi) pairs.  vs the self-join this
-    computes the signature pipeline ONCE (a DataFrame self-join
-    re-executes the upstream plan per side) and shuffles each banded
-    row once.  Pair explosion stays bounded by bucket size — the same
-    bound the join had — and a pathological boilerplate bucket is a
-    skewed GROUP, which AQE's skew handling splits."""
+    Formulated as bucket-cell enumeration (``bucketed_pairs``), not a
+    banded self-join: vs the self-join this computes the signature
+    pipeline ONCE (a DataFrame self-join re-executes the upstream plan
+    per side) and shuffles each banded row once; vs the plain
+    collect_list-the-bucket shape, a pathological boilerplate bucket
+    is salted across cells so per-task memory stays O(PAIR_CHUNK²)."""
     banded = minhash_banded(docs)
-    buckets = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    return (
+        bucketed_pairs(banded, ["band_idx", "band_key"], "doc_id")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda lo, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                        ),
-                        lambda hi: F.struct(
-                            lo.alias("doc_a"), hi.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:

