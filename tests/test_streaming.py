@@ -191,6 +191,63 @@ def test_checkpointed_ingest_is_exactly_once(spark, sf_dir, tmp_path):
     assert total.select("event_id").distinct().count() == ev.count()
 
 
+def test_restart_recovery_after_mid_stream_kill(spark, sf_dir, tmp_path):
+    """Kill a checkpointed file-sink query MID-STREAM — after the
+    first committed micro-batch, with most one-file batches still
+    pending — and resume from the same checkpoint: the resumed run
+    must land EXACTLY the uninterrupted result, with any partially
+    written batch hidden by the sink's commit log.  This is the
+    restart path the checkpoint exists for (the checkpointed-ingest
+    test above only ever restarts a COMPLETED query)."""
+    import time
+
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def start():
+        return (
+            read_event_stream(spark, f"{src}/*", max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.01)
+    q.stop()  # hard mid-stream interruption
+    q.awaitTermination(60)
+    committed = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert 1 <= committed < 6, (
+        f"kill was not mid-stream ({committed}/6 batches committed)"
+    )
+    # the interrupted sink must already be readable and exactly-once
+    # for whatever WAS committed (commit log hides partial batches)
+    partial = spark.read.parquet(out)
+    assert partial.count() == partial.select("event_id").distinct().count()
+    assert partial.count() < ev.count()
+
+    q2 = start()  # resume from the checkpoint; availableNow drains
+    assert q2.awaitTermination(120), "resumed query did not finish"
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count(), "resume lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_stateful_running_totals(spark, event_files):
     """applyInPandasWithState running totals: final per-user state ==
     batch groupBy sums, and totals only grow across micro-batches."""
