@@ -305,6 +305,67 @@ def mm_image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "mm_decode_gif",
+    # analytic oracle: the synthesized 7×5 GIF uses palette color
+    # k = (r0+k, g0+2k, b0+3k) and index(x, y) = (x+y+s) % 4 with
+    # (r0, g0, b0, s) from md5(doc_id), so every feature re-derives
+    # from a 35-cell generate_series grid: top-left red = r0+s, total
+    # green = Σ(g0 + 2·idx), and the position-weighted red checksum
+    # Σ((r0+idx)·(x+1)·(y+2)) — all integer-exact.
+    oracle="""
+WITH params AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 200
+               AS r0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 200
+               AS g0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 2))::BIGINT % 4
+               AS s
+    FROM documents
+),
+grid AS (
+    SELECT gx.x, gy.y
+    FROM (SELECT unnest(generate_series(0, 6)) AS x) gx
+    CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS y) gy
+)
+SELECT p.doc_id,
+       CAST(7 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+       CAST(min(p.r0 + p.s) AS BIGINT) AS top_left_r,
+       CAST(sum(p.g0 + 2 * ((g.x + g.y + p.s) % 4)) AS BIGINT) AS sum_g,
+       CAST(sum((p.r0 + (g.x + g.y + p.s) % 4) * (g.x + 1) * (g.y + 2))
+            AS BIGINT) AS wsum_r
+FROM params p CROSS JOIN grid g
+GROUP BY p.doc_id
+""",
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (round 6): synthesize an actual
+    GIF89a file per document — 4-color global palette, 7×5 pixel
+    grid, genuinely LZW-compressed image data — then parse the BYTES
+    back through the shared decode_image dispatch (pure-Python GIF
+    parser + full variable-width LZW decompressor,
+    multimodal/decode.py:decode_gif) and emit an integer-exact
+    feature panel.  The third member of the real-decoder family
+    (BMP/PPM → mm_decode_real, WAV → mm_decode_wav) and the only one
+    whose on-disk bytes are COMPRESSED — the LZW round-trip is
+    hash-checked against the analytic oracle, so a code-width,
+    bit-packing, or palette bug fails loudly.  The encoder/decoder
+    pair is additionally pinned by an external ground-truth fixture
+    (the canonical 1×1 tracking-pixel GIF) in tests.
+
+    Scale shape: two chained Arrow-batched mapInPandas stages, zero
+    shuffles — per-row map work end to end."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        gif_decode_batches,
+        synth_gif_batches,
+    )
+
+    media = synth_gif_batches(_t(spark, sf_dir, "documents"))
+    return gif_decode_batches(media)
+
+
+# --------------------------------------------------------------------------
+@query(
     "mm_media_router",
     # analytic oracle over the md5-seeded synth params: images carry
     # top-left green = g0 (even doc_id → BMP, odd → PPM), audio

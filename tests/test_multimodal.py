@@ -111,3 +111,81 @@ def test_frame_sample_bounds_and_determinism(spark, media):
     for r in one:
         want = hashlib.md5(src[r.doc_id] + b"-frame-0").hexdigest()
         assert r.frame_md5 == want
+
+
+# --------------------------------------------------------------------------
+# GIF + LZW (round 6)
+# --------------------------------------------------------------------------
+def test_lzw_roundtrip_property():
+    """encode → decode is identity across code-size/length combos that
+    cross every width boundary and (at 30k symbols) the 12-bit table
+    reset; plus the pathological repetitive streams that drive the
+    KwKwK case."""
+    import random
+
+    from duckdb_hdfs_spark.multimodal.decode import _lzw_decode, _lzw_encode
+
+    rng = random.Random(42)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 2, 7, 255, 256, 257, 1000, 30000):
+            xs = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert _lzw_decode(_lzw_encode(xs, mcs), mcs) == xs, (mcs, n)
+    for xs in ([0] * 10000, [0, 1] * 8000, [0, 0, 1, 0, 0, 1, 1] * 3000):
+        assert _lzw_decode(_lzw_encode(xs, 2), 2) == xs
+
+
+def test_gif_external_ground_truth_fixture():
+    """Decode the canonical 1×1 tracking-pixel GIF — an EXTERNAL
+    real-world artifact, so the parser is checked against the actual
+    GIF89a format, not merely against our own encoder.  It exercises
+    extension chunk-walking (graphic control block) and the
+    omitted-EOI tolerance every real decoder has."""
+    import base64
+
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif
+
+    px = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_gif(px) == (1, 1, [[(0, 0, 0)]])
+
+
+def test_gif_roundtrip_exact():
+    """encode_gif → decode_image recovers every pixel through the
+    shared dispatch (image/gif handled beside BMP/PPM), including a
+    17-color palette that pads the color table to 32 entries and
+    bumps the LZW minimum code size to 5."""
+    from duckdb_hdfs_spark.multimodal.decode import decode_image, encode_gif
+
+    pal4 = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+    w, h, rows = decode_image(
+        encode_gif(7, 5, pal4, lambda x, y: (x + 2 * y) % 4)
+    )
+    assert (w, h) == (7, 5)
+    for y in range(5):
+        for x in range(7):
+            assert rows[y][x] == pal4[(x + 2 * y) % 4], (x, y)
+
+    pal17 = [(i * 3, i * 5 % 256, i * 7 % 256) for i in range(17)]
+    w, h, rows = decode_image(
+        encode_gif(9, 4, pal17, lambda x, y: (x * 4 + y) % 17)
+    )
+    assert (w, h) == (9, 4)
+    for y in range(4):
+        for x in range(9):
+            assert rows[y][x] == pal17[(x * 4 + y) % 17], (x, y)
+
+
+def test_gif_rejects_interlaced():
+    import struct
+
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    payload = bytearray(
+        encode_gif(4, 4, [(0, 0, 0), (255, 255, 255)], lambda x, y: (x + y) % 2)
+    )
+    # image descriptor starts after header(6) + LSD(7) + 2-color GCT(6)
+    assert payload[19] == 0x2C
+    payload[28] |= 0x40  # set the interlace flag
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(payload))
