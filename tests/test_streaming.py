@@ -248,6 +248,59 @@ def test_restart_recovery_after_mid_stream_kill(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_stateful_windowed_agg_recovers_state_after_kill(
+    spark, event_files, tmp_path
+):
+    """State-store recovery (the stateful sibling of the stateless
+    kill test above): a watermarked windowed aggregation in append
+    mode over a file sink, killed after its first committed
+    micro-batch, must on resume produce EXACTLY the uninterrupted
+    run's output — the window state and watermark come back from the
+    checkpointed state store, not from a fresh scan."""
+    import time
+
+    def run(out: str, ckpt: str, kill_mid_stream: bool):
+        q = (
+            windowed_counts(
+                read_event_stream(spark, event_files, max_files_per_trigger=1),
+                window="1 day",
+                watermark="1 day",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not kill_mid_stream:
+            assert q.awaitTermination(120), "query did not finish"
+            return None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] > 0:
+                break
+            time.sleep(0.01)
+        q.stop()
+        q.awaitTermination(60)
+        return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+
+    committed = run(str(tmp_path / "out_k"), str(tmp_path / "ck_k"), True)
+    assert committed is not None and 1 <= committed < 3, (
+        f"kill was not mid-stream ({committed}/3 batches committed)"
+    )
+    run(str(tmp_path / "out_k"), str(tmp_path / "ck_k"), False)  # resume
+    run(str(tmp_path / "out_u"), str(tmp_path / "ck_u"), False)  # control
+    killed = spark.read.parquet(str(tmp_path / "out_k"))
+    full = spark.read.parquet(str(tmp_path / "out_u"))
+    cols = sorted(killed.columns)
+    assert killed.count() > 0, "no closed windows emitted"
+    assert sorted(map(tuple, killed.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    ), "recovered run diverged from uninterrupted run"
+
+
 def test_stateful_running_totals(spark, event_files):
     """applyInPandasWithState running totals: final per-user state ==
     batch groupBy sums, and totals only grow across micro-batches."""
