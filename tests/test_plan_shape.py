@@ -75,14 +75,31 @@ def test_q1_partial_aggregation(spark, sf_dir):
 
 
 def test_minhash_candidates_are_bucket_bounded(spark, sf_dir):
-    """LSH candidate pairs come from a single band-key bucket
-    aggregation (one pass over the signature pipeline) — no join of
-    any kind, and exactly one scan of the documents file."""
+    """LSH candidate pairs come from the salted cell enumeration over
+    band-key buckets (one pass over the signature pipeline) — no join
+    of any kind, and exactly one scan of the documents file."""
     plan = plan_of(REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Aggregate" in plan
     # one scan node => one "Location:" entry in the node details
     assert plan.count("Location:") == 1, "documents scanned more than once"
+
+
+def test_minhash_cell_enumeration_shuffle_budget(spark, sf_dir):
+    """The fat-bucket cell partitioner must not add exchanges beyond
+    the band-key window: the executed plan holds exactly THREE —
+    signature groupBy(doc_id), the per-bucket count window on
+    (band_idx, band_key), and the final pair distinct.  The cell
+    groupBy's keys extend the window's partitioning keys, so Catalyst
+    plans no fourth exchange for it — the property that keeps the
+    hardening's cost at one extra shuffle, not two."""
+    df = REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    n = final.count("Exchange hashpartitioning")
+    assert n == 3, f"expected 3 exchanges (sig agg, band window, distinct): {n}"
+    assert "Window" in final, "per-bucket chunk-count window missing"
 
 
 @pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_containment"])
