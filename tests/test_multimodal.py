@@ -189,3 +189,60 @@ def test_gif_rejects_interlaced():
     payload[28] |= 0x40  # set the interlace flag
     with pytest.raises(NotImplementedError):
         decode_gif(bytes(payload))
+
+
+def test_gif_fuzz_roundtrip_property():
+    """Hypothesis fuzz over the whole GIF surface: random dimensions,
+    palette sizes (2..64 — exercising LZW min code sizes 2..6 and
+    color-table padding), and pixel index streams must round-trip
+    encode_gif → decode_gif pixel-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 9),
+        n_colors=st.integers(2, 64),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, n_colors, seed):
+        import random
+
+        rng = random.Random(seed)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(n_colors)
+        ]
+        pix = [[rng.randrange(n_colors) for _ in range(w)] for _ in range(h)]
+        gw, gh, rows = decode_gif(
+            encode_gif(w, h, pal, lambda x, y: pix[y][x])
+        )
+        assert (gw, gh) == (w, h)
+        assert rows == [[pal[pix[y][x]] for x in range(w)] for y in range(h)]
+
+    check()
+
+
+def test_gif_truncation_fails_loudly():
+    """A GIF whose pixel data is cut short must raise, not return a
+    partial image — the decoder's completeness check backs the
+    omitted-EOI tolerance."""
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    payload = bytearray(
+        encode_gif(
+            8, 8, [(0, 0, 0), (255, 255, 255)], lambda x, y: (x ^ y) & 1
+        )
+    )
+    # chop the tail of the single data sub-block (keep header intact):
+    # shrink the declared sub-block length and drop the bytes
+    # image descriptor at 19 (hdr 6 + LSD 7 + 2-color GCT 6), mcs at 29
+    assert payload[19] == 0x2C and payload[30] > 4
+    cut = payload[30] // 2
+    payload[30] = cut
+    del payload[31 + cut : -2]  # keep terminator + trailer
+    payload.insert(31 + cut, 0)  # sub-block terminator
+    with pytest.raises(ValueError):
+        decode_gif(bytes(payload))

@@ -102,6 +102,24 @@ def test_minhash_cell_enumeration_shuffle_budget(spark, sf_dir):
     assert "Window" in final, "per-bucket chunk-count window missing"
 
 
+@pytest.mark.parametrize("name", ["dedup_simhash_pairs", "dedup_winnowing"])
+def test_pair_family_is_join_free_with_bounded_shuffles(name, spark, sf_dir):
+    """The other two bucket-pair generators share the cell
+    partitioner's discipline: NO join anywhere (simhash previously
+    self-joined its checkpointed signatures), and exactly two
+    exchanges — the per-doc signature/fingerprint aggregation and the
+    per-bucket count window whose partitioning the cell groupBy and
+    pair rollup both reuse."""
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "CartesianProduct" not in final
+    n = final.count("Exchange hashpartitioning")
+    assert n == 2, f"{name}: expected 2 exchanges, got {n}"
+    assert "Window" in final, f"{name}: chunk-count window missing"
+
+
 @pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_containment"])
 def test_pair_scoring_is_bucket_bounded(name, spark, sf_dir):
     """Pair-scoring ops must draw candidates from the LSH band-bucket
