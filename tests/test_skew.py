@@ -102,6 +102,54 @@ def test_connected_clusters_consistent_with_pairs(spark, sf_dir):
     assert bad_min.count() == 0, "cluster id is not the min member"
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The join-shaped skew story (dedup_embedding_cos band join,
+    simhash's former self-join) leans on AQE's skew-join splitting —
+    pin that it actually fires under this session's settings: a join
+    whose hot key dominates one partition must execute with the
+    SortMergeJoin(skew=true) rewrite once the partition passes the
+    (test-lowered) skew thresholds.  Complements the cell partitioner:
+    AQE covers skewed JOIN partitions; only single-group array rows
+    are beyond it."""
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit("HOT"))
+            .otherwise((F.col("id") % 13).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(14).select(
+            F.when(F.col("id") == 13, F.lit("HOT"))
+            .otherwise(F.col("id").cast("string"))
+            .alias("k"),
+            F.lit(1).alias("w"),
+        )
+        df = left.join(right, "k")
+        assert len(df.collect()) == 200_000
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, "AQE did not split the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 # --------------------------------------------------------------------------
 # fat-bucket pair enumeration (operators.dedup.bucketed_pairs)
 # --------------------------------------------------------------------------
