@@ -226,3 +226,27 @@ def test_connected_clusters_chain_converges_in_log_rounds(spark):
     )
     got = {r.node: r.cluster_id for r in connected_clusters(pairs, max_iters=10).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_bucketed_pairs_carries_struct_payload(spark):
+    """The id column may be a struct that carries a payload through
+    the enumeration (how dedup_simhash_pairs rides its signature
+    along): ordering must follow the struct's lexicographic order —
+    i.e. the leading doc_id — and the payload must survive intact on
+    both the diagonal and cross-chunk paths."""
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    rows = [("b", f"d{i:02d}", i * 11) for i in range(20)]
+    df = spark.createDataFrame(rows, "f string, doc_id string, sig long").select(
+        "f", F.struct("doc_id", "sig").alias("node")
+    )
+    got = sorted(
+        (r.id_a.doc_id, r.id_a.sig, r.id_b.doc_id, r.id_b.sig)
+        for r in bucketed_pairs(df, ["f"], "node", chunk=4).collect()
+    )
+    want = sorted(
+        (f"d{i:02d}", i * 11, f"d{j:02d}", j * 11)
+        for i in range(20)
+        for j in range(i + 1, 20)
+    )
+    assert got == want
