@@ -301,6 +301,61 @@ def test_stateful_windowed_agg_recovers_state_after_kill(
     ), "recovered run diverged from uninterrupted run"
 
 
+def test_custom_state_survives_kill_and_resume(spark, event_files, tmp_path):
+    """The hardest recovery path: applyInPandasWithState CUSTOM state
+    (per-user (n, total) pairs) across a mid-stream kill.  Resume from
+    the checkpoint must CONTINUE the accumulators — final per-user
+    totals equal the batch ground truth, which a state reset cannot
+    produce (earlier micro-batches' files are never re-read)."""
+    import time
+
+    ckpt = str(tmp_path / "ck")
+    emitted: list = []
+
+    def start(leg: int):
+        def sink(batch_df, batch_id):
+            emitted.append((leg, batch_id, batch_df.collect()))
+
+        return (
+            running_user_totals(
+                read_event_stream(spark, event_files, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(0)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.01)
+    q.stop()
+    q.awaitTermination(60)
+    committed = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert 1 <= committed < 3, (
+        f"kill was not mid-stream ({committed}/3 batches committed)"
+    )
+    q2 = start(1)
+    assert q2.awaitTermination(180), "resumed query did not finish"
+
+    final: dict[int, tuple] = {}
+    for _leg, _bid, rows in sorted(emitted, key=lambda t: (t[0], t[1])):
+        for r in rows:
+            final[r.user_id] = (r.n_events, round(r.total_value, 4))
+    batch = (
+        _batch_events(spark, event_files)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+    )
+    want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert final == want, "custom state did not survive the restart"
+
+
 def test_stateful_running_totals(spark, event_files):
     """applyInPandasWithState running totals: final per-user state ==
     batch groupBy sums, and totals only grow across micro-batches."""
