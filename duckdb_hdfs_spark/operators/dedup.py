@@ -133,6 +133,9 @@ def bucketed_pairs(
     ``id_col`` may be any orderable column (including a struct used to
     carry a payload through the pair enumeration); ordering and the
     id_a < id_b normalization use its natural (lexicographic) order.
+    Precondition: ids are UNIQUE within a bucket (true for every
+    caller — one row per doc per band/fingerprint/prefix); a
+    duplicated id would pair with itself.
     """
     w = Window.partitionBy(*bucket_cols)
     chunked = (
