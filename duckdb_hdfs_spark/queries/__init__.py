@@ -138,6 +138,35 @@ _DRIVER_PRIORITY = (
     "cdc_reordered_apply",
 )
 
+# Round-7 rotation pool — the 67 keys with no driver CORRECTNESS row
+# after round 6 (66 round-5 leftovers + the round-6 mm_decode_gif).
+# Rotate 50 of these into _DRIVER_PRIORITY next round; the remaining
+# 17 (plus any stale re-verifies) go in round 8:
+#   dedup: cc_size_histogram, embedding_clusters, pair_triangles,
+#     embedding_threshold_sweep, chain_capture_eval, shingle_sensitivity
+#   sim/emb: mutual_knn_graph, knn_label_accuracy, matryoshka_recall,
+#     ivf_cell_stats, jl_project, label_centroid_cohesion,
+#     centroid_separation, dim_variance, cluster_purity
+#   text: code_detection, tokenizer_fertility, pii_prevalence
+#   orders/stats: pareto_deciles, asof_left_view_purchase, welch_ttest,
+#     cohort_revenue, first_touch_attribution, repeat_intervals,
+#     market_basket, priority_drift, abc_class, monthly_growth,
+#     segment_migration, concentration_hhi, seasonality_index,
+#     linear_regression
+#   fs: bucketed_join, compact_small_files, read_csv_malformed,
+#     typed_roundtrip, read_json_nested, summarize_table,
+#     parquet_codecs, sql_join_views
+#   events: user_decile, burst_flags, cumulative_users, anomaly_mad,
+#     stickiness, anomaly_ewma, session_paths, daily_conversion_wilson,
+#     active_streaks, funnel_windowed, new_vs_returning,
+#     gap_filled_daily, linear_attribution, user_entropy,
+#     conversion_survival, bot_score_panel
+#   windows: value_range_frame, locf_ignore_nulls, nulls_ordering
+#   corpus: source_overlap, temperature_mix, length_drift_by_source,
+#     quality_dup_calibration, shard_planner, vocab_growth,
+#     quality_rule_ablation
+#   multimodal: mm_decode_gif (round-6 addition)
+
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:
     ordered: dict[str, QueryDef] = {}

@@ -250,3 +250,17 @@ def test_bucketed_pairs_carries_struct_payload(spark):
         for j in range(i + 1, 20)
     )
     assert got == want
+
+
+def test_bucketed_pairs_empty_and_singleton_inputs(spark):
+    """Degenerate inputs: an empty frame and all-singleton buckets
+    must yield zero pairs without erroring (S=1 fast path, empty
+    sequence, empty diagonal slice)."""
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    empty = spark.createDataFrame([], "f string, doc_id string")
+    assert bucketed_pairs(empty, ["f"], "doc_id").count() == 0
+    singles = spark.createDataFrame(
+        [(f"b{i}", f"d{i}") for i in range(10)], "f string, doc_id string"
+    )
+    assert bucketed_pairs(singles, ["f"], "doc_id").count() == 0
