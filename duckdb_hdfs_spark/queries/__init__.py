@@ -71,101 +71,87 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-6 allocation (VERDICT r5
-# "Next round" #1): 50 of the 116 round-5 additions that have NEVER
-# had a driver CORRECTNESS row, highest-novelty/highest-risk first —
-# pipeline_corpus_release, the graph/dq modules, all 8 new streaming
-# keys, the 5 real-decode multimodal keys, the LSH/IVF sweeps, then
-# the sqlfuncs parity classes and the round-5 sketch/cdc/embedding
-# waves.  The remaining 66 never-checked keys rotate in round 7.
+# Keep this list at exactly ≤50 names.  Round-7 allocation (VERDICT r6
+# "Next round" #1): 50 of the keys that have NEVER had a driver
+# CORRECTNESS row, highest-novelty first — mm_decode_gif (round-6 LZW
+# codec), the fs round-trip family + the round-7 fs_write_roundtrip
+# COPY-TO key (the one sanctioned widening), the 16 round-5 ev_* keys,
+# the window-frame trio, the corpus-curation wave, then the dedup and
+# sim/emb evals.  The 18-key remainder (3 text, 14 orders/stats,
+# emb_dim_variance) rotates in round 8 — see the pool note below.
 _DRIVER_PRIORITY = (
-    # --- end-to-end pipeline + graph + data-quality (4) ---
-    "pipeline_corpus_release",
-    "dedup_graph_pagerank",
-    "dq_referential_audit",
-    "dq_rule_violations",
-    # --- round-5 streaming keys (8) ---
-    "streaming_late_event_drops",
-    "streaming_cdc_apply",
-    "streaming_sliding_counts",
-    "streaming_hll_rollup",
-    "streaming_left_outer_join",
-    "streaming_session_timeout",
-    "streaming_partitioned_sink",
-    "streaming_complete_topk",
-    # --- real-decode multimodal keys (5) ---
-    "mm_decode_real",
-    "mm_decode_wav",
-    "mm_audio_frame_energy",
-    "mm_image_patch_grid",
-    "mm_media_router",
-    # --- calibration sweeps + high-risk dedup/sim evals (7) ---
-    "dedup_lsh_band_sweep",
-    "sim_ivf_probe_sweep",
-    "dedup_lsh_recall_eval",
-    "dedup_winnowing",
-    "dedup_simhash_pairs",
-    "sim_range_search",
-    "text_bigram_logprob",
-    # --- sqlfuncs parity classes (18) ---
-    "sql_math_funcs",
-    "sql_filtered_aggs",
-    "sql_bit_funcs",
-    "sql_pattern_match",
-    "sql_string_agg",
-    "sql_nested_types",
-    "sql_lateral_join",
-    "sql_distinct_on",
-    "sql_try_cast",
-    "sql_json_funcs",
-    "sql_any_all",
-    "sql_hash_funcs",
-    "sql_dayofweek_normalized",
-    "sql_union_by_name",
-    "sql_paginated_topn",
-    "sql_variant_type",
-    "sql_array_mutation_funcs",
-    "sql_map_funcs",
-    # --- round-5 sketches (5) ---
-    "sketch_bloom_filter",
-    "sketch_count_min",
-    "sketch_hll_intersection",
-    "sketch_hll_rolling_wau",
-    "sketch_cms_join_size",
-    # --- round-5 cdc (3) ---
-    "cdc_snapshot_at",
-    "cdc_incremental_agg",
-    "cdc_reordered_apply",
+    # --- round-6 LZW codec + fs round-trips (10) ---
+    "mm_decode_gif",
+    "fs_write_roundtrip",
+    "fs_bucketed_join",
+    "fs_compact_small_files",
+    "fs_read_csv_malformed",
+    "fs_typed_roundtrip",
+    "fs_read_json_nested",
+    "fs_summarize_table",
+    "fs_parquet_codecs",
+    "fs_sql_join_views",
+    # --- round-5 events keys (16) ---
+    "ev_user_decile",
+    "ev_burst_flags",
+    "ev_cumulative_users",
+    "ev_anomaly_mad",
+    "ev_stickiness",
+    "ev_anomaly_ewma",
+    "ev_session_paths",
+    "ev_daily_conversion_wilson",
+    "ev_active_streaks",
+    "ev_funnel_windowed",
+    "ev_new_vs_returning",
+    "ev_gap_filled_daily",
+    "ev_linear_attribution",
+    "ev_user_entropy",
+    "ev_conversion_survival",
+    "ev_bot_score_panel",
+    # --- window-frame trio (3) ---
+    "win_value_range_frame",
+    "win_locf_ignore_nulls",
+    "win_nulls_ordering",
+    # --- corpus-curation wave (7) ---
+    "corpus_source_overlap",
+    "corpus_temperature_mix",
+    "corpus_length_drift_by_source",
+    "corpus_quality_dup_calibration",
+    "corpus_shard_planner",
+    "corpus_vocab_growth",
+    "corpus_quality_rule_ablation",
+    # --- dedup evals (6) ---
+    "dedup_cc_size_histogram",
+    "dedup_embedding_clusters",
+    "dedup_pair_triangles",
+    "dedup_embedding_threshold_sweep",
+    "dedup_chain_capture_eval",
+    "dedup_shingle_sensitivity",
+    # --- sim/emb evals (8) ---
+    "sim_mutual_knn_graph",
+    "sim_knn_label_accuracy",
+    "emb_matryoshka_recall",
+    "sim_ivf_cell_stats",
+    "emb_jl_project",
+    "emb_label_centroid_cohesion",
+    "emb_centroid_separation",
+    "emb_cluster_purity",
 )
 
-# Round-7 rotation pool — the 67 keys with no driver CORRECTNESS row
-# after round 6 (66 round-5 leftovers + the round-6 mm_decode_gif).
-# Rotate 50 of these into _DRIVER_PRIORITY next round; the remaining
-# 17 (plus any stale re-verifies) go in round 8:
-#   dedup: cc_size_histogram, embedding_clusters, pair_triangles,
-#     embedding_threshold_sweep, chain_capture_eval, shingle_sensitivity
-#   sim/emb: mutual_knn_graph, knn_label_accuracy, matryoshka_recall,
-#     ivf_cell_stats, jl_project, label_centroid_cohesion,
-#     centroid_separation, dim_variance, cluster_purity
+# Round-8 rotation pool — the 18 keys with no driver CORRECTNESS row
+# after round 7 (assuming CORRECTNESS_r07 goes green on the 50 above):
 #   text: code_detection, tokenizer_fertility, pii_prevalence
 #   orders/stats: pareto_deciles, asof_left_view_purchase, welch_ttest,
 #     cohort_revenue, first_touch_attribution, repeat_intervals,
 #     market_basket, priority_drift, abc_class, monthly_growth,
 #     segment_migration, concentration_hhi, seasonality_index,
 #     linear_regression
-#   fs: bucketed_join, compact_small_files, read_csv_malformed,
-#     typed_roundtrip, read_json_nested, summarize_table,
-#     parquet_codecs, sql_join_views
-#   events: user_decile, burst_flags, cumulative_users, anomaly_mad,
-#     stickiness, anomaly_ewma, session_paths, daily_conversion_wilson,
-#     active_streaks, funnel_windowed, new_vs_returning,
-#     gap_filled_daily, linear_attribution, user_entropy,
-#     conversion_survival, bot_score_panel
-#   windows: value_range_frame, locf_ignore_nulls, nulls_ordering
-#   corpus: source_overlap, temperature_mix, length_drift_by_source,
-#     quality_dup_calibration, shard_planner, vocab_growth,
-#     quality_rule_ablation
-#   multimodal: mm_decode_gif (round-6 addition)
+#   emb: dim_variance (bumped from r7 to make room for the sanctioned
+#     fs_write_roundtrip widening — a brand-new key outranks a simple
+#     per-dimension variance aggregate for driver novelty)
+# The other 32 slots of the round-8 window are free for stale-round
+# re-verifies (r3/r4 keys on fresh testdata), closing the bar's
+# "EVERY operator has a green CORRECTNESS row" clause.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

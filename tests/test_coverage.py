@@ -28,3 +28,22 @@ def test_survey_matches_registry():
     declared = _declared_keys()
     assert declared - reg == set(), f"SURVEY declares unknown keys: {declared - reg}"
     assert reg - declared == set(), f"registry keys missing from SURVEY: {reg - declared}"
+
+
+def test_driver_priority_resolves():
+    """Every _DRIVER_PRIORITY name must exist in the registry and the
+    list must fit the driver's 50-entry CORRECTNESS window — _reorder
+    silently skips unknown names, so a typo or a query rename would
+    otherwise silently drop a driver-coverage slot (ADVICE r6)."""
+    from duckdb_hdfs_spark.queries import _DRIVER_PRIORITY
+
+    reg = set(load_all())
+    missing = [n for n in _DRIVER_PRIORITY if n not in reg]
+    assert missing == [], f"_DRIVER_PRIORITY names not in registry: {missing}"
+    assert len(_DRIVER_PRIORITY) <= 50, (
+        f"_DRIVER_PRIORITY has {len(_DRIVER_PRIORITY)} names; the driver "
+        "checks only the first 50 registry entries"
+    )
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY), (
+        "duplicate names in _DRIVER_PRIORITY waste driver window slots"
+    )
