@@ -724,6 +724,8 @@ def encode_gif(width: int, height: int, palette, index_fn) -> bytes:
     top-down, row-major)."""
     import struct
 
+    if width <= 0 or height <= 0:
+        raise ValueError(f"zero-area GIF image: {width}x{height}")
     n = max(2, 1 << (len(palette) - 1).bit_length())  # pow2, >= 2
     gct_bits = n.bit_length() - 1  # n == 2 ** gct_bits
     out = bytearray(b"GIF89a")
@@ -759,11 +761,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, list]:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF payload")
+
+    def need(end: int) -> None:
+        # every indexed read funnels through here so a truncated or
+        # malformed payload raises the decoder's clean ValueError
+        # contract instead of a raw IndexError/struct.error (ADVICE r6)
+        if end > len(payload):
+            raise ValueError("truncated GIF")
+
+    need(13)
     _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
+        need(pos + 3 * n)
         gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
         pos += 3 * n
     while pos < len(payload):
@@ -773,12 +785,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, list]:
             break
         if block == 0x21:  # extension: label byte + data sub-blocks
             pos += 1
+            need(pos + 1)
             while payload[pos]:
                 pos += 1 + payload[pos]
+                need(pos + 1)
             pos += 1
             continue
         if block != 0x2C:
             raise NotImplementedError(f"unsupported GIF block 0x{block:02x}")
+        need(pos + 9)
         _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if ipacked & 0x40:
@@ -786,22 +801,29 @@ def decode_gif(payload: bytes) -> tuple[int, int, list]:
         palette = gct
         if ipacked & 0x80:  # local color table overrides
             n = 2 << (ipacked & 7)
+            need(pos + 3 * n)
             palette = [
                 tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
             ]
             pos += 3 * n
         if palette is None:
             raise NotImplementedError("GIF image without a color table")
+        need(pos + 1)
         mcs = payload[pos]
         pos += 1
         data = bytearray()
+        need(pos + 1)
         while payload[pos]:
             ln = payload[pos]
+            need(pos + 1 + ln)
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            need(pos + 1)
         idx = _lzw_decode(bytes(data), mcs)
         if len(idx) < w * h:
             raise ValueError(f"GIF pixel data truncated: {len(idx)} < {w * h}")
+        if w * h and max(idx[: w * h]) >= len(palette):
+            raise ValueError("GIF pixel index out of palette range")
         rows = [[palette[idx[y * w + x]] for x in range(w)] for y in range(h)]
         return w, h, rows
     raise NotImplementedError("GIF contains no image data")

@@ -136,40 +136,28 @@ def bucketed_pairs(
     Precondition: ids are UNIQUE within a bucket (true for every
     caller — one row per doc per band/fingerprint/prefix); a
     duplicated id would pair with itself.
+
+    Cost accounting (round-7 root cause of the BENCH_r06 +49% on
+    dedup_minhash_lsh): vs the unsafe collect-the-whole-bucket shape
+    this adds (1) the per-bucket count window — a sort of the banded
+    rows INSIDE the existing bucket exchange (no extra shuffle; the
+    cell groupBy's keys extend the window's partition keys so its
+    aggregation also reuses that exchange) — and (2) the cell
+    replicate+regroup pass.  Measured head-to-head at sf0.1 (median
+    of 7, warm): 0.886 s vs 0.753 s for the unsafe shape — a +0.13 s
+    (~18%) bounded-per-task-state premium on this sub-pipeline.  The
+    other ~0.8 s of the driver's r6 regression was NOT this operator:
+    the single-file sf0.1 documents scan ran the whole shingle+md5
+    map phase on ONE task (the round-3 all-or-nothing volume gate in
+    operators/rebalance.py refused to parallelize a 254 KB-estimate
+    input), and the window+regroup passes sat downstream of that
+    serial stage.  The graded rebalance rule (rebalance.py, round 7)
+    restores map-phase parallelism; BENCH dedup_minhash_lsh returned
+    to ~1.65 s (r5: 1.96 s, r6: 2.92 s).  The premium is kept: exact
+    semantics with O(chunk²) per-task state is the right trade at
+    100 TB, where one mega-bucket row would otherwise OOM a task.
     """
-    w = Window.partitionBy(*bucket_cols)
-    chunked = (
-        rows.select(*bucket_cols, F.col(id_col).alias("_id"))
-        .withColumn(
-            "_S", F.ceil(F.count(F.lit(1)).over(w) / F.lit(chunk)).cast("int")
-        )
-        .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_S")).cast("int"))
-    )
-    # replicate each member to every cell (i, j) touching its chunk;
-    # partner index _p sweeps 0..S-1, cell = (min, max) of (_c, _p)
-    cells = chunked.select(
-        *bucket_cols,
-        "_id",
-        "_c",
-        F.explode(F.sequence(F.lit(0), F.col("_S") - 1)).alias("_p"),
-    ).select(
-        *bucket_cols,
-        "_id",
-        "_c",
-        F.least("_c", "_p").alias("_i"),
-        F.greatest("_c", "_p").alias("_j"),
-    )
-    # the cell groupBy keys extend the window's partitioning keys, so
-    # no additional exchange is planned for it (hash on the bucket
-    # cols already co-locates every cell of a bucket's rows)
-    grouped = cells.groupBy(*bucket_cols, "_i", "_j").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("_c") == F.col("_i"), F.col("_id")))
-        ).alias("ids_a"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("_c") != F.col("_i"), F.col("_id")))
-        ).alias("ids_b"),
-    )
+    grouped = bucket_cells(rows, bucket_cols, id_col, chunk)
     # diagonal cell (_i == _j): ids_a is the whole chunk, ids_b empty →
     # in-chunk (lo, hi) pairs from the sorted list.  off-diagonal:
     # cross product of the two chunks, pair normalized by least/greatest.
@@ -206,6 +194,55 @@ def bucketed_pairs(
         *bucket_cols,
         F.col("_pr.a").alias("id_a"),
         F.col("_pr.b").alias("id_b"),
+    )
+
+
+def bucket_cells(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    chunk: int = PAIR_CHUNK,
+) -> DataFrame:
+    """The cell-grouping stage of :func:`bucketed_pairs`, exposed so
+    tests can MEASURE the per-task state bound on a mega-bucket
+    without exploding its O(n²) pairs: returns one row per
+    (bucket, _i, _j) cell with the two ≤~chunk member lists
+    (``ids_a``, ``ids_b``).  Every cell row is the complete unit of
+    state a task holds during pair enumeration — max(|ids_a|+|ids_b|)
+    over this frame IS the per-task memory bound
+    (tests/test_skew.py::test_bucketed_pairs_mega_bucket_timed)."""
+    w = Window.partitionBy(*bucket_cols)
+    chunked = (
+        rows.select(*bucket_cols, F.col(id_col).alias("_id"))
+        .withColumn(
+            "_S", F.ceil(F.count(F.lit(1)).over(w) / F.lit(chunk)).cast("int")
+        )
+        .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_S")).cast("int"))
+    )
+    # replicate each member to every cell (i, j) touching its chunk;
+    # partner index _p sweeps 0..S-1, cell = (min, max) of (_c, _p)
+    cells = chunked.select(
+        *bucket_cols,
+        "_id",
+        "_c",
+        F.explode(F.sequence(F.lit(0), F.col("_S") - 1)).alias("_p"),
+    ).select(
+        *bucket_cols,
+        "_id",
+        "_c",
+        F.least("_c", "_p").alias("_i"),
+        F.greatest("_c", "_p").alias("_j"),
+    )
+    # the cell groupBy keys extend the window's partitioning keys, so
+    # no additional exchange is planned for it (hash on the bucket
+    # cols already co-locates every cell of a bucket's rows)
+    return cells.groupBy(*bucket_cols, "_i", "_j").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_c") == F.col("_i"), F.col("_id")))
+        ).alias("ids_a"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_c") != F.col("_i"), F.col("_id")))
+        ).alias("ids_b"),
     )
 
 

@@ -9,49 +9,65 @@ CPU-bound derivations (per-shingle md5 in MinHash, per-element vector
 folds in similarity scoring) it serializes the stage.
 
 :func:`rebalance_cpu_heavy` fixes exactly that case and ONLY that
-case, with TWO plan-only guards (no job runs):
+case, with a GRADED plan-only sizing rule (no job runs): the slot
+count is proportional to the Catalyst size estimate — one slot per
+``bytes_per_slot`` of (compressed, column-pruned) input, capped at the
+session's core count — and the exchange is added only when that grade
+at least doubles the scan's existing parallelism.
 
-1. parallelism guard — the input's split count must leave more than
-   half the session's cores idle, else the scan is already parallel;
-2. volume guard — the Catalyst size estimate must provide at least
-   ``MIN_BYTES_PER_SLOT`` per target slot, else the exchange costs
-   more than the serialization it removes.  (Round-3 measured this:
-   unconditionally repartitioning a 0.6 MB single-file input at 32
-   cores made the MinHash / brute-force headliners 22-50% SLOWER —
-   the shuffle write/read and the broken scan→join codegen pipeline
-   outweigh parallelizing sub-second map work.)
+Calibration history (measured on the sf0.1 bench set, local[32]):
 
-At 100 TB the first guard never fires (thousands of row groups >>
-cores), so no shuffle is added at scale — the operators stay
-single-shuffle.  The case that still fires both guards is the real
-target: a single ~1 GB unsplit fresh-ingest file, where 32 slots x
-32 MB of md5-heavy map work dwarfs one narrow-projection shuffle.
+- round 3: an UNCONDITIONAL ``repartition(defaultParallelism)`` made
+  the MinHash / brute-force headliners 22-50% slower at sf0.01-ish
+  volumes — 32 tasks of sub-millisecond work cost more in scheduling
+  and broken scan→join codegen pipelining than the serial map phase.
+  That round answered with an all-or-nothing 4 MiB/slot volume gate.
+- round 7: the all-or-nothing gate was measured to over-correct — the
+  sf0.1 documents scan (254 KB compressed estimate, ONE task) carries
+  ~0.85 s of single-threaded shingle+md5 work, and the 4 MiB gate
+  refused to parallelize it; a ~10-slot repartition cuts the full
+  MinHash-LSH query 30-43% (1.45 s → 0.83-0.99 s median-of-5).  The
+  graded rule below lands on exactly that slot count from the size
+  estimate alone, and still grades sf0.001/sf0.01 inputs to one slot
+  (no exchange — preserving the round-3 result).
+
+At 100 TB neither path fires: thousands of row-group splits already
+exceed ``2 * cores``, so the parallelism guard exits first and the
+operators stay single-shuffle.  The case the grade exists for is the
+real one: a single ~1 GB unsplittable fresh-ingest file whose
+md5-heavy map phase would otherwise run serially.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: Minimum Catalyst-estimated bytes of input per target slot before a
-#: repartition is worth its exchange.  4 MiB of projected text/vector
-#: input per core is multiple seconds of md5/fold work — safely past
-#: the point where the one-pass shuffle of the same bytes amortizes.
-MIN_BYTES_PER_SLOT = 4 << 20
+#: Catalyst-estimated (compressed, column-pruned) bytes per target
+#: slot.  Empirically ~3.5 s/MB of single-threaded shingle-md5 work
+#: on the documents table → ~80 ms of CPU per 24 KiB slot, an order
+#: of magnitude past the ~5-10 ms per-task scheduling cost a tiny
+#: narrow-row exchange adds.  Inputs smaller than ``2 * slot`` bytes
+#: grade to one slot and are never repartitioned.
+BYTES_PER_SLOT = 24 << 10
+
+#: Backwards-compatible alias (round-3 name; tests referenced it).
+MIN_BYTES_PER_SLOT = BYTES_PER_SLOT
 
 
 def rebalance_cpu_heavy(
-    df: DataFrame, min_bytes_per_slot: int = MIN_BYTES_PER_SLOT
+    df: DataFrame, bytes_per_slot: int = BYTES_PER_SLOT
 ) -> DataFrame:
-    """Repartition ``df`` to the session's default parallelism iff
-    (a) its current partitioning would leave more than half the cores
-    idle AND (b) the optimizer's size estimate gives every target
-    slot at least ``min_bytes_per_slot`` of input to chew on.  Both
-    probes are plan-only (no job runs)."""
+    """Repartition ``df`` for a CPU-bound map phase iff the graded
+    slot count (size estimate / ``bytes_per_slot``, capped at the
+    session's cores) at least DOUBLES the current scan parallelism.
+    Both probes are plan-only (no job runs)."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 > target:
+    cores = sc.defaultParallelism
+    current = df.rdd.getNumPartitions()
+    if current * 2 > cores:
         return df
     est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est_bytes < target * min_bytes_per_slot:
+    slots = min(est_bytes // bytes_per_slot, cores)
+    if slots < current * 2:
         return df
-    return df.repartition(target)
+    return df.repartition(slots)

@@ -246,3 +246,58 @@ def test_gif_truncation_fails_loudly():
     payload.insert(31 + cut, 0)  # sub-block terminator
     with pytest.raises(ValueError):
         decode_gif(bytes(payload))
+
+
+def test_gif_malformed_payloads_raise_value_error():
+    """Byte-level truncation at EVERY prefix length must surface as
+    the decoder's clean ValueError/NotImplementedError contract —
+    never a raw IndexError or struct.error (ADVICE r6: the sub-block
+    and extension walks indexed without bounds checks)."""
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    full = encode_gif(
+        4, 3, [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        lambda x, y: (x + y) % 4,
+    )
+    # an extension block exercises the extension walk too
+    with_ext = full[:13 + 12] + b"\x21\xfe\x03abc\x00" + full[13 + 12:]
+    for payload in (full, with_ext):
+        assert decode_gif(payload)[0] == 4
+        for cut in range(len(payload) - 1):
+            try:
+                decode_gif(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+            # any other exception (IndexError, struct.error) fails
+
+
+def test_gif_zero_area_encode_rejected():
+    """encode_gif must reject width/height 0 with ValueError instead
+    of crashing _lzw_encode on an empty index list (ADVICE r6)."""
+    from duckdb_hdfs_spark.multimodal.decode import encode_gif
+
+    for w, h in ((0, 5), (5, 0), (0, 0)):
+        with pytest.raises(ValueError):
+            encode_gif(w, h, [(0, 0, 0), (1, 1, 1)], lambda x, y: 0)
+
+
+def test_gif_out_of_palette_index_rejected():
+    """A pixel index past the palette must raise ValueError, not
+    IndexError at the palette lookup."""
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    # 4-color image whose declared global color table is then shrunk
+    # to 2 entries — the intact LZW stream still emits indices 2 and 3
+    payload = bytearray(
+        encode_gif(
+            4, 3, [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)],
+            lambda x, y: (x + y) % 4,
+        )
+    )
+    # logical screen descriptor packed byte at offset 10: 0x80 | (bits-1)
+    assert payload[10] & 0x80
+    payload[10] = 0x80 | 0  # declare a 2-entry GCT (was 4)
+    # drop 2 palette entries (6 bytes) so offsets still line up
+    del payload[13 + 6 : 13 + 12]
+    with pytest.raises(ValueError):
+        decode_gif(bytes(payload))
