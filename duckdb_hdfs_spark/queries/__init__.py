@@ -149,9 +149,25 @@ _DRIVER_PRIORITY = (
 #   emb: dim_variance (bumped from r7 to make room for the sanctioned
 #     fs_write_roundtrip widening — a brand-new key outranks a simple
 #     per-dimension variance aggregate for driver novelty)
-# The other 32 slots of the round-8 window are free for stale-round
-# re-verifies (r3/r4 keys on fresh testdata), closing the bar's
-# "EVERY operator has a green CORRECTNESS row" clause.
+# That closes "EVERY operator has a driver row".  The other 32 slots
+# go to stale re-verifies, ranked staleness x round-7 code churn
+# (computed from CORRECTNESS_r01-06: 49 keys' latest row is r3, 50 r4).
+# First the r3-stale keys whose implementation CHANGED in round 7 via
+# the graded rebalance / bucket_cells refactor (operators/rebalance.py,
+# operators/dedup.py):
+#   dedup_minhash_lsh, dedup_minhash_pairs, dedup_minhash_est,
+#   dedup_simhash, dedup_cc_clusters, dedup_embedding_cos,
+#   dedup_exact, dedup_exact_stats, dedup_keep_best,
+#   dedup_ngram_jaccard, sim_bruteforce_topk, sim_knn_join,
+#   sim_lsh_ann, sim_ivf_ann, sim_recall_eval, sim_embedding_norms
+# then 16 more of the untouched r3-stale set, oldest-coverage first:
+#   text_token_stats, text_langid, text_quality, text_fingerprint,
+#   text_bpe_tokens, text_ngram_freq, text_chunk_windows,
+#   text_scrub_pii, asof_purchase_last_view,
+#   range_join_view_purchases, sample_hash_split, stats_quantiles,
+#   stats_moments, pack_context_windows, corpus_mix_sample,
+#   streaming_windowed_counts
+# (remaining r3 + all r4 stale keys roll to round 9+.)
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

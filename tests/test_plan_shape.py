@@ -504,20 +504,38 @@ def test_bpe_topk_avoids_global_sort(spark, sf_dir):
 def test_rebalance_gated_on_volume(spark, sf_dir):
     """rebalance_cpu_heavy must be a NO-OP on a small input even when
     the scan is single-partition (round-3 regression: the exchange
-    cost 22-50% on the headline bench), yet still fire on a large
-    single-partition input where per-slot work amortizes it."""
-    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    cost 22-50% on the headline bench), grade a mid-size input to a
+    PROPORTIONAL slot count (round-7: all-or-nothing over-corrected —
+    the sf0.1 documents scan carried ~0.85s of serial shingle+md5
+    work the 4 MiB gate refused to spread), and cap a large input at
+    the session's cores."""
+    from duckdb_hdfs_spark.operators.rebalance import (
+        BYTES_PER_SLOT,
+        rebalance_cpu_heavy,
+    )
     from duckdb_hdfs_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     before = docs.rdd.getNumPartitions()
     assert rebalance_cpu_heavy(docs).rdd.getNumPartitions() == before
 
-    target = spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
     big = spark.range(0, 50_000_000, 1, 1).selectExpr(
         "id", "repeat('x', 16) AS text"
     )
-    assert rebalance_cpu_heavy(big).rdd.getNumPartitions() == target
+    assert rebalance_cpu_heavy(big).rdd.getNumPartitions() == cores
+
+    # graded middle: a single-partition input whose size estimate
+    # grades to k slots, 2 <= k < cores, must repartition to ~k —
+    # NOT all the way to cores (32 tasks of trivial work cost more
+    # in scheduling than they recover; measured round 3)
+    mid = spark.range(0, 20_000, 1, 1).selectExpr(
+        "id", "repeat('x', 64) AS text"
+    )
+    est = int(mid._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    k = min(est // BYTES_PER_SLOT, cores)
+    if 2 <= k < cores:  # guard: estimate heuristics may shift with Spark
+        assert rebalance_cpu_heavy(mid).rdd.getNumPartitions() == k
 
 
 # --------------------------------------------------------------------------
