@@ -867,9 +867,24 @@ def fs_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(csv_path, ignore_errors=True)
     shutil.rmtree(json_path, ignore_errors=True)
     cust = load_table(spark, sf_dir, "customer")
-    cust.write.option("header", True).csv(csv_path)
+    # faithful-COPY csv options: Spark's writer TRIMS whitespace by
+    # default and CSV conflates ''/NULL without a sentinel — see
+    # tests/test_fs_layer.py::test_write_csv_quoting_edge_cases
+    (
+        cust.write.option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(csv_path)
+    )
     cust.write.json(json_path)
-    back_csv = spark.read.schema(cust.schema).option("header", True).csv(csv_path)
+    back_csv = (
+        spark.read.schema(cust.schema)
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(csv_path)
+    )
     back_json = spark.read.schema(cust.schema).json(json_path)
     both = back_csv.select(F.lit("csv").alias("fmt"), "*").unionByName(
         back_json.select(F.lit("json").alias("fmt"), "*")
