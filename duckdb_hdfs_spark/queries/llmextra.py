@@ -449,7 +449,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k window partitions by doc_id — bounded by per-document
     vocabulary, never by corpus size.  Ranking orders on the ROUNDED
     score with a term tie-break so Spark and the oracle rank
-    identically despite last-ulp ln() differences."""
+    identically despite last-ulp ln() differences.
+
+    Considered and REJECTED (round 7): computing df as
+    ``count(*) over (partition by term)`` instead of the groupBy+join
+    measures ~20% faster at sf0.1 (0.65s vs 0.82s, fewer exchanges)
+    but funnels every tf row of a stopword term through ONE window
+    task — WindowExec cannot split a partition, so a term appearing
+    in most of a 10¹¹-document corpus serializes ~N_docs rows in one
+    task.  The join shape keeps df map-side partial-aggregated (one
+    row per hot term per map task) and lets AQE split the skewed
+    join key — slower by a constant at toy scale, correct at 100 TB."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
