@@ -47,3 +47,6 @@ def test_driver_priority_resolves():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY), (
         "duplicate names in _DRIVER_PRIORITY waste driver window slots"
     )
+    # and the reorder must actually take effect: the driver reads the
+    # FIRST 50 registry entries, so the priority list must lead
+    assert list(load_all())[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
