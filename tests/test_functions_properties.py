@@ -91,3 +91,44 @@ def test_pca_projection_variance_contract(spark, sf_dir):
     ).collect()[0]
     assert row.e1 >= row.e2 > 0
     assert abs(row.x12) < 1e-3 * (row.e1 * row.e2) ** 0.5
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # bucket id
+            st.integers(min_value=0, max_value=60),  # member id
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=9),  # chunk size
+)
+def test_bucketed_pairs_property_matches_bruteforce(spark, rows, chunk):
+    """Property version of the fixed-size bucketed_pairs equivalence
+    tests (round 7 — the operator's cell stage was refactored):
+    random bucket populations and chunk sizes, including chunk=1
+    (every member its own chunk — all-cross-cells) and duplicate
+    member draws (dropped: ids must be unique per bucket), must
+    reproduce the exact per-bucket unordered pair set."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+
+    uniq = sorted({(f"b{b}", f"d{m:02d}") for b, m in rows})
+    df = spark.createDataFrame(uniq, "f string, doc_id string")
+    got = sorted(
+        (r.f, r.id_a, r.id_b)
+        for r in bucketed_pairs(df, ["f"], "doc_id", chunk=chunk).collect()
+    )
+    by_bucket = defaultdict(list)
+    for b, did in uniq:
+        by_bucket[b].append(did)
+    want = sorted(
+        (b, a, c)
+        for b, ids in by_bucket.items()
+        for a, c in combinations(sorted(ids), 2)
+    )
+    assert got == want
