@@ -536,25 +536,32 @@ def win_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the value spacing, so ties need no tiebreaker — the frame is
     identical on both engines.
 
-    Scale shape: one shuffle on event_type, sort by value within the
-    partition; the decimal sum keeps the frame aggregate
-    order-independent."""
-    from pyspark.sql import Window
+    Scale shape (round 7): the naive ``PARTITION BY event_type``
+    window parallelizes only to the type cardinality (~5) — 1/5 of
+    the table through one task at ANY cluster size, measured 3.8 s
+    warm at sf0.1 on 32 cores.  Routed through
+    operators.ranks.halo_range_frame instead: value buckets of width
+    32 with ±5 halo replication make parallelism (types × occupied
+    buckets) with bit-identical frames (1.1 s warm, same oracle)."""
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
 
     ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rangeBetween(-5, 5)
-    )
-    return ev.select(
-        "event_id",
-        "event_type",
+    out = halo_range_frame(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
         "value",
-        F.count(F.lit(1)).over(w).alias("n_similar"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
-        .cast("double")
-        .alias("sum_similar"),
+        -5,
+        5,
+        lambda w: [
+            F.count(F.lit(1)).over(w).alias("n_similar"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double")
+            .alias("sum_similar"),
+        ],
+        bucket_width=32,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "n_similar", "sum_similar"
     )
 
 

@@ -153,3 +153,40 @@ def test_grouped_cumsum_constant_group(spark, metric_expr):
         for r in df.select("key", F.sum("v").over(w).alias("c")).collect()
     }
     assert got == want
+
+
+def test_halo_range_frame_matches_global_window(spark, sf_dir):
+    """halo_range_frame must be bit-identical to the naive
+    PARTITION BY + RANGE window it replaces (round 7), across bucket
+    widths — including widths SMALLER than the frame span (every row
+    replicates to 3+ buckets) and a width so large all rows share one
+    bucket (degenerates to the naive shape)."""
+    from pyspark.sql import Window
+
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+    from duckdb_hdfs_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    naive_w = Window.partitionBy("event_type").orderBy("value").rangeBetween(-5, 5)
+    naive = ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(naive_w).alias("n"),
+        F.round(F.sum("value").over(naive_w), 4).alias("s"),
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for width in (4, 32, 10**9):
+        got = halo_range_frame(
+            ev,
+            ["event_type"],
+            "value",
+            -5,
+            5,
+            lambda w: [
+                F.count(F.lit(1)).over(w).alias("n"),
+                F.round(F.sum("value").over(w), 4).alias("s"),
+            ],
+            bucket_width=width,
+        ).select("event_id", "n", "s")
+        assert sorted(map(tuple, got.collect())) == want, f"width={width}"
