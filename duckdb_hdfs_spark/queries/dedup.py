@@ -942,31 +942,38 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
     Scale shape: band-bucket candidates scored once, deduplicated to
     per-pair max cosine (a pair can share several buckets), then a
     4-way conditional count over a broadcast τ list — the sweep adds
-    one tiny fan-out join, not another corpus pass."""
+    one tiny fan-out join, not another corpus pass.  Round 7: the
+    original band-key SELF-JOIN executed the banding pipeline twice
+    (DataFrame reuse is plan reuse) and left fat buckets to AQE; now
+    the pairs come from the salted cell partitioner with the
+    (vec_id, embedding, norm) payload riding inside the id struct —
+    one pipeline pass, per-task state O(chunk²) regardless of bucket
+    skew, identical pair set (verified value-identical at sf0.1)."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        norm(F.col("embedding")).alias("nrm"),
+        F.struct(
+            F.col("vec_id"),
+            F.col("embedding").alias("e"),
+            norm(F.col("embedding")).alias("nrm"),
+        ).alias("vid"),
         F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
-    a = v.select(
-        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), "band_key",
+    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
+        F.col("id_a.nrm") * F.col("id_b.nrm")
     )
-    b = v.select(
-        F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"), "band_key",
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("va") < F.col("vb"))
+        bucketed_pairs(v, ["band_key"], "vid")
+        .select(
+            F.col("id_a.vec_id").alias("va"),
+            F.col("id_b.vec_id").alias("vb"),
+            cos.alias("c"),
+        )
         .groupBy("va", "vb")
-        .agg(F.max(cos).alias("cos"))
+        .agg(F.max("c").alias("cos"))
     )
     taus = spark.createDataFrame([(t,) for t in (0.3, 0.5, 0.7, 0.9)], "tau double")
     return (
