@@ -266,39 +266,35 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing several bands are deduplicated after the threshold filter
     so the dedup shuffle carries only surviving (vec_a, vec_b) pairs.
     The threshold filter runs on the UNROUNDED cosine (bit-identical
-    fold in both engines); rounding is output-only."""
+    fold in both engines); rounding is output-only.  Round 7: re-keyed
+    from the band-key self-join onto the salted cell partitioner
+    (embedding + norm ride inside the pair id struct) — one pipeline
+    pass instead of two, O(chunk²) per-task state on fat buckets."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
-
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
     v = rebalance_cpu_heavy(
         emb.select("vec_id", F.col("embedding").alias("e"))
     ).select(
-        "vec_id",
-        "e",
-        norm(F.col("e")).alias("nrm"),
+        F.struct(
+            "vec_id", F.col("e"), norm(F.col("e")).alias("nrm")
+        ).alias("vid"),
         F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "band_key",
+    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
+        F.col("id_a.nrm") * F.col("id_b.nrm")
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "band_key",
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "band_key")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        bucketed_pairs(v, ["band_key"], "vid")
         .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .select(
+            F.col("id_a.vec_id").alias("vec_a"),
+            F.col("id_b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
@@ -559,38 +555,34 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shingles.  Cluster ids feed the same keep-best policy.
 
     Scale shape: bounded band-bucket candidate generation (never
-    all-pairs), then the pointer-jumping CC iteration
+    all-pairs; round 7 re-keyed from the band self-join onto the
+    salted cell partitioner — one pipeline pass, O(chunk²) per-task
+    state), then the pointer-jumping CC iteration
     (operators.dedup.connected_clusters — edges checkpointed once,
     O(log diameter) rounds)."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import connected_clusters
+    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs, connected_clusters
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        norm(F.col("embedding")).alias("nrm"),
+        F.struct(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            norm(F.col("embedding")).alias("nrm"),
+        ).alias("vid"),
         F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
-    a = v.select(
-        F.col("vec_id").alias("doc_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "band_key",
+    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
+        F.col("id_a.nrm") * F.col("id_b.nrm")
     )
-    b = v.select(
-        F.col("vec_id").alias("doc_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "band_key",
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        bucketed_pairs(v, ["band_key"], "vid")
         .filter(cos >= 0.3)
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("id_a.vec_id").alias("doc_a"),
+            F.col("id_b.vec_id").alias("doc_b"),
+        )
         .distinct()
     )
     return connected_clusters(pairs).select(
