@@ -132,3 +132,63 @@ def test_bucketed_pairs_property_matches_bruteforce(spark, rows, chunk):
         for a, c in combinations(sorted(ids), 2)
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=-9, max_value=0),   # lo (PRECEDING)
+    st.integers(min_value=0, max_value=9),    # hi (FOLLOWING)
+    st.sampled_from([2, 5, 16, 1000]),        # bucket width
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_halo_range_frame_random_frames(spark, lo, hi, width, rows):
+    """halo_range_frame over random asymmetric frames, bucket widths
+    (including widths smaller than the frame span), duplicate values
+    (RANGE peers), and multi-partition inputs must equal the naive
+    global-partition window."""
+    from pyspark.sql import Window
+
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    df = spark.createDataFrame(
+        [(p, float(v), i) for i, (p, v) in enumerate(rows)],
+        "part string, value double, rid long",
+    )
+    naive_w = Window.partitionBy("part").orderBy("value").rangeBetween(lo, hi)
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "rid",
+                F.count(F.lit(1)).over(naive_w).alias("n"),
+                F.sum("rid").over(naive_w).alias("s"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            halo_range_frame(
+                df,
+                ["part"],
+                "value",
+                lo,
+                hi,
+                lambda w: [
+                    F.count(F.lit(1)).over(w).alias("n"),
+                    F.sum("rid").over(w).alias("s"),
+                ],
+                bucket_width=width,
+            )
+            .select("rid", "n", "s")
+            .collect(),
+        )
+    )
+    assert got == want
