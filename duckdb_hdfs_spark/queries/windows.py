@@ -381,7 +381,15 @@ def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function class: rank / dense_rank / ntile /
     percent_rank / cume_dist over a uniquely-ordered partition
     (unique tiebreak makes every rank deterministic; the percent
-    ratios are integer-derived doubles, identical across engines)."""
+    ratios are integer-derived doubles, identical across engines).
+
+    Scale note: this parity key keeps the literal SQL window shape,
+    whose parallelism is capped by the ~5-value segment key.  For
+    corpus-scale inputs the same order statistics route through
+    operators/ranks.py (range-bucketed distributed_ntile +
+    grouped_cumsum — per-bucket windows with broadcast prefix
+    offsets), which test_ranks.py pins value-identical to the global
+    window."""
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer")
@@ -648,7 +656,12 @@ def win_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is deterministic.
 
     Scale shape: two ranks over the SAME type-keyed partition sort
-    family; the ≤3 filter keeps the output frame tiny."""
+    family; the ≤3 filter keeps the output frame tiny.  Like
+    win_rank_functions this parity key keeps the literal SQL window
+    (parallelism capped by the type cardinality); a corpus-scale
+    top-k per key goes through the partial-top-k merge
+    (operators/similarity.py _topk_merge shape) instead of a full
+    partition sort."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
