@@ -290,24 +290,25 @@ WHERE n_type >= 10 AND abs(value - mu) > 3 * sd
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomalous events: |value - mean| > 3 sigma within the event
-    type (window stats over the grouped partition — one shuffle on
-    event_type; at scale the partition key would include a time
-    bucket to bound partition width)."""
-    from pyspark.sql import Window
+    type.
 
+    Scale shape (round 7): the per-type stats come from a
+    partial-aggregated groupBy broadcast-joined back onto the event
+    stream — NOT the ``avg() OVER (PARTITION BY event_type)`` window
+    the oracle spells, which funnels each type's full event history
+    through one window task (the ~5-value type key caps parallelism
+    at 5 at any cluster size).  The join shape is one map-side
+    combine shuffle of 5 stat rows + a broadcast hash join; the scan
+    side never re-sorts or re-shuffles."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    stats = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count(F.lit(1)).over(w).alias("n_type"),
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n_type"),
     )
     return (
-        stats.filter(
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
             (F.col("n_type") >= 10)
             & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
         )
