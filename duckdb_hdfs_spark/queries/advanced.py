@@ -259,22 +259,25 @@ GROUP BY lang, bin_id
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential context-window packing: docs (in stable doc_id order
     per lang shard) fill {PACK_BUDGET}-token bins; a doc starts in the
-    bin its preceding cumulative token count falls into.  One window
-    shuffle on the shard key — the deterministic, restart-safe packing
-    a pretraining data loader needs (bin assignment depends only on
-    the ordered shard prefix, never on partitioning)."""
-    from pyspark.sql import Window
+    bin its preceding cumulative token count falls into — the
+    deterministic, restart-safe packing a pretraining data loader
+    needs (bin assignment depends only on the ordered shard prefix,
+    never on partitioning).
+
+    Scale shape (round 7): the running total comes from
+    operators.ranks.grouped_cumsum (range-bucketed local cumsums +
+    broadcast per-group prefix offsets) instead of a
+    ``PARTITION BY lang`` window — a handful of lang shards would
+    otherwise serialize the whole corpus through as many tasks."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_cumsum(
+        toks, ["lang"], [("doc_id", "asc")], "n_tokens", "cum_tokens"
     )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     # integral division on both sides — double-division + cast would
     # round in DuckDB but truncate in Spark
     binned = cum.withColumn(
