@@ -629,3 +629,47 @@ def test_pq_encoding_is_map_side(spark, sf_dir):
     allowed is the bounded TakeOrdered codebook sample."""
     plan = plan_of(REGISTRY["emb_pq_codes"].spark(spark, sf_dir))
     assert "hashpartitioning(vec_id" not in plan
+
+
+# --------------------------------------------------------------------------
+def test_value_range_frame_window_is_bucketed(spark, sf_dir):
+    """win_value_range_frame's window must partition on the halo
+    bucket column as well as event_type (round 7) — a bare
+    event_type window spec would re-introduce the type-cardinality
+    parallelism cap."""
+    opt = (
+        REGISTRY["win_value_range_frame"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = [
+        line for line in opt.splitlines() if "windowspecdefinition" in line
+    ]
+    assert specs, "no window in plan"
+    for line in specs:
+        assert "_vbkt" in line, f"unbucketed window spec: {line.strip()[:140]}"
+
+
+# --------------------------------------------------------------------------
+def test_ev_top_users_partial_topk_before_window(spark, sf_dir):
+    """ev_top_users must partial-top-k per input partition before the
+    final window (round 7): the plan carries a SPARK_PARTITION_ID
+    grouping key in the aggregate below the window, so the window
+    only ever ranks partitions x k survivors per type."""
+    opt = (
+        REGISTRY["ev_top_users"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "SPARK_PARTITION_ID" in opt, (
+        "per-partition partial top-k missing from the plan"
+    )
+    # the partial aggregate (slice of the sorted collect_list) must
+    # sit BELOW the window in the plan text
+    win_at = opt.index("windowspecdefinition")
+    agg_at = opt.index("SPARK_PARTITION_ID")
+    assert agg_at > win_at, "partial top-k is not below the final window"
