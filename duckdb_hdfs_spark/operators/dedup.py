@@ -97,10 +97,20 @@ def minhash_banded(docs: DataFrame) -> DataFrame:
 
 
 #: chunk size for the two-level bucket pair enumeration: per-task pair
-#: arrays are bounded by PAIR_CHUNK² structs (~8 MB at 512), and the
-#: replication factor a fat bucket pays is n/PAIR_CHUNK — always
-#: strictly dominated by its n²/2 pair output.
+#: arrays are bounded by PAIR_CHUNK² structs (~8 MB at 512 for bare
+#: doc-id pairs), and the replication factor a fat bucket pays is
+#: n/PAIR_CHUNK — always strictly dominated by its n²/2 pair output.
 PAIR_CHUNK = 512
+
+#: chunk size when the pair id struct CARRIES A VECTOR PAYLOAD
+#: (embedding + norm, ~0.5-1 KB per member at d=64): the cell's pair
+#: array materializes chunk²/2 structs each holding TWO payloads
+#: before the explode, so the memory bound scales with the payload —
+#: 512²/2 × ~1.1 KB ≈ 140 MB per cell array would risk task OOM,
+#: 128²/2 × ~1.1 KB ≈ 9 MB restores the design envelope.  Callers
+#: with heavier payloads (high-dim embeddings) should shrink further:
+#: pick chunk ≈ sqrt(2 × 8 MB / pair_struct_bytes).
+EMB_PAIR_CHUNK = 128
 
 
 def bucketed_pairs(

@@ -271,7 +271,7 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding + norm ride inside the pair id struct) — one pipeline
     pass instead of two, O(chunk²) per-task state on fat buckets."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+    from duckdb_hdfs_spark.operators.dedup import EMB_PAIR_CHUNK, bucketed_pairs
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
@@ -288,7 +288,7 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a.nrm") * F.col("id_b.nrm")
     )
     return (
-        bucketed_pairs(v, ["band_key"], "vid")
+        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
         .filter(cos >= 0.3)
         .select(
             F.col("id_a.vec_id").alias("vec_a"),
@@ -561,7 +561,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.connected_clusters — edges checkpointed once,
     O(log diameter) rounds)."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs, connected_clusters
+    from duckdb_hdfs_spark.operators.dedup import (
+        EMB_PAIR_CHUNK,
+        bucketed_pairs,
+        connected_clusters,
+    )
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -577,7 +581,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a.nrm") * F.col("id_b.nrm")
     )
     pairs = (
-        bucketed_pairs(v, ["band_key"], "vid")
+        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
         .filter(cos >= 0.3)
         .select(
             F.col("id_a.vec_id").alias("doc_a"),
@@ -942,7 +946,7 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
     one pipeline pass, per-task state O(chunk²) regardless of bucket
     skew, identical pair set (verified value-identical at sf0.1)."""
     from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import bucketed_pairs
+    from duckdb_hdfs_spark.operators.dedup import EMB_PAIR_CHUNK, bucketed_pairs
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -958,7 +962,7 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("id_a.nrm") * F.col("id_b.nrm")
     )
     pairs = (
-        bucketed_pairs(v, ["band_key"], "vid")
+        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
         .select(
             F.col("id_a.vec_id").alias("va"),
             F.col("id_b.vec_id").alias("vb"),
