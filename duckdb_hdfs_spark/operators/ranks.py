@@ -29,51 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = [
-    "distributed_ntile",
-    "grouped_cumsum",
-    "grouped_topk",
-    "halo_range_frame",
-]
+__all__ = ["distributed_ntile", "grouped_cumsum", "halo_range_frame"]
 
-
-def grouped_topk(
-    df: DataFrame,
-    group_cols: list[str],
-    order_struct,
-    k: int,
-    rank_col: str = "rk",
-) -> DataFrame:
-    """Top-k rows per group WITHOUT sorting whole groups in one window
-    task (round 7): per-input-partition partial top-k (the groupBy
-    includes ``spark_partition_id()``, so the partial aggregation is
-    map-side complete and the shuffle carries ≤ partitions × groups
-    × k structs), then a final row_number window over the per-group
-    survivors — ≤ partitions × k rows per group, never the group's
-    full population.  A low-cardinality group key (event_type,
-    segment) therefore no longer caps parallelism at its distinct
-    count: the heavy phase runs on every input partition.
-
-    ``order_struct``: a struct Column whose ASCENDING lexicographic
-    order is the ranking order (negate descending numeric components;
-    include a unique tiebreak as the last field so ranks are
-    deterministic).  Returns the original columns of ``df`` plus
-    ``rank_col``; rows beyond rank k are dropped."""
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    ranked = F.struct(order_struct.alias("o"), payload.alias("p"))
-    partial = (
-        df.groupBy(*group_cols, F.spark_partition_id().alias("_pid"))
-        .agg(F.slice(F.sort_array(F.collect_list(ranked)), 1, k).alias("_top"))
-        .select(F.explode("_top").alias("_t"))
-    )
-    w = Window.partitionBy(
-        *[F.col(f"_t.p.{c}") for c in group_cols]
-    ).orderBy(F.asc("_t.o"))
-    return (
-        partial.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
-        .select(*[F.col(f"_t.p.{c}").alias(c) for c in df.columns], rank_col)
-    )
+# NOTE (round 7): a hand-rolled grouped_topk (per-input-partition
+# collect_list → slice partial top-k) was implemented, measured, and
+# REMOVED: Spark's InferWindowGroupLimit already rewrites every
+# ``row_number()/rank() <= k`` filter into a WindowGroupLimit
+# Partial/Final pair around the exchange — a bounded per-group heap
+# BEFORE the shuffle, with O(groups × k) per-task state, strictly
+# better than a collect_list partial whose state is the whole
+# group×partition array.  The rewrite is pinned as a plan assertion
+# (tests/test_plan_shape.py::test_ev_top_users_window_group_limit)
+# so a regression in the top-k plan shape fails loudly.
 
 
 def halo_range_frame(

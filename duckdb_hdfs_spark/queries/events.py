@@ -197,25 +197,33 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type top-3 users by total value: agg (exact decimal) then
     rank on the decimal sum so ordering ties are engine-identical.
 
-    Scale shape (round 7): ranked via operators.ranks.grouped_topk —
-    per-input-partition partial top-3 before the tiny final window —
-    so the ~5-value type key no longer caps the ranking phase at 5
-    tasks over the full user population."""
-    from duckdb_hdfs_spark.operators.ranks import grouped_topk
-
+    Scale note (round 7, measured from the executed plan): the
+    ``row_number() <= k`` filter triggers Spark's
+    InferWindowGroupLimit rewrite — a ``WindowGroupLimit Partial``
+    (bounded per-group top-k heap) runs BEFORE the event_type
+    exchange, so the low-cardinality type key never funnels the full
+    per-user aggregate through its window tasks; only ≤ tasks × k
+    survivors shuffle.  Pinned in
+    test_plan_shape.py::test_ev_top_users_window_group_limit.  (A
+    hand-rolled collect_list partial top-k was tried and REJECTED:
+    its per-task state is the whole group×partition array, strictly
+    worse than the built-in heap.)"""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_value")
     )
-    order = F.struct(
-        (-F.col("dec_value")).alias("neg_value"),
-        F.col("user_id").alias("uid"),
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("dec_value"), F.asc("user_id")
     )
-    return grouped_topk(per_user, ["event_type"], order, 3).select(
-        "event_type",
-        "user_id",
-        F.round("dec_value", 2).cast("double").alias("total_value"),
-        "rk",
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.round("dec_value", 2).cast("double").alias("total_value"),
+            "rk",
+        )
     )
 
 

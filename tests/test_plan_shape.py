@@ -653,23 +653,18 @@ def test_value_range_frame_window_is_bucketed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-def test_ev_top_users_partial_topk_before_window(spark, sf_dir):
-    """ev_top_users must partial-top-k per input partition before the
-    final window (round 7): the plan carries a SPARK_PARTITION_ID
-    grouping key in the aggregate below the window, so the window
-    only ever ranks partitions x k survivors per type."""
-    opt = (
-        REGISTRY["ev_top_users"]
-        .spark(spark, sf_dir)
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
+def test_ev_top_users_window_group_limit(spark, sf_dir):
+    """ev_top_users' ``row_number() <= 3`` filter must trigger
+    Spark's InferWindowGroupLimit rewrite: a WindowGroupLimit
+    PARTIAL (bounded per-group top-k heap) below the event_type
+    exchange, so the low-cardinality type key never funnels the full
+    per-user aggregate through its window tasks (round 7)."""
+    df = REGISTRY["ev_top_users"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, "rank-limit pushdown missing"
+    assert "Partial" in final.split("WindowGroupLimit")[-1].splitlines()[0] or \
+        final.count("WindowGroupLimit") >= 2, (
+        "no partial (pre-shuffle) WindowGroupLimit in the executed plan"
     )
-    assert "SPARK_PARTITION_ID" in opt, (
-        "per-partition partial top-k missing from the plan"
-    )
-    # the partial aggregate (slice of the sorted collect_list) must
-    # sit BELOW the window in the plan text
-    win_at = opt.index("windowspecdefinition")
-    agg_at = opt.index("SPARK_PARTITION_ID")
-    assert agg_at > win_at, "partial top-k is not below the final window"

@@ -190,39 +190,3 @@ def test_halo_range_frame_matches_global_window(spark, sf_dir):
             bucket_width=width,
         ).select("event_id", "n", "s")
         assert sorted(map(tuple, got.collect())) == want, f"width={width}"
-
-
-def test_grouped_topk_matches_global_window(spark, sf_dir):
-    """grouped_topk == full window row_number over each group,
-    including tie handling via the struct's unique tiebreak field and
-    groups smaller than k."""
-    from duckdb_hdfs_spark.operators.ranks import grouped_topk
-    from duckdb_hdfs_spark.sources.catalog import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", "value"
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("value"), F.asc("user_id")
-    )
-    want = sorted(
-        map(
-            tuple,
-            ev.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 5)
-            .select("event_type", "user_id", "value", "rk")
-            .collect(),
-        )
-    )
-    order = F.struct(
-        (-F.col("value")).alias("nv"), F.col("user_id").alias("uid")
-    )
-    got = sorted(
-        map(
-            tuple,
-            grouped_topk(ev, ["event_type"], order, 5)
-            .select("event_type", "user_id", "value", "rk")
-            .collect(),
-        )
-    )
-    assert got == want
