@@ -668,3 +668,19 @@ def test_ev_top_users_window_group_limit(spark, sf_dir):
         final.count("WindowGroupLimit") >= 2, (
         "no partial (pre-shuffle) WindowGroupLimit in the executed plan"
     )
+
+
+# --------------------------------------------------------------------------
+def test_brute_topk_window_group_limit(spark, sf_dir):
+    """The per-probe top-k (operators.similarity._topk_merge) relies
+    on Spark's InferWindowGroupLimit rewrite: the executed plan must
+    hold a WindowGroupLimit pair (Partial below the probe exchange,
+    Final above), so the shuffle carries tasks x probes x k rows —
+    never the N x P score set (round 7)."""
+    df = REGISTRY["sim_bruteforce_topk"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("WindowGroupLimit") >= 2, (
+        "rank-limit pushdown (partial+final) missing from the top-k plan"
+    )
