@@ -726,6 +726,10 @@ def encode_gif(width: int, height: int, palette, index_fn) -> bytes:
 
     if width <= 0 or height <= 0:
         raise ValueError(f"zero-area GIF image: {width}x{height}")
+    if not 1 <= len(palette) <= 256:
+        # the GCT size field is 3 bits (2..256 entries); silently
+        # masking a larger palette would emit a corrupt header
+        raise ValueError(f"GIF palette must have 1-256 colors: {len(palette)}")
     n = max(2, 1 << (len(palette) - 1).bit_length())  # pow2, >= 2
     gct_bits = n.bit_length() - 1  # n == 2 ** gct_bits
     out = bytearray(b"GIF89a")
@@ -811,6 +815,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, list]:
         need(pos + 1)
         mcs = payload[pos]
         pos += 1
+        if not 2 <= mcs <= 11:
+            # conformant GIFs use 2..8 (codes cap at 12 bits, so mcs+1
+            # <= 12); an unvalidated byte here would make _lzw_decode
+            # eagerly build a 2^mcs-entry table — a hang/OOM, not the
+            # clean ValueError contract (round-7 review finding)
+            raise ValueError(f"invalid GIF LZW minimum code size: {mcs}")
         data = bytearray()
         need(pos + 1)
         while payload[pos]:

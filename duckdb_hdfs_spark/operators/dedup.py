@@ -256,6 +256,45 @@ def bucket_cells(
     )
 
 
+def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame:
+    """LSH sign-bucket candidate pairs over an embeddings frame
+    (``vec_id``, ``embedding``) with exact cosine — the shared
+    prelude of dedup_embedding_cos / dedup_embedding_clusters /
+    dedup_embedding_threshold_sweep (round-7 review: the three sites
+    had copy-pasted this ~12-line shape).
+
+    One banding-pipeline pass: the (vec_id, embedding, norm) payload
+    rides inside the pair id struct through ``bucketed_pairs`` at
+    ``EMB_PAIR_CHUNK`` (payload-sized cell arrays), so no self-join
+    re-executes the pipeline and fat sign buckets keep O(chunk²)
+    per-task state.  Returns one row per (band bucket, pair) with
+    ``vec_a < vec_b`` and the exact (unrounded) ``cos``; a pair
+    sharing several buckets repeats with the IDENTICAL cosine —
+    callers dedupe with distinct/dropDuplicates/max as fits."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
+
+    base = emb.select("vec_id", F.col("embedding").alias("e"))
+    if rebalance:
+        from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+        base = rebalance_cpu_heavy(base)
+    v = base.select(
+        F.struct(
+            "vec_id", F.col("e"), norm(F.col("e")).alias("nrm")
+        ).alias("vid"),
+        F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
+    )
+    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
+        F.col("id_a.nrm") * F.col("id_b.nrm")
+    )
+    return bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK).select(
+        F.col("id_a.vec_id").alias("vec_a"),
+        F.col("id_b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 

@@ -75,19 +75,38 @@ def halo_range_frame(
     ``frame_aggs``: callable taking the bucketed ``Window`` spec and
     returning the list of aliased aggregate Columns to attach.
     Replication overhead: (hi-lo)/W extra rows on average — choose
-    ``bucket_width`` a few times the frame span."""
+    ``bucket_width`` a few times the frame span.
+
+    NULL ``value_col`` rows go to their own NULL bucket (a RANGE
+    window treats the NULLs as one peer group that never mixes with
+    real values, so a dedicated bucket reproduces the naive window's
+    output for them — a bare NULL sequence bound would otherwise
+    silently DROP the row at the explode; round-7 review finding).
+    The replication bounds are nudged outward by an epsilon in
+    bucket-index units: the window decides membership with its own
+    rounding of ``u + hi``, so the bucket range only has to be a
+    SUPERSET — the nudge guarantees coverage when (v-hi)/W rounds
+    across a bucket boundary, at the cost of one extra replica for
+    values within ~1e-9 bucket of an edge."""
     v = F.col(value_col)
     w_lit = float(bucket_width)
+    eps = 1e-9
     home = F.floor(v / F.lit(w_lit)).cast("long")
-    rep = df.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor((v - F.lit(float(hi))) / F.lit(w_lit)).cast("long"),
-                F.floor((v - F.lit(float(lo))) / F.lit(w_lit)).cast("long"),
-            )
-        ).alias("_vbkt"),
-    ).withColumn("_is_core", F.col("_vbkt") == home)
+    buckets = F.when(
+        v.isNull(), F.array(F.lit(None).cast("long"))
+    ).otherwise(
+        F.sequence(
+            F.floor((v - F.lit(float(hi))) / F.lit(w_lit) - F.lit(eps)).cast(
+                "long"
+            ),
+            F.floor((v - F.lit(float(lo))) / F.lit(w_lit) + F.lit(eps)).cast(
+                "long"
+            ),
+        )
+    )
+    rep = df.select("*", F.explode(buckets).alias("_vbkt")).withColumn(
+        "_is_core", F.col("_vbkt").eqNullSafe(home)
+    )
     w = (
         Window.partitionBy(*part_cols, "_vbkt")
         .orderBy(value_col)

@@ -267,33 +267,18 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the dedup shuffle carries only surviving (vec_a, vec_b) pairs.
     The threshold filter runs on the UNROUNDED cosine (bit-identical
     fold in both engines); rounding is output-only.  Round 7: re-keyed
-    from the band-key self-join onto the salted cell partitioner
-    (embedding + norm ride inside the pair id struct) — one pipeline
-    pass instead of two, O(chunk²) per-task state on fat buckets."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import EMB_PAIR_CHUNK, bucketed_pairs
-    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
-    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
+    from the band-key self-join onto the salted cell partitioner via
+    the shared operators.dedup.banded_embedding_pairs prelude — one
+    pipeline pass instead of two, O(chunk²) per-task state on fat
+    buckets."""
+    from duckdb_hdfs_spark.operators.dedup import banded_embedding_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = rebalance_cpu_heavy(
-        emb.select("vec_id", F.col("embedding").alias("e"))
-    ).select(
-        F.struct(
-            "vec_id", F.col("e"), norm(F.col("e")).alias("nrm")
-        ).alias("vid"),
-        F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
-    )
-    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
-        F.col("id_a.nrm") * F.col("id_b.nrm")
-    )
     return (
-        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
-        .filter(cos >= 0.3)
+        banded_embedding_pairs(emb, rebalance=True)
+        .filter(F.col("cos") >= 0.3)
         .select(
-            F.col("id_a.vec_id").alias("vec_a"),
-            F.col("id_b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
@@ -556,36 +541,22 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bounded band-bucket candidate generation (never
     all-pairs; round 7 re-keyed from the band self-join onto the
-    salted cell partitioner — one pipeline pass, O(chunk²) per-task
-    state), then the pointer-jumping CC iteration
-    (operators.dedup.connected_clusters — edges checkpointed once,
-    O(log diameter) rounds)."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    salted cell partitioner via the shared
+    operators.dedup.banded_embedding_pairs prelude — one pipeline
+    pass, O(chunk²) per-task state), then the pointer-jumping CC
+    iteration (operators.dedup.connected_clusters — edges
+    checkpointed once, O(log diameter) rounds)."""
     from duckdb_hdfs_spark.operators.dedup import (
-        EMB_PAIR_CHUNK,
-        bucketed_pairs,
+        banded_embedding_pairs,
         connected_clusters,
     )
-    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.struct(
-            "vec_id",
-            F.col("embedding").alias("e"),
-            norm(F.col("embedding")).alias("nrm"),
-        ).alias("vid"),
-        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
-    )
-    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
-        F.col("id_a.nrm") * F.col("id_b.nrm")
-    )
     pairs = (
-        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
-        .filter(cos >= 0.3)
+        banded_embedding_pairs(emb)
+        .filter(F.col("cos") >= 0.3)
         .select(
-            F.col("id_a.vec_id").alias("doc_a"),
-            F.col("id_b.vec_id").alias("doc_b"),
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
         .distinct()
     )
@@ -940,36 +911,21 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
     4-way conditional count over a broadcast τ list — the sweep adds
     one tiny fan-out join, not another corpus pass.  Round 7: the
     original band-key SELF-JOIN executed the banding pipeline twice
-    (DataFrame reuse is plan reuse) and left fat buckets to AQE; now
-    the pairs come from the salted cell partitioner with the
-    (vec_id, embedding, norm) payload riding inside the id struct —
-    one pipeline pass, per-task state O(chunk²) regardless of bucket
-    skew, identical pair set (verified value-identical at sf0.1)."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
-    from duckdb_hdfs_spark.operators.dedup import EMB_PAIR_CHUNK, bucketed_pairs
-    from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
+    (DataFrame reuse is plan reuse) and left fat buckets to AQE; the
+    pairs now come from the shared
+    operators.dedup.banded_embedding_pairs prelude (salted cell
+    partitioner, payload in the id struct) — one pipeline pass,
+    per-task state O(chunk²) regardless of bucket skew, identical
+    pair set (verified value-identical at sf0.1)."""
+    from duckdb_hdfs_spark.operators.dedup import banded_embedding_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.struct(
-            F.col("vec_id"),
-            F.col("embedding").alias("e"),
-            norm(F.col("embedding")).alias("nrm"),
-        ).alias("vid"),
-        F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
-    )
-    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
-        F.col("id_a.nrm") * F.col("id_b.nrm")
-    )
     pairs = (
-        bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK)
-        .select(
-            F.col("id_a.vec_id").alias("va"),
-            F.col("id_b.vec_id").alias("vb"),
-            cos.alias("c"),
+        banded_embedding_pairs(emb)
+        .groupBy(
+            F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
         )
-        .groupBy("va", "vb")
-        .agg(F.max("c").alias("cos"))
+        .agg(F.max("cos").alias("cos"))
     )
     taus = spark.createDataFrame([(t,) for t in (0.3, 0.5, 0.7, 0.9)], "tau double")
     return (

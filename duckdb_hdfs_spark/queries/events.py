@@ -314,8 +314,15 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").alias("sd"),
         F.count(F.lit(1)).alias("n_type"),
     )
+    # null-SAFE equality: groupBy and the oracle's PARTITION BY both
+    # put NULL-typed events in one group, so a plain (null-rejecting)
+    # equi-join would silently drop them (round-7 review finding)
+    st = stats.withColumnRenamed("event_type", "st_type")
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(
+            F.broadcast(st),
+            F.col("event_type").eqNullSafe(F.col("st_type")),
+        )
         .filter(
             (F.col("n_type") >= 10)
             & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))

@@ -301,3 +301,32 @@ def test_gif_out_of_palette_index_rejected():
     del payload[13 + 6 : 13 + 12]
     with pytest.raises(ValueError):
         decode_gif(bytes(payload))
+
+
+def test_gif_invalid_mcs_rejected():
+    """A corrupted LZW minimum-code-size byte must raise ValueError,
+    not eagerly build a 2^mcs table (hang/OOM; round-7 review)."""
+    from duckdb_hdfs_spark.multimodal.decode import decode_gif, encode_gif
+
+    payload = bytearray(
+        encode_gif(3, 3, [(0, 0, 0), (1, 1, 1)], lambda x, y: (x + y) % 2)
+    )
+    # mcs byte sits right after the image descriptor: hdr 6 + LSD 7 +
+    # 2-entry GCT 6 + descriptor 10
+    assert payload[19] == 0x2C
+    mcs_at = 29
+    for bad in (0, 1, 12, 0x80, 0xFF):
+        p = bytearray(payload)
+        p[mcs_at] = bad
+        with pytest.raises(ValueError):
+            decode_gif(bytes(p))
+
+
+def test_gif_oversized_palette_rejected():
+    """encode_gif must reject >256-color palettes instead of masking
+    the size field into a corrupt header (round-7 review)."""
+    from duckdb_hdfs_spark.multimodal.decode import encode_gif
+
+    palette = [(i % 256, 0, 0) for i in range(257)]
+    with pytest.raises(ValueError):
+        encode_gif(4, 4, palette, lambda x, y: 0)

@@ -190,3 +190,29 @@ def test_halo_range_frame_matches_global_window(spark, sf_dir):
             bucket_width=width,
         ).select("event_id", "n", "s")
         assert sorted(map(tuple, got.collect())) == want, f"width={width}"
+
+
+def test_halo_range_frame_null_values(spark):
+    """NULL value rows must survive halo_range_frame as their own
+    peer group, exactly as the naive window keeps them — the bare
+    sequence bound would silently drop them at the explode
+    (round-7 review)."""
+    rows = [("p", 1.0, 0), ("p", None, 1), ("p", 2.0, 2), ("p", None, 3),
+            ("q", None, 4), ("q", 5.0, 5)]
+    df = spark.createDataFrame(rows, "part string, value double, rid long")
+    naive_w = Window.partitionBy("part").orderBy("value").rangeBetween(-5, 5)
+    want = sorted(
+        map(tuple, df.select(
+            "rid", F.count(F.lit(1)).over(naive_w).alias("n")
+        ).collect())
+    )
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    got = sorted(
+        map(tuple, halo_range_frame(
+            df, ["part"], "value", -5, 5,
+            lambda w: [F.count(F.lit(1)).over(w).alias("n")],
+            bucket_width=4,
+        ).select("rid", "n").collect())
+    )
+    assert got == want
