@@ -1,5 +1,5 @@
 """Join operators Spark lacks natively (SURVEY.md §2.9): as-of
-(backward) join — the time-series primitive DuckDB exposes as
+(backward/forward) join — the time-series primitive DuckDB exposes as
 ``ASOF JOIN`` and the reference therefore serves over HDFS data.
 
 Scale design: the classic formulations (join on key + inequality,
@@ -15,6 +15,74 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str,
+    forward: bool,
+) -> DataFrame:
+    """Shared body of :func:`asof_backward` / :func:`asof_forward`
+    (round-7 review: the two were ~55-line verbatim copies differing
+    only in the ``__ts`` sort direction).  ``forward=True`` sorts
+    time DESCENDING so the carried payload is the nearest LATER right
+    row; in both directions right sorts before left at equal ts,
+    giving the inclusive (<= / >=) match semantics."""
+    clash = set(payload) & set(left.columns)
+    if clash:
+        # the output projects left columns AND payload columns by
+        # name; a collision would emit duplicate column names that
+        # blow up with AMBIGUOUS_REFERENCE far from this call site
+        # (round-7 review finding)
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(clash)}; "
+            "alias the right-side payload before the asof join"
+        )
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    rt = rt.withColumn(
+        "__payload",
+        F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),
+    )
+
+    left_cols = list(left.columns)
+    payload_t = rt.schema["__payload"].dataType
+    left_sel = lt.select(
+        *left_cols, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
+    )
+    right_sel = rt.select(
+        F.col(on),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+        "__side",
+        "__ts",
+        "__payload",
+    )
+    unioned = left_sel.unionByName(right_sel)
+    # right rows sort before left rows at equal ts => inclusive match
+    ts_order = F.col("__ts").desc() if forward else F.col("__ts")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_order, F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    rows = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        rows = rows.filter(F.col("__match.__m"))
+    return rows.select(
+        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
+    )
 
 
 def asof_backward(
@@ -36,47 +104,10 @@ def asof_backward(
     prior right row; ``'left'`` keeps them with null payload.  Match
     detection rides an explicit ``lit(true)`` marker field inside the
     payload struct — never a payload column, whose value may be
-    legitimately NULL on a matched row.
+    legitimately NULL on a matched row.  Payload names must not
+    collide with left column names (raises ValueError).
     """
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
-    rt = rt.withColumn(
-        "__payload",
-        F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),
-    )
-
-    left_cols = list(left.columns)
-    payload_t = rt.schema["__payload"].dataType
-    left_sel = lt.select(
-        *left_cols, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
-    )
-    right_sel = rt.select(
-        F.col(on),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left_cols
-            if c != on
-        ],
-        "__side",
-        "__ts",
-        "__payload",
-    )
-    unioned = left_sel.unionByName(right_sel)
-    # right rows sort before left rows at equal ts => '<=' semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
-    rows = carried.filter(F.col("__side") == 1)
-    if how == "inner":
-        rows = rows.filter(F.col("__match.__m"))
-    return rows.select(
-        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
-    )
+    return _asof(left, right, on, left_ts, right_ts, payload, how, forward=False)
 
 
 def asof_forward(
@@ -91,51 +122,10 @@ def asof_forward(
     """For each left row, attach the payload of the right row with the
     SMALLEST ``right_ts >= left_ts`` within the same ``on`` key
     (DuckDB: ``l ASOF JOIN r ON l.on = r.on AND l.ts <= r.ts``) — the
-    forward/next-event direction of :func:`asof_backward`, same
-    union-sort shape: one shuffle, per-key sort, no pair explosion.
-    The only difference is the DESCENDING time order, so the carried
-    ``last(..., ignorenulls)`` payload is the nearest LATER right row
-    (right still sorts before left at equal ts ⇒ '>=' semantics).
-    Inner-match detection uses the same ``lit(true)`` marker field as
-    :func:`asof_backward` — robust to NULL payload values."""
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
-    rt = rt.withColumn(
-        "__payload",
-        F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),
-    )
-
-    left_cols = list(left.columns)
-    payload_t = rt.schema["__payload"].dataType
-    left_sel = lt.select(
-        *left_cols, "__side", "__ts", F.lit(None).cast(payload_t).alias("__payload")
-    )
-    right_sel = rt.select(
-        F.col(on),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left_cols
-            if c != on
-        ],
-        "__side",
-        "__ts",
-        "__payload",
-    )
-    unioned = left_sel.unionByName(right_sel)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts").desc(), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
-    rows = carried.filter(F.col("__side") == 1)
-    if how == "inner":
-        rows = rows.filter(F.col("__match.__m"))
-    return rows.select(
-        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload]
-    )
+    forward/next-event direction of :func:`asof_backward`; identical
+    union-sort shape via the shared :func:`_asof` body, differing
+    only in the DESCENDING time order."""
+    return _asof(left, right, on, left_ts, right_ts, payload, how, forward=True)
 
 
 def range_join_count(

@@ -37,8 +37,18 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     dimension 0 owns the most-significant bit of each group — the
     conventional x-major Morton layout.  Pure shift/and/or
     arithmetic: codegen-inlined, no shuffle, no UDF.
+
+    ``bits * ndims`` must fit the 63 value bits of a signed long —
+    otherwise the top interleaved bit lands in the sign bit and the
+    range partitioner orders negative keys first, silently scrambling
+    the Z-curve (round-7 review finding).
     """
     nd = len(cols)
+    if bits * nd > 63:
+        raise ValueError(
+            f"zorder_key: bits*ndims = {bits}*{nd} exceeds the 63 value "
+            "bits of a signed long; lower bits (e.g. 63 // ndims)"
+        )
     mask = F.lit((1 << bits) - 1)
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):
@@ -57,6 +67,11 @@ def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
     """DuckDB SQL mirror of :func:`zorder_key` — generated from the
     same bit-placement loop so the two engines agree byte-for-byte."""
     nd = len(exprs)
+    if bits * nd > 63:
+        raise ValueError(
+            f"zorder_key_sql: bits*ndims = {bits}*{nd} exceeds the 63 "
+            "value bits of a signed long"
+        )
     mask = (1 << bits) - 1
     terms = []
     for d, e in enumerate(exprs):

@@ -92,18 +92,26 @@ def halo_range_frame(
     w_lit = float(bucket_width)
     eps = 1e-9
     home = F.floor(v / F.lit(w_lit)).cast("long")
+    # the sequence bounds must CONTAIN the home bucket: for a frame
+    # that does not straddle zero (lo > 0 or hi < 0) the member range
+    # excludes the row's own bucket, and without the least/greatest
+    # clamp the row would never be core and would silently vanish
+    # (round-7 review finding)
+    lo_b = F.least(
+        F.floor((v - F.lit(float(hi))) / F.lit(w_lit) - F.lit(eps)).cast(
+            "long"
+        ),
+        home,
+    )
+    hi_b = F.greatest(
+        F.floor((v - F.lit(float(lo))) / F.lit(w_lit) + F.lit(eps)).cast(
+            "long"
+        ),
+        home,
+    )
     buckets = F.when(
         v.isNull(), F.array(F.lit(None).cast("long"))
-    ).otherwise(
-        F.sequence(
-            F.floor((v - F.lit(float(hi))) / F.lit(w_lit) - F.lit(eps)).cast(
-                "long"
-            ),
-            F.floor((v - F.lit(float(lo))) / F.lit(w_lit) + F.lit(eps)).cast(
-                "long"
-            ),
-        )
-    )
+    ).otherwise(F.sequence(lo_b, hi_b))
     rep = df.select("*", F.explode(buckets).alias("_vbkt")).withColumn(
         "_is_core", F.col("_vbkt").eqNullSafe(home)
     )
@@ -116,6 +124,48 @@ def halo_range_frame(
         rep.select("*", *frame_aggs(w))
         .filter(F.col("_is_core"))
         .drop("_vbkt", "_is_core")
+    )
+
+
+def _range_bucketed(
+    df: DataFrame, lead: str, desc: bool, n_ranges: int
+) -> DataFrame:
+    """Shared range-bucketing prelude of :func:`distributed_ntile`
+    and :func:`grouped_cumsum` (round-7 review: previously
+    copy-pasted in both): append ``__bkt``, monotone in the sort
+    direction of ``lead``, from broadcast approximate-quantile
+    bounds, and eager-checkpoint the assignment.
+
+    The checkpoint matters twice over: approximate quantile bounds
+    are partition-order-sensitive, and every consumer branch (rank +
+    count, or cumsum + offsets) must see IDENTICAL buckets for the
+    offset composition to be exact; it also pins the upstream
+    lineage to one evaluation so chained calls stay linear.
+
+    NULL ``lead`` values follow the global window's default null
+    ordering (round-7 review fix): Spark sorts asc NULLS FIRST and
+    desc NULLS LAST, so NULLs route to bucket 0 under asc and to the
+    LAST bucket under desc — the in-bucket sort then places them at
+    the matching end, composing to the same global order as a single
+    window.  (The bare size(filter(...)) put desc NULLs in bucket 0,
+    ranking them before the tail values.)"""
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = df.agg(
+        F.percentile_approx(
+            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__bounds")
+    )
+    before = (
+        (lambda b: b > F.col(lead)) if desc else (lambda b: b < F.col(lead))
+    )
+    bkt = F.coalesce(F.size(F.filter("__bounds", before)), F.lit(0))
+    if desc:
+        bkt = F.when(F.col(lead).isNull(), F.lit(n_ranges - 1)).otherwise(bkt)
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("__bkt", bkt)
+        .drop("__bounds")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -137,29 +187,7 @@ def distributed_ntile(
     """
     lead, direction = order_cols[0]
     desc = direction == "desc"
-
-    probs = [i / n_ranges for i in range(1, n_ranges)]
-    bounds = df.agg(
-        F.percentile_approx(
-            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
-        ).alias("__bounds")
-    )
-    before = (
-        (lambda b: b > F.col(lead)) if desc else (lambda b: b < F.col(lead))
-    )
-    # eager checkpoint: the bucket assignment is computed ONCE and
-    # materialized — approximate quantile bounds are partition-order-
-    # sensitive, and the rank branch and the count branch must see
-    # IDENTICAL buckets for offset + local rank to compose into a
-    # correct global rank.  It also pins the whole upstream lineage
-    # to a single evaluation, so chained distributed_ntile calls stay
-    # linear instead of re-deriving each predecessor per branch.
-    bucketed = (
-        df.join(F.broadcast(bounds))
-        .withColumn("__bkt", F.size(F.filter("__bounds", before)))
-        .drop("__bounds")
-        .localCheckpoint(eager=True)
-    )
+    bucketed = _range_bucketed(df, lead, desc, n_ranges)
 
     order_exprs = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
@@ -229,22 +257,7 @@ def grouped_cumsum(
     """
     lead, direction = order_cols[0]
     desc = direction == "desc"
-
-    probs = [i / n_ranges for i in range(1, n_ranges)]
-    bounds = df.agg(
-        F.percentile_approx(
-            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
-        ).alias("__bounds")
-    )
-    before = (
-        (lambda b: b > F.col(lead)) if desc else (lambda b: b < F.col(lead))
-    )
-    bucketed = (
-        df.join(F.broadcast(bounds))
-        .withColumn("__bkt", F.size(F.filter("__bounds", before)))
-        .drop("__bounds")
-        .localCheckpoint(eager=True)
-    )
+    bucketed = _range_bucketed(df, lead, desc, n_ranges)
 
     totals = bucketed.groupBy(*group_cols, "__bkt").agg(
         F.sum(val).alias("__tot")

@@ -67,6 +67,15 @@ def rebalance_cpu_heavy(
     if current * 2 > cores:
         return df
     est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est_bytes > 1 << 50:
+        # stats-less leaf plans (LogicalRDD, createDataFrame over an
+        # RDD) report spark.sql.defaultSizeInBytes ≈ Long.MaxValue —
+        # an UNKNOWN, not a measurement; grading it would repartition
+        # tiny frames to full core count (round-7 review finding).
+        # A real >1 PiB input always has splits >> cores and exits at
+        # the parallelism guard above, so treating huge as unknown
+        # costs nothing.
+        return df
     slots = min(est_bytes // bytes_per_slot, cores)
     if slots < current * 2:
         return df

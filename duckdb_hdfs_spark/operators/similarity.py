@@ -58,11 +58,12 @@ def lsh_band_keys(emb) -> "F.Column":
     Matching on ANY band (vs the full signature) trades precision for
     recall the standard multi-band way — a full-signature equality
     match finds almost nothing once the bit count grows."""
+    planes = hyperplanes()  # hoisted: one table build, not one per lookup
     keys = []
     for b in range(LSH_BANDS):
         val = F.lit(0)
         for r in range(LSH_BAND_BITS):
-            plane = hyperplanes()[b * LSH_BAND_BITS + r]
+            plane = planes[b * LSH_BAND_BITS + r]
             plane_col = F.array(*[F.lit(float(s)) for s in plane])
             val = val + F.when(dot(emb, plane_col) > 0, F.lit(1 << r)).otherwise(
                 F.lit(0)
@@ -78,11 +79,12 @@ def lsh_band_keys_sql(emb: str) -> str:
     ±1.0 literals, the projection is the same sequential left fold in
     double precision (multiplying by ±1.0 is exact), so the sign test
     and hence every band key match exactly."""
+    planes = hyperplanes()  # hoisted: one table build, not one per lookup
     keys = []
     for b in range(LSH_BANDS):
         terms = []
         for r in range(LSH_BAND_BITS):
-            plane = hyperplanes()[b * LSH_BAND_BITS + r]
+            plane = planes[b * LSH_BAND_BITS + r]
             plane_lit = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
             proj = (
                 f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

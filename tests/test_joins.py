@@ -1,0 +1,54 @@
+"""asof operator unit tests (the asof_* registry queries pin full
+semantics against DuckDB ASOF JOIN; these cover the operator-level
+contracts added by the round-7 review)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_hdfs_spark.operators.joins import asof_backward, asof_forward
+
+
+def test_asof_payload_collision_raises(spark):
+    """Payload columns sharing a name with a left column must raise
+    ValueError at the call site instead of emitting duplicate output
+    columns that fail with AMBIGUOUS_REFERENCE downstream."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 5, 99)], "k int, ts2 int, ts int")
+    for fn in (asof_backward, asof_forward):
+        with pytest.raises(ValueError, match="collide"):
+            fn(left, right, on="k", left_ts="ts", right_ts="ts2",
+               payload=["ts"])
+
+
+def test_asof_directions_shared_body(spark):
+    """Smoke the shared _asof body in both directions: backward picks
+    the latest earlier right row, forward the earliest later one;
+    inner drops unmatched, left keeps them with NULL payload."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 2), (2, 7)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "a"), (1, 9, "b"), (1, 11, "c")], "k int, rts int, v string"
+    )
+    back = {
+        (r.k, r.ts): r.v
+        for r in asof_backward(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload=["v"]
+        ).collect()
+    }
+    assert back == {(1, 10): "b"}  # ts=2 has no earlier row; k=2 unmatched
+    fwd = {
+        (r.k, r.ts): r.v
+        for r in asof_forward(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload=["v"]
+        ).collect()
+    }
+    assert fwd == {(1, 10): "c", (1, 2): "a"}
+    left_how = asof_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload=["v"], how="left",
+    )
+    assert left_how.count() == 3
+    nulls = left_how.filter("v IS NULL").count()
+    assert nulls == 2  # (1,2) and (2,7)

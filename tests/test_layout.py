@@ -126,3 +126,21 @@ def test_cluster_by_zorder_balanced(spark, sf_dir):
     )
     counts = [r["count"] for r in parts]
     assert max(counts) <= 3 * (sum(counts) / len(counts)), counts
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """bits*ndims > 63 would interleave into the sign bit and break
+    range ordering — both the Spark and SQL builders must refuse
+    (round-7 review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_hdfs_spark.operators.layout import zorder_key, zorder_key_sql
+
+    cols = [F.col(f"c{i}") for i in range(8)]
+    with pytest.raises(ValueError):
+        zorder_key(cols, bits=8)
+    with pytest.raises(ValueError):
+        zorder_key_sql([f"c{i}" for i in range(8)], bits=8)
+    # 8 dims at 7 bits (56 positions) is fine
+    zorder_key(cols, bits=7)

@@ -216,3 +216,52 @@ def test_halo_range_frame_null_values(spark):
         ).select("rid", "n").collect())
     )
     assert got == want
+
+
+def test_distributed_ntile_desc_nulls_rank_last(spark):
+    """Under desc ordering, NULL lead values must rank LAST (Spark's
+    desc default is NULLS LAST) — the bare size(filter(bounds))
+    bucket expression put them in bucket 0, ranking them before the
+    tail values (round-7 review).  Pinned against the global window
+    with enough rows that the range bucketing actually splits."""
+    rows = [(float(i), i) for i in range(40)] + [(None, 100), (None, 101)]
+    df = spark.createDataFrame(rows, "v double, rid long")
+    w = Window.orderBy(F.desc("v"), F.asc("rid"))
+    want = {
+        r.rid: r.t
+        for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        r.rid: r.q
+        for r in distributed_ntile(
+            df, [("v", "desc"), ("rid", "asc")], out="q", n_buckets=4,
+            n_ranges=8,
+        ).collect()
+    }
+    assert got == want
+    assert got[100] == 4 and got[101] == 4
+
+
+def test_halo_range_frame_following_only(spark):
+    """A frame that does not straddle zero (1 FOLLOWING .. 5
+    FOLLOWING) must keep every row — the unclamped sequence bounds
+    excluded the home bucket, so rows silently vanished (round-7
+    review)."""
+    rows = [("p", float(v), i) for i, v in enumerate(range(0, 100, 3))]
+    df = spark.createDataFrame(rows, "part string, value double, rid long")
+    naive_w = Window.partitionBy("part").orderBy("value").rangeBetween(1, 5)
+    want = sorted(
+        map(tuple, df.select(
+            "rid", F.count(F.lit(1)).over(naive_w).alias("n")
+        ).collect())
+    )
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    got = sorted(
+        map(tuple, halo_range_frame(
+            df, ["part"], "value", 1, 5,
+            lambda w: [F.count(F.lit(1)).over(w).alias("n")],
+            bucket_width=8,
+        ).select("rid", "n").collect())
+    )
+    assert got == want
