@@ -22,9 +22,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_sql(a: str, b: str) -> str:
+    # iterate to greatest(len(a), len(b)) so a ragged pair yields NULL
+    # (out-of-range element -> NULL product -> NULL sum) EXACTLY like
+    # Spark's zip_with null padding — iterating only len(a) returned a
+    # finite value when b was longer, silently diverging from the
+    # Spark side on malformed embeddings (round-7 review finding)
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, len({a})), "
+        f"list_transform(generate_series(1, greatest(len({a}), len({b}))), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
         f"(acc, x) -> acc + x)"
     )

@@ -86,9 +86,14 @@ def lsh_band_keys_sql(emb: str) -> str:
         for r in range(LSH_BAND_BITS):
             plane = planes[b * LSH_BAND_BITS + r]
             plane_lit = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+            # greatest(len, plane-dim): a SHORTER embedding must yield
+            # NULL (as Spark's zip_with null padding does), not a
+            # finite partial projection — same ragged-input contract
+            # as functions/vectors.dot_sql (round-7 review)
             proj = (
                 f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                f"list_transform(generate_series(1, len({emb})), "
+                f"list_transform(generate_series(1, greatest(len({emb}), "
+                f"{len(plane)})), "
                 f"i -> CAST({emb}[i] AS DOUBLE) * ({plane_lit})[i])), "
                 f"(acc, x) -> acc + x)"
             )

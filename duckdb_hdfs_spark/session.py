@@ -41,6 +41,12 @@ def builder(app_name: str = "duckdb-hdfs-spark", cpus: str | int | None = None):
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # progress records back the late-data accounting in
+        # streaming/pipelines.dropped_by_watermark: the 100-entry
+        # default silently evicts early micro-batches on long
+        # availableNow drains (one batch per file), undercounting
+        # numRowsDroppedByWatermark with no error
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -49,6 +49,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table with deterministic timestamp semantics.
+
+    Session-conf contract (round-7 review made this explicit): this
+    PERMANENTLY sets ``spark.sql.parquet.inferTimestampNTZ.enabled=
+    false`` and, for nano-timestamp tables, ``spark.sql.legacy.
+    parquet.nanosAsLong=true`` on the session.  A scoped
+    set-and-restore is NOT safe here: parquet scans consult these
+    confs when an ACTION plans, not when ``spark.read`` builds the
+    frame, so restoring after this call would race every downstream
+    job of the returned (lazy) DataFrame.  Sessions from
+    :func:`duckdb_hdfs_spark.session.get_spark` already run with the
+    NTZ conf at this value; an externally built session that needs
+    different parquet semantics for its own reads should use a
+    separate session for those.  The NTZ-cast fallback below keeps
+    THIS loader correct even when the session captured the default
+    confs before the call (there is no per-read option for either
+    knob — verified against Spark 4.1)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 

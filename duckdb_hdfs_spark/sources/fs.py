@@ -62,20 +62,37 @@ class HadoopFs:
             is_dir=st.isDirectory(),
         )
 
+    #: maximum directory depth a ``**`` segment spans — each depth is
+    #: one globStatus round-trip, so the cap bounds namenode load; a
+    #: match deeper than this is NOT found (documented contract, was a
+    #: silent magic 8 before the round-7 review)
+    GLOB_RECURSIVE_MAX_DEPTH = 16
+
     def glob(self, pattern: str) -> list[FileInfo]:
         """Expand ``*``, ``?``, ``[...]`` and ``{a,b}`` glob segments.
 
         Hadoop's globStatus has no ``**``; emulate the reference's
-        recursive match (hadoopfs.hpp:150-152) by fanning ``**`` out
-        to a bounded set of ``*/`` depths.
+        recursive match (hadoopfs.hpp:150-152) by fanning the ``**``
+        out to ``*/`` chains of 0..GLOB_RECURSIVE_MAX_DEPTH levels.
+        Exactly ONE ``**`` segment is supported — a second would be
+        passed to globStatus as a literal ``**`` and silently match a
+        single level, so it raises instead (round-7 review finding).
         """
         fs = self._fs(pattern)
         out: list[FileInfo] = []
         patterns = [pattern]
         if "**" in pattern:
+            if pattern.count("**") > 1:
+                raise NotImplementedError(
+                    "glob supports a single '**' segment; "
+                    f"got {pattern!r}"
+                )
             head, _, tail = pattern.partition("**")
             tail = tail.lstrip("/")
-            patterns = [head + ("*/" * d) + tail for d in range(8)]
+            patterns = [
+                head + ("*/" * d) + tail
+                for d in range(self.GLOB_RECURSIVE_MAX_DEPTH + 1)
+            ]
         for pat in patterns:
             statuses = fs.globStatus(self._jpath(pat))
             if statuses is not None:
@@ -168,11 +185,19 @@ class HadoopFs:
         fs = self._fs(path)
         try:
             return fs.truncate(jp, new_length)
-        except Exception:
+        except Exception as err:
             # ChecksumFileSystem (file://): truncate the raw file,
             # remove the stale .crc so subsequent reads don't fail
-            # checksum verification.
-            raw = fs.getRawFileSystem()
+            # checksum verification.  Only FilterFileSystem subclasses
+            # HAVE getRawFileSystem — on hdfs:// a truncate failure
+            # (open lease, new_length > size, ...) must surface as the
+            # ORIGINAL exception, not a confusing py4j method-missing
+            # error from the fallback (round-7 review finding; py4j
+            # resolves methods at CALL time, so the probe is the call).
+            try:
+                raw = fs.getRawFileSystem()
+            except Exception:
+                raise err
             ok = raw.truncate(jp, new_length)
             crc = fs.getChecksumFile(jp)
             if raw.exists(crc):

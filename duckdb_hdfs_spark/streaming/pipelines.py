@@ -223,10 +223,12 @@ def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``dedup_exact`` operator.  In production add a watermark +
     ``dropDuplicatesWithinWatermark`` to bound state for unbounded
     streams."""
-    hashed = docs.withColumn(
-        "content_hash",
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))),
-    )
+    from duckdb_hdfs_spark.operators.dedup import norm_text
+
+    # the SAME normalize-then-md5 as the batch dedup_exact — imported,
+    # not re-spelled, so the streaming digest can never silently
+    # diverge from the batch one (round-7 review finding)
+    hashed = docs.withColumn("content_hash", F.md5(norm_text(F.col("text"))))
     return hashed.dropDuplicates(["content_hash"]).select(
         id_col, "content_hash"
     )
@@ -239,7 +241,13 @@ def run_available_now_to_memory(
     in-memory table ``name`` (tests/backfills).  Returns the query's
     progress records (one dict per micro-batch) so callers can audit
     runtime metrics — e.g. ``stateOperators[].numRowsDroppedByWatermark``
-    for late-data accounting."""
+    for late-data accounting.
+
+    The progress buffer is bounded by
+    ``spark.sql.streaming.numRecentProgressUpdates`` — sessions from
+    get_spark() raise it to 10,000 (session.py) because the 100-entry
+    default silently evicts early micro-batches on long one-file-per-
+    trigger drains, undercounting the audit (round-7 review)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -285,21 +293,14 @@ def run_available_now_foreach_batch(
     df: DataFrame, collect_into: list, output_mode: str = "update", timeout_s: int = 120
 ) -> None:
     """Drain with availableNow, appending each micro-batch's rows (as
-    Row list, tagged with batch_id) into ``collect_into``."""
+    Row list, tagged with batch_id) into ``collect_into`` — a thin
+    sink over :func:`run_available_now_apply` (round-7 review: the
+    drain/guard block was previously copied verbatim)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         collect_into.append((batch_id, batch_df.collect()))
 
-    q = (
-        df.writeStream.foreachBatch(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError(f"streaming foreachBatch did not finish in {timeout_s}s")
+    run_available_now_apply(df, sink, output_mode=output_mode, timeout_s=timeout_s)
 
 
 SESSION_OUT_SCHEMA = StructType(
@@ -319,7 +320,13 @@ _SESSION_STATE_SCHEMA = StructType(
     ]
 )
 
-SESSION_GAP_US = 30 * 60 * 1_000_000
+# derived from the SAME constant the batch sessionizers and the
+# streaming_session_timeout oracle interpolate — a second hardcoded
+# 30 would let the two sessionizations silently drift apart if the
+# gap were ever tuned (round-7 review finding)
+from duckdb_hdfs_spark.queries.events import SESSION_GAP_MIN  # noqa: E402
+
+SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
 def _session_timeout_fn(
@@ -358,7 +365,12 @@ def _session_timeout_fn(
             emit(start, last, n)
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            # cross-batch disorder within the watermark can deliver an
+            # event OLDER than the carried state: never rewind `last`
+            # (a rewound last fakes a gap breach against the next
+            # event) and extend `start` backward instead (round-7
+            # review finding)
+            start, last, n = min(start, t), max(last, t), n + 1
     wm_ms = state.getCurrentWatermarkMs()
     close_ms = (last + SESSION_GAP_US) // 1000 + 1
     if close_ms <= wm_ms:
