@@ -28,18 +28,12 @@ def main() -> None:
     # throughput (steady-state, what a long run amortizes to) rather
     # than first-touch disk I/O — the DuckDB baseline numbers were
     # likewise measured warm.
-    from duckdb_hdfs_spark.sources.catalog import load_table
+    # warm EVERY catalog table (catalog.TABLES), not a hand-kept list:
+    # the previous hardcoded tuple omitted supplier, so headline q5's
+    # first timed run paid first-touch I/O (round-7 review finding)
+    from duckdb_hdfs_spark.sources.catalog import TABLES, load_table
 
-    for tbl in (
-        "region",
-        "nation",
-        "customer",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ):
+    for tbl in TABLES:
         df = load_table(spark, sf_dir, tbl)
         df.rdd.getNumPartitions()  # JIT-warm the partition probe path
         df.write.format("noop").mode("overwrite").save()

@@ -80,7 +80,16 @@ class HdfsParams:
             p.namenode = _normalize_namenode(env[ENV_DEFAULT_NAMENODE])
         if ENV_HA_NAMENODES in env:
             raw = env[ENV_HA_NAMENODES].strip().lower()
-            p.ha_namenodes = [s.strip() for s in raw.split(",") if s.strip()]
+            # normalize each address exactly like the single-namenode
+            # path: dfs.namenode.rpc-address.* must be host:port —
+            # Hadoop's createSocketAddr rejects a scheme prefix, so an
+            # hdfs://-spelled HA list (the shape HDFS_DEFAULT_NAMENODE
+            # accepts) would fail every failover (round-7 review)
+            p.ha_namenodes = [
+                _normalize_namenode(s.strip())
+                for s in raw.split(",")
+                if s.strip()
+            ]
         if ENV_SHORTCIRCUIT in env:
             p.shortcircuit = env[ENV_SHORTCIRCUIT].strip().lower() == "true"
         if ENV_DOMAIN_SOCKET_PATH in env:
@@ -103,7 +112,11 @@ class HdfsParams:
             ids = [f"nn{i + 1}" for i in range(len(self.ha_namenodes))]
             conf[f"dfs.ha.namenodes.{ns}"] = ",".join(ids)
             for nn_id, addr in zip(ids, self.ha_namenodes):
-                conf[f"dfs.namenode.rpc-address.{ns}.{nn_id}"] = addr
+                # belt-and-braces for directly constructed params: the
+                # rpc-address value must be host:port, never hdfs://
+                conf[f"dfs.namenode.rpc-address.{ns}.{nn_id}"] = (
+                    _normalize_namenode(addr)
+                )
             conf[f"dfs.client.failover.proxy.provider.{ns}"] = (
                 "org.apache.hadoop.hdfs.server.namenode.ha."
                 "ConfiguredFailoverProxyProvider"

@@ -30,8 +30,28 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Column-name-sort then row-sort for order-insensitive compare."""
+    """Column-name-sort then row-sort for order-insensitive compare.
+
+    Array-typed result cells (Spark ArrayType / DuckDB LIST arrive as
+    np.ndarray or list) are normalized to tuples FIRST — ndarray cells
+    crash ``sort_values`` and elementwise-compare ambiguously
+    (round-7 review finding)."""
     df = df.reindex(sorted(df.columns), axis=1)
+
+    def _tuplify(v):
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            try:
+                return tuple(_tuplify(x) for x in list(v))
+            except TypeError:
+                return v
+        return v
+
+    for col in df.columns:
+        if df[col].dtype == object and df[col].map(
+            lambda v: isinstance(v, (list, tuple))
+            or type(v).__name__ == "ndarray"
+        ).any():
+            df[col] = df[col].map(_tuplify)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
             drop=True
@@ -57,6 +77,10 @@ def _dtype_kind(s: pd.Series) -> str:
     return "other"
 
 
+def _is_seq(v) -> bool:
+    return isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -64,7 +88,12 @@ def _values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+    if _is_seq(a) or _is_seq(b):
+        # ndarray cells must recurse elementwise (a bare `a == b`
+        # returns an ambiguous elementwise array), and a sequence on
+        # ONE side only is a mismatch, not a TypeError (round-7 review)
+        if not (_is_seq(a) and _is_seq(b)):
+            return False
         la, lb = list(a), list(b)
         return len(la) == len(lb) and all(_values_equal(x, y) for x, y in zip(la, lb))
     try:
@@ -72,7 +101,7 @@ def _values_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    return a == b
+    return bool(a == b)
 
 
 @dataclass
@@ -131,10 +160,17 @@ def run_all(
     from duckdb_hdfs_spark.queries import load_all
 
     registry = load_all()
+    if names is not None:
+        # an unknown name must be loud: silently skipping a typo lets
+        # a filtered run return [] and read as all-green (round-7
+        # review finding); an explicit empty list runs nothing.
+        unknown = set(names) - set(registry)
+        if unknown:
+            raise KeyError(f"unknown query names: {sorted(unknown)}")
     con = duckdb_connection(sf_dir)
     results = []
     for name, qd in registry.items():
-        if names and name not in names:
+        if names is not None and name not in names:
             continue
         if qd.oracle is None:
             continue
