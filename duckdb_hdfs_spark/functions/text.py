@@ -68,6 +68,17 @@ def punct_count_sql(expr: str) -> str:
     return f"length({expr}) - length(regexp_replace({expr}, '[.,;:!?]', '', 'g'))"
 
 
+#: quality_score rule thresholds, exported so the ablation panel
+#: (queries/curation.corpus_quality_rule_ablation) explains the SAME
+#: rules this function applies — a hardcoded copy there kept reporting
+#: stale bands after a tuning change (round-7 review)
+QUALITY_TOKENS_MIN = 20
+QUALITY_TOKENS_MAX = 1000
+QUALITY_MEAN_LEN_MIN = 2.0
+QUALITY_MEAN_LEN_MAX = 12.0
+QUALITY_STOP_RATIO_MIN = 0.05
+
+
 def quality_score(text: Column, toks: Column) -> Column:
     """Composite quality in [0, ~1]: token-count band + mean token
     length band + stopword density — the standard cheap pre-filter
@@ -79,11 +90,16 @@ def quality_score(text: Column, toks: Column) -> Column:
         / n
     )
     stop_ratio = stopword_hits(toks, "en").cast("double") / n
-    len_ok = F.when((n >= 20) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-    word_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(0.3)).otherwise(
-        F.lit(0.0)
-    )
-    stop_ok = F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    len_ok = F.when(
+        (n >= QUALITY_TOKENS_MIN) & (n <= QUALITY_TOKENS_MAX), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    word_ok = F.when(
+        (mean_len >= QUALITY_MEAN_LEN_MIN) & (mean_len <= QUALITY_MEAN_LEN_MAX),
+        F.lit(0.3),
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(
+        stop_ratio >= QUALITY_STOP_RATIO_MIN, F.lit(0.3)
+    ).otherwise(F.lit(0.0))
     return len_ok + word_ok + stop_ok
 
 
@@ -95,7 +111,10 @@ def quality_score_sql(expr: str, toks_expr: str) -> str:
     )
     stop_ratio = f"CAST({stopword_hits_sql(toks_expr, 'en')} AS DOUBLE) / {n}"
     return (
-        f"(CASE WHEN {n} >= 20 AND {n} <= 1000 THEN 0.4 ELSE 0.0 END"
-        f" + CASE WHEN {mean_len} >= 2.0 AND {mean_len} <= 12.0 THEN 0.3 ELSE 0.0 END"
-        f" + CASE WHEN {stop_ratio} >= 0.05 THEN 0.3 ELSE 0.0 END)"
+        f"(CASE WHEN {n} >= {QUALITY_TOKENS_MIN} AND {n} <= {QUALITY_TOKENS_MAX}"
+        f" THEN 0.4 ELSE 0.0 END"
+        f" + CASE WHEN {mean_len} >= {QUALITY_MEAN_LEN_MIN}"
+        f" AND {mean_len} <= {QUALITY_MEAN_LEN_MAX} THEN 0.3 ELSE 0.0 END"
+        f" + CASE WHEN {stop_ratio} >= {QUALITY_STOP_RATIO_MIN}"
+        f" THEN 0.3 ELSE 0.0 END)"
     )

@@ -229,8 +229,8 @@ def grouped_cumsum(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[tuple[str, str]],
-    val: str,
-    out: str,
+    val: str | list[str],
+    out: str | list[str],
     n_ranges: int = 32,
     prune_above: int | None = None,
 ) -> DataFrame:
@@ -255,17 +255,20 @@ def grouped_cumsum(
     are dropped BEFORE the window — the per-row window work is then
     bounded by the budget, not the corpus.
     """
+    vals = [val] if isinstance(val, str) else list(val)
+    outs = [out] if isinstance(out, str) else list(out)
+    assert len(vals) == len(outs), "val/out lists must pair up"
     lead, direction = order_cols[0]
     desc = direction == "desc"
     bucketed = _range_bucketed(df, lead, desc, n_ranges)
 
     totals = bucketed.groupBy(*group_cols, "__bkt").agg(
-        F.sum(val).alias("__tot")
+        *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vals)]
     )
     earlier = totals.select(
         *[F.col(g).alias(f"__g_{g}") for g in group_cols],
         F.col("__bkt").alias("__bkt2"),
-        F.col("__tot").alias("__tot2"),
+        *[F.col(f"__tot{i}").alias(f"__tot2_{i}") for i in range(len(vals))],
     )
     on = [F.col(f"__g_{g}") == F.col(g) for g in group_cols]
     offsets = (
@@ -275,10 +278,16 @@ def grouped_cumsum(
             how="left",
         )
         .groupBy(*group_cols, "__bkt")
-        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).alias("__off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__tot2_{i}"), F.lit(0)).alias(f"__off{i}")
+                for i in range(len(vals))
+            ]
+        )
     )
     if prune_above is not None:
-        offsets = offsets.filter(F.col("__off") <= prune_above)
+        # the prune contract applies to the FIRST value column
+        offsets = offsets.filter(F.col("__off0") <= prune_above)
 
     order_exprs = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_cols
@@ -288,9 +297,9 @@ def grouped_cumsum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        bucketed.join(offsets, [*group_cols, "__bkt"])
-        .withColumn("__lcum", F.sum(val).over(w))
-        .withColumn(out, F.col("__off") + F.col("__lcum"))
-        .drop("__bkt", "__off", "__lcum")
-    )
+    res = bucketed.join(offsets, [*group_cols, "__bkt"])
+    drop = ["__bkt"]
+    for i, (v, o) in enumerate(zip(vals, outs)):
+        res = res.withColumn(o, F.col(f"__off{i}") + F.sum(v).over(w))
+        drop.append(f"__off{i}")
+    return res.drop(*drop)

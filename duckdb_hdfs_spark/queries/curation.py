@@ -29,7 +29,15 @@ from duckdb_hdfs_spark.functions.hashing import (
     tokens,
     tokens_sql,
 )
-from duckdb_hdfs_spark.functions.text import quality_score, quality_score_sql
+from duckdb_hdfs_spark.functions.text import (
+    QUALITY_MEAN_LEN_MAX,
+    QUALITY_MEAN_LEN_MIN,
+    QUALITY_STOP_RATIO_MIN,
+    QUALITY_TOKENS_MAX,
+    QUALITY_TOKENS_MIN,
+    quality_score,
+    quality_score_sql,
+)
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
 
@@ -270,7 +278,12 @@ def sample_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# the dedup-normalization contract is DEFINED in queries/dedup.py —
+# imported, not re-spelled, so the dataset-card dup_rate and the
+# calibration panel always measure the same duplicate definition as
+# the dedup pipeline they audit (round-7 review)
+from duckdb_hdfs_spark.queries.dedup import _NORM_SQL  # noqa: E402
+
 _NTOK_SQL = f"len(list_filter({_TOKS}, t -> t <> ''))"
 
 
@@ -670,10 +683,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 def _release_oracle() -> str:
-    from duckdb_hdfs_spark.queries.dedup import _BANDED_SQL, _NORM_SQL
+    from duckdb_hdfs_spark.queries.dedup import banded_sql
 
     qscore = quality_score_sql("text", _TOKS)
-    banded_sv = _BANDED_SQL.replace("FROM documents", "FROM sv")
+    # parameterized builder (round-7 review) — bands the survivor set
+    # structurally instead of string-replacing the rendered SQL
+    banded_sv = banded_sql("sv")
     return f"""
 WITH RECURSIVE sv AS MATERIALIZED (
     SELECT doc_id, text, n_chars, q, len({_TOKS}) AS n_toks
@@ -900,7 +915,7 @@ def corpus_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=rf"""
 WITH scored AS (
     SELECT doc_id, {quality_score_sql('text', _TOKS)} AS q,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+           md5({_NORM_SQL}) AS h
     FROM documents
 ),
 flagged AS (
@@ -1038,14 +1053,20 @@ def corpus_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_vocab_growth",
     oracle=f"""
 WITH tok AS (
+    -- the empty-token filter MUST match the Spark side's
+    -- F.col("tok") != "": edge/duplicated whitespace tokenizes to ''
+    -- and the two sides would otherwise disagree on n_tok and on ''
+    -- as a vocabulary term (round-7 review; reproduced as a FAIL on
+    -- crafted whitespace-edge input)
     SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ),
+tokf AS (SELECT * FROM tok WHERE tok <> ''),
 per_doc AS (
-    SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    SELECT doc_id, count(*) AS n_tok FROM tokf GROUP BY doc_id
 ),
 firsts AS (
     SELECT doc_id AS first_doc, count(*) AS n_new
-    FROM (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok) t
+    FROM (SELECT tok, min(doc_id) AS doc_id FROM tokf GROUP BY tok) t
     GROUP BY doc_id
 ),
 j AS (
@@ -1098,11 +1119,15 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__g", F.lit(1))
     )
-    c1 = grouped_cumsum(
-        j, ["__g"], [("doc_id", "asc")], val="n_tok", out="cum_tokens"
-    )
+    # BOTH running sums ride one bucketing pass (grouped_cumsum takes
+    # value lists since round 7 — two chained calls paid the
+    # percentile probe, checkpoint, and offsets join twice)
     c2 = grouped_cumsum(
-        c1, ["__g"], [("doc_id", "asc")], val="n_new", out="cum_vocab"
+        j,
+        ["__g"],
+        [("doc_id", "asc")],
+        val=["n_tok", "n_new"],
+        out=["cum_tokens", "cum_vocab"],
     )
     return c2.select(
         "doc_id",
@@ -1114,19 +1139,23 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "corpus_quality_rule_ablation",
+    # rule thresholds come from functions/text.py's exported constants
+    # so the ablation always explains the rules quality_score actually
+    # applies (round-7 review: hardcoded copies drifted silently)
     oracle=rf"""
 WITH scored AS (
     SELECT source,
-           CASE WHEN len({_TOKS}) >= 20 AND len({_TOKS}) <= 1000
+           CASE WHEN len({_TOKS}) >= {QUALITY_TOKENS_MIN}
+                 AND len({_TOKS}) <= {QUALITY_TOKENS_MAX}
                 THEN 1 ELSE 0 END AS pass_len,
            CASE WHEN CAST(list_reduce(list_transform({_TOKS},
                          t -> length(t)), (a, b) -> a + b) AS DOUBLE)
-                     / len({_TOKS}) >= 2.0
+                     / len({_TOKS}) >= {QUALITY_MEAN_LEN_MIN}
                  AND CAST(list_reduce(list_transform({_TOKS},
                          t -> length(t)), (a, b) -> a + b) AS DOUBLE)
-                     / len({_TOKS}) <= 12.0
+                     / len({_TOKS}) <= {QUALITY_MEAN_LEN_MAX}
                 THEN 1 ELSE 0 END AS pass_word,
-           CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE) / len({_TOKS}) >= 0.05
+           CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE) / len({_TOKS}) >= {QUALITY_STOP_RATIO_MIN}
                 THEN 1 ELSE 0 END AS pass_stop
     FROM documents
 )
@@ -1166,11 +1195,19 @@ def corpus_quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stopword_hits(toks, "en").cast("double") / n
     scored = docs.select(
         "source",
-        F.when((n >= 20) & (n <= 1000), 1).otherwise(0).alias("pass_len"),
-        F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1)
+        F.when(
+            (n >= QUALITY_TOKENS_MIN) & (n <= QUALITY_TOKENS_MAX), 1
+        ).otherwise(0).alias("pass_len"),
+        F.when(
+            (mean_len >= QUALITY_MEAN_LEN_MIN)
+            & (mean_len <= QUALITY_MEAN_LEN_MAX),
+            1,
+        )
         .otherwise(0)
         .alias("pass_word"),
-        F.when(stop_ratio >= 0.05, 1).otherwise(0).alias("pass_stop"),
+        F.when(stop_ratio >= QUALITY_STOP_RATIO_MIN, 1)
+        .otherwise(0)
+        .alias("pass_stop"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -35,10 +35,17 @@ _SHINGLES_SQL = word_shingles_sql("toks", k=2)
 
 # staged CTEs: each expression becomes a materialized column so the
 # md5 pipeline evaluates once per row instead of once per reference.
-_BANDED_SQL = f"""
+def banded_sql(source: str = "documents") -> str:
+    """The minhash/banding oracle CTE chain over ``source`` — a
+    parameterized builder so consumers banding a SURVIVOR set
+    (pipeline_corpus_release bands its quality/exact-dedup survivors
+    ``sv``) retarget it structurally instead of string-replacing the
+    rendered SQL (round-7 review: the replace silently depended on
+    the literal 'FROM documents' appearing exactly once)."""
+    return f"""
 sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles
-    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {source})
 ),
 hs AS (
     SELECT doc_id,
@@ -54,6 +61,9 @@ banded AS (
     CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
 )
 """
+
+
+_BANDED_SQL = banded_sql()
 
 
 # --------------------------------------------------------------------------

@@ -308,7 +308,9 @@ assign AS (
     ) WHERE crk = 1
 )
 SELECT cent_id, CAST(i AS BIGINT) AS dim, count(*) AS n_members,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+       round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                          AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6)
+           AS mean_val
 FROM assign, generate_series(1, 8) t(i)
 GROUP BY cent_id, i
 """,
@@ -356,11 +358,17 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = assigned.select(
         "cent_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
     )
+    # decimal-mean recipe (emb_dim_variance): round each element to
+    # 6dp, sum EXACTLY in decimal, divide in double — a raw
+    # avg(double) partial-aggregates in engine-dependent order and can
+    # flip the rounded hash at a .5e-6 boundary (round-7 review)
+    dec = F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
+    n = F.count(F.lit(1))
     return (
         sliced.groupBy("cent_id", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+            n.alias("n_members"),
+            F.round(F.sum(dec).cast("double") / n, 6).alias("mean_val"),
         )
     )
 
@@ -517,8 +525,10 @@ WITH s AS (
 ),
 e AS (SELECT label, scale, {_QERR} AS max_err FROM s)
 SELECT label, count(*) AS n_vecs,
-       round(avg(scale), 6) AS mean_scale,
-       round(avg(max_err), 6) AS mean_max_err,
+       round(CAST(sum(CAST(round(scale, 6) AS DECIMAL(12,6)))
+                  AS DOUBLE) / count(*), 6) AS mean_scale,
+       round(CAST(sum(CAST(round(max_err, 6) AS DECIMAL(12,6)))
+                  AS DOUBLE) / count(*), 6) AS mean_max_err,
        round(max(max_err), 6) AS worst_err
 FROM e GROUP BY label
 """,
@@ -547,13 +557,22 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, q: F.abs(x.cast("double") - q * sc / 127.0),
         )
     )
+    # decimal-mean recipe — see emb_kmeans_update / emb_dim_variance
+    # (a raw avg(double) is order-dependent and can flip the rounded
+    # hash at a .5e-6 boundary; round-7 review)
+    dec = lambda c: F.round(F.col(c), 6).cast("decimal(12,6)")
+    n = F.count(F.lit(1))
     return (
         s.select("label", "scale", max_err.alias("max_err"))
         .groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("scale"), 6).alias("mean_scale"),
-            F.round(F.avg("max_err"), 6).alias("mean_max_err"),
+            n.alias("n_vecs"),
+            F.round(F.sum(dec("scale")).cast("double") / n, 6).alias(
+                "mean_scale"
+            ),
+            F.round(F.sum(dec("max_err")).cast("double") / n, 6).alias(
+                "mean_max_err"
+            ),
             F.round(F.max("max_err"), 6).alias("worst_err"),
         )
     )
@@ -926,6 +945,11 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     proj_df, comps = pca_projection(spark, sf_dir)
+    # the cap aggregate AND the final per-row select both consume
+    # proj_df — materialize once or the full scan + 64-element fold
+    # pipeline executes twice (DataFrame reuse is plan reuse;
+    # round-7 review)
+    proj_df = proj_df.localCheckpoint(eager=True)
     orth_ok = bool(
         abs(float(np.dot(comps[0], comps[1]))) <= 1e-9
         and max(abs(float(np.linalg.norm(c)) - 1.0) for c in comps) <= 1e-9
