@@ -44,7 +44,17 @@ def _asof(
             "alias the right-side payload before the asof join"
         )
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    # SQL join equality rejects NULL keys: a NULL-key right row can
+    # never match anything (DuckDB ASOF JOIN ON l.k = r.k), but the
+    # union-sort window PARTITIONS NULL keys together and would match
+    # them — drop NULL-key right rows so NULL-key left rows find no
+    # payload (dropped under 'inner', NULL payload under 'left'),
+    # exactly the SQL semantics (round-7 review finding)
+    rt = (
+        right.filter(F.col(on).isNotNull())
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col(right_ts))
+    )
     rt = rt.withColumn(
         "__payload",
         F.struct(F.lit(True).alias("__m"), *[F.col(c) for c in payload]),

@@ -270,7 +270,11 @@ def grouped_cumsum(
         F.col("__bkt").alias("__bkt2"),
         *[F.col(f"__tot{i}").alias(f"__tot2_{i}") for i in range(len(vals))],
     )
-    on = [F.col(f"__g_{g}") == F.col(g) for g in group_cols]
+    # null-SAFE group equality (round-7 review): a NULL group key is
+    # its own window partition in the oracle semantics, but a plain
+    # equi-join would reject it — both here and in the final row join
+    # below — silently dropping every NULL-group row from the output
+    on = [F.col(f"__g_{g}").eqNullSafe(F.col(g)) for g in group_cols]
     offsets = (
         totals.join(
             earlier,
@@ -297,7 +301,18 @@ def grouped_cumsum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    res = bucketed.join(offsets, [*group_cols, "__bkt"])
+    off = offsets.select(
+        *[F.col(g).alias(f"__o_{g}") for g in group_cols],
+        F.col("__bkt").alias("__obkt"),
+        *[f"__off{i}" for i in range(len(vals))],
+    )
+    res = bucketed.join(
+        off,
+        on=[
+            *[F.col(f"__o_{g}").eqNullSafe(F.col(g)) for g in group_cols],
+            F.col("__obkt") == F.col("__bkt"),
+        ],
+    ).drop(*[f"__o_{g}" for g in group_cols], "__obkt")
     drop = ["__bkt"]
     for i, (v, o) in enumerate(zip(vals, outs)):
         res = res.withColumn(o, F.col(f"__off{i}") + F.sum(v).over(w))

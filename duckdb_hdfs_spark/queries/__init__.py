@@ -168,6 +168,16 @@ _DRIVER_PRIORITY = (
 #   stats_moments, pack_context_windows, corpus_mix_sample,
 #   streaming_windowed_counts
 # (remaining r3 + all r4 stale keys roll to round 9+.)
+#
+# Deferred round-7 review cleanups (maintainability only, no
+# correctness/scale impact — deferred to avoid late-round churn of
+# oracle-pinned code):
+# - extract the decimal centroid build shared by
+#   emb_label_centroid_cohesion / emb_centroid_separation (Spark +
+#   oracle CTE, ~30 duplicated lines);
+# - extract the broadcast-codebook argmax shared by
+#   operators/similarity.assign, emb_kmeans_update, and
+#   emb_cluster_purity (~25 duplicated lines).
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

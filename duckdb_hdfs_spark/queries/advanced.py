@@ -97,18 +97,26 @@ def range_join_view_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("vts")
     )
+    # pval: both sides derive from the same ev frame, so the payload
+    # column needs a side-unique name for the self-join analyzer
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts"), "value"
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pval")
     )
-    joined = views.join(
+    # through the shared interval-join operator (round-7 review: this
+    # query hand-rolled the identical join+aggregate while importing
+    # range_join_count and never calling it)
+    return range_join_count(
+        views,
         purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("pts") > F.col("vts"))
-        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
-    )
-    return joined.groupBy("view_event_id").agg(
-        F.count(F.lit(1)).alias("n_purchases_1h"),
-        _dsum(F.col("value")).alias("purchase_value_1h"),
+        on="user_id",
+        lower=views["vts"],
+        upper=views["vts"] + F.expr("INTERVAL 1 HOUR"),
+        right_ts="pts",
+        aggs=[
+            F.count(F.lit(1)).alias("n_purchases_1h"),
+            _dsum(F.col("pval")).alias("purchase_value_1h"),
+        ],
+        group=["view_event_id"],
     )
 
 
@@ -679,13 +687,17 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd).cast("double").alias("s1"),
         F.sum(xd * xd).cast("double").alias("s2"),
     )
+    # nullif guards (round-7 review): n=1 makes the variance divisor
+    # zero, and two zero-variance cohorts zero the sqrt divisor — ANSI
+    # Spark THROWS on both where the DuckDB oracle yields NULL
     m = s.select(
         "source",
         "n",
         (F.col("s1") / F.col("n")).alias("mean"),
-        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
-            "var"
-        ),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("var"),
     ).localCheckpoint(eager=True)
     a = m.filter(F.col("source") == "A").select(
         F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
@@ -693,8 +705,9 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.filter(F.col("source") == "B").select(
         F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
     )
-    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
-        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.nullif(
+        F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        F.lit(0.0),
     )
     return a.join(F.broadcast(b)).select(
         "n_a",
@@ -1490,7 +1503,11 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guard: a type whose x has zero variance (all events in
+    # one hour) zeroes the denominator — under Spark 4's ANSI default
+    # that THROWS, while the DuckDB oracle returns NULL; nullif makes
+    # both sides NULL (round-7 review finding)
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return mo.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),

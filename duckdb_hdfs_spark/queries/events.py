@@ -161,8 +161,6 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active day equals d+1 exactly when the user returned.  ONE events
     scan and one shuffle on user_id (the self-join formulation the
     oracle uses would re-execute the scan+distinct per side)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     daily = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("d")
@@ -360,12 +358,18 @@ def ev_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger windows the sketch path (HLL merge over daily sketches)
     replaces the exact distinct — same query shape."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.select(
-        F.date_trunc("day", "ts").alias("d"), "user_id"
-    ).distinct()
+    # checkpoint: the panel feeds BOTH the day spine and the range
+    # join — without it the events scan + distinct execute twice
+    # (round-7 review; the ev_stickiness shape).  The spine is tiny
+    # (one row per day) — broadcast it explicitly.
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     days = daily.select("d").distinct().withColumnRenamed("d", "day")
-    joined = days.join(
-        daily,
+    joined = daily.join(
+        F.broadcast(days),
         (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAY"))
         & (F.col("d") <= F.col("day")),
     )
@@ -783,8 +787,13 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("percentile(value, 0.5)").alias("med"))
         .localCheckpoint(eager=True)
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # checkpoint: dev feeds both the MAD aggregate and the final flag
+    # select — without it the events scan + broadcast join execute
+    # twice (round-7 review)
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=True)
     )
     mad = (
         dev.groupBy("event_type")

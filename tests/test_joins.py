@@ -52,3 +52,27 @@ def test_asof_directions_shared_body(spark):
     assert left_how.count() == 3
     nulls = left_how.filter("v IS NULL").count()
     assert nulls == 2  # (1,2) and (2,7)
+
+
+def test_asof_null_keys_follow_sql_semantics(spark):
+    """NULL join keys never match (DuckDB ASOF JOIN equality): a
+    NULL-key left row is dropped under inner and kept with NULL
+    payload under left; a NULL-key right row matches nothing
+    (round-7 review — the union-sort window previously partitioned
+    the NULLs together and matched them)."""
+    left = spark.createDataFrame(
+        [(1, 10), (None, 10)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (None, 5, "x")], "k int, rts int, v string"
+    )
+    inner = asof_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts", payload=["v"]
+    ).collect()
+    assert [(r.k, r.v) for r in inner] == [(1, "a")]
+    left_how = asof_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload=["v"], how="left",
+    )
+    got = {r.k: r.v for r in left_how.collect()}
+    assert got == {1: "a", None: None}

@@ -265,3 +265,16 @@ def test_halo_range_frame_following_only(spark):
         ).select("rid", "n").collect())
     )
     assert got == want
+
+
+def test_grouped_cumsum_keeps_null_group_rows(spark):
+    """A NULL group key is its own partition in window semantics;
+    the operator's internal equi-joins must be null-safe or those
+    rows silently vanish (round-7 review)."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    rows = [("en", 1, 10), ("en", 2, 20), (None, 1, 5), (None, 3, 7)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    out = grouped_cumsum(df, ["g"], [("k", "asc")], val="v", out="cum")
+    got = {(r.g, r.k): r.cum for r in out.collect()}
+    assert got == {("en", 1): 10, ("en", 2): 30, (None, 1): 5, (None, 3): 12}
