@@ -76,11 +76,17 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_banded(docs: DataFrame) -> DataFrame:
+def minhash_banded(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """doc_id + exploded (band_idx, band_key) rows, ready for the
     bucket self-join.  Band key = md5 over each contiguous BAND_ROWS
-    slice of the signature columns (NUM_PERM=12, 4 bands x 3 rows)."""
-    sig = minhash_signature_cols(docs)
+    slice of the signature columns (NUM_PERM=12, 4 bands x 3 rows).
+
+    ``sig``: optionally a precomputed (ideally checkpointed)
+    signature frame — callers that also consume the signatures
+    directly (dedup_minhash_est) pass it so the dominant corpus pass
+    runs ONCE instead of once per consumer (round-7 review)."""
+    if sig is None:
+        sig = minhash_signature_cols(docs)
     bands = F.array(
         *[
             F.md5(
@@ -295,7 +301,9 @@ def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, sig: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
     Formulated as bucket-cell enumeration (``bucketed_pairs``), not a
@@ -304,7 +312,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     per side) and shuffles each banded row once; vs the plain
     collect_list-the-bucket shape, a pathological boilerplate bucket
     is salted across cells so per-task memory stays O(PAIR_CHUNK²)."""
-    banded = minhash_banded(docs)
+    banded = minhash_banded(docs, sig=sig)
     return (
         bucketed_pairs(banded, ["band_idx", "band_key"], "doc_id")
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
@@ -314,10 +322,13 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs (verification pass
-    after LSH — only candidates pay the set-intersection cost)."""
+    after LSH — only candidates pay the set-intersection cost).
+    Wordsets are checkpointed: both join sides read them, and without
+    the materialization the tokenize+distinct pass over the corpus
+    executes once per side (round-7 review)."""
     wordsets = docs.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("words")
-    )
+    ).localCheckpoint(eager=True)
     wa = wordsets.select(
         F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a")
     )

@@ -177,7 +177,11 @@ _DRIVER_PRIORITY = (
 #   oracle CTE, ~30 duplicated lines);
 # - extract the broadcast-codebook argmax shared by
 #   operators/similarity.assign, emb_kmeans_update, and
-#   emb_cluster_purity (~25 duplicated lines).
+#   emb_cluster_purity (~25 duplicated lines);
+# - share the 30-min gap sessionization block between ev_sessionize
+#   and ev_session_paths (Spark + oracle CTE copies);
+# - extract the decimal-weighted entropy / min-gap builders shared by
+#   ev_user_entropy, ev_inter_event_times, and ev_bot_score_panel.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

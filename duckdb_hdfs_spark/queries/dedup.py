@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
+    NUM_BANDS,
+    NUM_PERM,
     band_keys_sql,
     minhash_sigints_sql,
     shingle_hash_sql,
@@ -58,12 +60,22 @@ sigs AS (
 banded AS (
     SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
     FROM sigs
-    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+    CROSS JOIN (SELECT unnest(generate_series(1, {NUM_BANDS})) AS i) gs
 )
 """
 
 
 _BANDED_SQL = banded_sql()
+
+#: the band self-join candidate-pair CTE shared by every pair-scoring
+#: oracle (round-7 review: previously copy-pasted 7x — a drifted copy
+#: would silently redefine one oracle's candidate set)
+_PAIRS_SQL = """pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+)"""
 
 
 # --------------------------------------------------------------------------
@@ -124,12 +136,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     oracle=f"""
 WITH {_BANDED_SQL},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 ws AS (SELECT doc_id, {_TOKSET_SQL} AS words FROM documents)
 SELECT p.doc_a, p.doc_b,
        CAST(len(list_intersect(wa.words, wb.words)) AS DOUBLE)
@@ -151,12 +158,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_BANDED_SQL},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 grams AS (
     SELECT doc_id, {word_shingles_sql('toks', k=3)} AS g3
     FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
@@ -186,9 +188,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.functions.hashing import tokens, word_shingles
 
     docs = _t(spark, sf_dir, "documents")
+    # checkpoint: both join sides read grams — without it the 3-gram
+    # build over the corpus executes once per side (round-7 review)
     grams = docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), 3).alias("g3")
-    )
+    ).localCheckpoint(eager=True)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g3").alias("g3_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g3").alias("g3_b"))
     inter = F.size(F.array_intersect("g3_a", "g3_b"))
@@ -317,8 +321,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     not max_by, whose tie choice is engine-arbitrary)."""
     from pyspark.sql import Window
 
-    from duckdb_hdfs_spark.operators.dedup import norm_text
-
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id", "n_chars", "lang", F.md5(norm_text(F.col("text"))).alias("content_hash")
@@ -336,12 +338,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     oracle=f"""
 WITH RECURSIVE {_BANDED_SQL},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -373,15 +370,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_est",
     oracle=f"""
 WITH {_BANDED_SQL},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-)
+{_PAIRS_SQL}
 SELECT p.doc_a, p.doc_b,
-       CAST(len(list_filter(generate_series(1, 12),
-                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 12.0 AS est_jaccard
+       CAST(len(list_filter(generate_series(1, {NUM_PERM}),
+                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_PERM}.0
+           AS est_jaccard
 FROM pairs p
 JOIN sigs sa ON p.doc_a = sa.doc_id
 JOIN sigs sb ON p.doc_b = sb.doc_id
@@ -398,7 +391,10 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.dedup import minhash_signature_cols
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature_cols(docs)
+    # checkpoint + reuse: sig feeds BOTH join sides AND the candidate
+    # pair stream — without this the dominant corpus pass (tokenize/
+    # shingle/md5/min-agg) executed three times (round-7 review)
+    sig = minhash_signature_cols(docs).localCheckpoint(eager=True)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(NUM_PERM)]
     )
@@ -409,7 +405,7 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
         for p in range(NUM_PERM)
     )
-    pairs = minhash_candidate_pairs(docs)
+    pairs = minhash_candidate_pairs(docs, sig=sig)
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -462,12 +458,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_size_histogram",
     oracle=f"""
 WITH RECURSIVE {_BANDED_SQL},
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
     UNION
@@ -614,8 +605,6 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on a node key, so cost is Σ deg², bounded by the LSH
     bucket discipline, never a cartesian.  The edge list is
     checkpointed once and feeds all three join legs."""
-    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
-
     edges = minhash_candidate_pairs(
         _t(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
@@ -842,8 +831,6 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard > 0), exact-verified; posting-list join cost is Σ df²,
     the standard bound (production samples or caps hot tokens).
     Both the candidate and truth sets are checkpointed once."""
-    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
-
     docs = _t(spark, sf_dir, "documents")
     ws = docs.select(
         "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words")
@@ -1068,14 +1055,9 @@ sigs AS (
 banded AS (
     SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
     FROM sigs
-    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+    CROSS JOIN (SELECT unnest(generate_series(1, {NUM_BANDS})) AS i) gs
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 ws AS (SELECT doc_id, list_distinct({tokens_sql('text')}) AS words
        FROM documents),
 scored AS (
@@ -1217,14 +1199,9 @@ sigs AS (
 banded AS (
     SELECT doc_id, gs.i - 1 AS band_idx, {band_keys_sql('sig')}[gs.i] AS band_key
     FROM sigs
-    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) gs
+    CROSS JOIN (SELECT unnest(generate_series(1, {NUM_BANDS})) AS i) gs
 ),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-),
+{_PAIRS_SQL},
 g2 AS (SELECT doc_id, {word_shingles_sql('toks', k=2)} AS g
        FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)),
 g3 AS (SELECT doc_id, {word_shingles_sql('toks', k=3)} AS g

@@ -371,8 +371,6 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies (or rejects) an approximate index before a 100 TB
     rollout (an ANN path without a recall number is unfinished).
     Output: one row per method with mean per-probe recall."""
-    from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann, lsh_ann
-
     emb = _t(spark, sf_dir, "embeddings")
     probes = _probes(emb)
     # materialize the (probes x k)-row result sets once: each is
@@ -784,11 +782,16 @@ def sim_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubness diagnostics (a spike at degree 0 means isolated vectors;
     missing high degrees means hub domination).
 
-    Scale shape: the kNN build is the partial-top-k brute pass
-    (operators/similarity.brute_topk — the ANN variants swap in at
-    100 TB); the (N × k)-row edge list is checkpointed once, the
-    mutuality check is one self-join keyed on the (probe, vec) pair,
-    and the degree rollup is bounded by N."""
+    Scale BOUND (made explicit, round-7 review): the probe side of
+    brute_topk here is the ENTIRE corpus, and brute_topk broadcasts
+    its probes — so this exact formulation is bounded by the driver /
+    broadcast limit (~10⁶ × d=64 vectors ≈ 0.5 GB; Spark's broadcast
+    hard cap is 8 GB).  That is inherent to EXACT all-pairs kNN
+    (Ω(N²) work regardless of plan shape); beyond the bound the
+    graph is built from an ANN neighbor list instead (ivf_ann /
+    lsh_ann produce the same (probe, vec) edge shape and everything
+    downstream — checkpoint, mutuality self-join, degree rollup — is
+    unchanged and N-bounded)."""
     from duckdb_hdfs_spark.operators.similarity import brute_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1031,8 +1034,6 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized sets; each arm reuses the same map-side IVF
     machinery (broadcast codebook argmax assignment, partial top-k
     before the only shuffle)."""
-    from duckdb_hdfs_spark.operators.similarity import brute_topk, ivf_ann
-
     emb = _t(spark, sf_dir, "embeddings")
     probes = _probes(emb)
     truth = (
