@@ -157,7 +157,11 @@ def sql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
     both = building.intersect(rich).select("c_custkey", F.lit("both").alias("src"))
-    only_b = building.exceptAll(rich).distinct().select(
+    # subtract() IS distinct EXCEPT; exceptAll().distinct() only
+    # coincided because c_custkey is unique per leg — a duplicated
+    # left row also present once on the right would survive the
+    # multiset form (round-7 review)
+    only_b = building.subtract(rich).select(
         "c_custkey", F.lit("only_building").alias("src")
     )
     return both.unionByName(only_b)
@@ -654,17 +658,32 @@ def sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — no per-row subquery execution, no shuffle of supplier."""
     sup = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
+    # n_null tracks NULL elements (round-7 review): SQL's `> ALL` is
+    # NULL (→ 0 through the oracle's CASE) when any comparison is
+    # NULL-valued and none is FALSE, but max() ignores NULLs — so
+    # beating the max NON-NULL balance must not count as beats_all
+    # when a NULL balance exists.  `> ANY` is symmetric: a NULL
+    # element can never make it TRUE, and min() ignoring NULLs is
+    # already correct there.
     bounds = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        F.max("c_acctbal").alias("mx"), F.min("c_acctbal").alias("mn")
+        F.max("c_acctbal").alias("mx"),
+        F.min("c_acctbal").alias("mn"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_vals"),
     )
     j = sup.join(
         F.broadcast(bounds), sup.s_nationkey == F.col("nk"), "left"
     )
+    no_nulls = F.col("n_rows") == F.col("n_vals")
     return j.select(
         "s_suppkey",
         "s_name",
+        # empty set (left-join miss: n_rows NULL) ⇒ ALL is TRUE; a
+        # NON-empty all-NULL set has mx NULL but n_rows set ⇒ NULL ⇒ 0
         F.when(
-            F.col("mx").isNull() | (F.col("s_acctbal") > F.col("mx")), 1
+            F.col("n_rows").isNull()
+            | (no_nulls & (F.col("s_acctbal") > F.col("mx"))),
+            1,
         )
         .otherwise(0)
         .alias("beats_all"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries._helpers import (  # noqa: F401 (re-export)
+from duckdb_hdfs_spark.queries._helpers import (
     _dsum,
     _dsum_raw,
     _osum,
@@ -522,7 +522,9 @@ WITH sup_rev AS (
 )
 SELECT l_suppkey, round(value, 2) AS value
 FROM sup_rev
-WHERE value > (SELECT 1.05 * avg(value) FROM sup_rev)
+WHERE value > (SELECT 1.05 * (CAST(sum(CAST(value AS DECIMAL(28,6)))
+                                   AS DOUBLE) / count(*))
+               FROM sup_rev)
 """,
 )
 def q11_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +537,20 @@ def q11_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregated once."""
     li = _t(spark, sf_dir, "lineitem")
     sup_rev = li.groupBy("l_suppkey").agg(_dsum_raw(_revenue()).alias("value"))
-    thr = sup_rev.agg((F.avg("value") * 1.05).alias("threshold"))
+    # the threshold avg sums in DECIMAL (exact, order-independent) on
+    # BOTH sides — a raw double avg partial-aggregates in
+    # engine/partitioning-dependent order, and a supplier between the
+    # two ulp-different thresholds would flip membership (round-7
+    # review; the registry's 'round identically on both sides' rule)
+    thr = sup_rev.agg(
+        (
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * 1.05
+        ).alias("threshold")
+    )
     return (
         sup_rev.crossJoin(F.broadcast(thr))
         .filter(F.col("value") > F.col("threshold"))
@@ -795,6 +810,13 @@ def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # cut the top-100 by the RAW price like the oracle's ORDER BY
+        # o.o_totalprice — sorting on the rounded alias could select a
+        # different 100-row set when raw prices collide post-rounding
+        # at the boundary (round-7 review; latent: generated prices
+        # are exactly 2-decimal)
+        .orderBy(F.desc(orders.o_totalprice), "o_orderkey")
+        .limit(100)
         .select(
             "c_name",
             "c_custkey",
@@ -803,8 +825,6 @@ def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
             F.round("sq", 2).alias("sum_qty"),
         )
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(100)
     )
 
 
@@ -971,7 +991,9 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey, count(*) AS numcust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6)))
+                                 AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey
@@ -988,9 +1010,13 @@ def q22_acctbal_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer scan (c_acctbal only, map-side partial avg) is the
     price of staying parallel, and the better trade at any scale."""
     cust = _t(spark, sf_dir, "customer")
-    thr = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    # decimal-sum threshold avg on both sides — see q11 (round-7
+    # review: a raw double avg is order-dependent across engines)
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     recent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")

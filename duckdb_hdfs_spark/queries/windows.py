@@ -83,8 +83,15 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     orders = _t(spark, sf_dir, "orders")
+    # stay in the DECIMAL domain end-to-end: _dsum emits a DOUBLE, and
+    # a day above ~4.5e13 revenue (the docstring's own design point)
+    # has 2-decimal values a double cannot represent — the round-trip
+    # would silently diverge from the oracle's pure-decimal running
+    # sum (round-7 review finding)
     daily = orders.groupBy(F.col("o_orderdate").alias("order_day")).agg(
-        _dsum(F.col("o_totalprice")).cast("decimal(38,2)").alias("daily_rev")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("decimal(38,2)")
+        .alias("daily_rev")
     )
     cum = grouped_cumsum(
         daily.withColumn("__ord", F.unix_micros("order_day")),
@@ -311,8 +318,9 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver hash deterministically verifies the HLL estimate is
     inside its advertised error envelope."""
     ev = _t(spark, sf_dir, "events")
+    rsd = 0.02  # single source for the sketch accuracy AND the bound
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
         F.countDistinct("user_id").alias("n_users_exact"),
     )
     return agg.select(
@@ -321,7 +329,7 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("n_users_exact"))
             / F.col("n_users_exact")
-            <= F.lit(0.10)
+            <= F.lit(5 * rsd)  # bound derives from the sketch rsd
         ).alias("within_bound"),
     )
 
@@ -390,8 +398,6 @@ def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_cumsum — per-bucket windows with broadcast prefix
     offsets), which test_ranks.py pins value-identical to the global
     window."""
-    from pyspark.sql import Window
-
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
@@ -426,8 +432,6 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines order by epoch microseconds with the same literal
     bound — the canonical sliding-time-window aggregation over a
     keyed stream (state bounded by the frame width at any scale)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     week_us = 7 * 24 * 3600 * 1000000
     w = (
@@ -505,8 +509,6 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id (the window partitioning); the
     unbounded frame is computed in a single pass per partition."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -603,8 +605,6 @@ def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed shuffle, both windows share the same
     partitioning and sort; values pass through unrounded (no
     arithmetic, no float hazard)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     pv = F.when(F.col("event_type") == "purchase", F.col("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -662,8 +662,6 @@ def win_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per key goes through the partial-top-k merge
     (operators/similarity.py _topk_merge shape) instead of a full
     partition sort."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     score_raw = F.when(F.col("value") > 50, F.col("value"))
     wd = Window.partitionBy("event_type").orderBy(
