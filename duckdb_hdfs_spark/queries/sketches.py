@@ -318,10 +318,12 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Bloom filter has no false negatives; a non-zero value here
     means the bit math broke).
 
-    Engine-portable: positions come from md5, the bit array is 16
-    two's-complement BIGINT words, and probes test words[pos/64] &
-    (1 << pos%64) identically in both engines — the audit row is
-    hash-exact, not statistical."""
+    Engine-portable: positions come from md5, the bit array is
+    BLOOM_WORDS (17) BIGINT words of BLOOM_WORD_BITS (62) usable bits
+    each — 62, not 64, because setting bit 63 of a signed BIGINT
+    overflows in DuckDB (see the constants' comment) — and probes
+    test words[pos div 62] & (1 << pos mod 62) identically in both
+    engines, so the audit row is hash-exact, not statistical."""
     from duckdb_hdfs_spark.functions.hashing import md5_int60
 
     ev = _t(spark, sf_dir, "events")

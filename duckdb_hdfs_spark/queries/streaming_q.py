@@ -1029,10 +1029,9 @@ def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    if q.isActive:  # pragma: no cover - guard against hung trigger
-        q.stop()
-        raise TimeoutError("partitioned sink did not finish")
+    from duckdb_hdfs_spark.streaming.pipelines import drain
+
+    drain(q, 120, "partitioned sink")
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -1083,15 +1082,15 @@ def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = next(_run_counter)
     src = _rewrite_events(spark, sf_dir, n_files=3, tag=f"topk_{run_id}")
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    # the EXACT decimal total rides through the sink so the final rank
+    # orders on it like the oracle's ORDER BY sum(decimal) — ranking
+    # on the rounded double let a 2-dp rounding tie invert rk between
+    # engines (round-7 review finding); rounding is output-only
     agg = (
         stream.groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_total"))
         .orderBy(F.desc("dec_total"), F.asc("user_id"))
         .limit(3)
-        .select(
-            "user_id",
-            F.round("dec_total", 2).cast("double").alias("total_value"),
-        )
     )
     name = f"t_streaming_complete_topk_{run_id}"
     run_available_now_to_memory(agg, name, output_mode="complete")
@@ -1102,6 +1101,14 @@ def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a single partition IS the correct scale shape here, and the
     # WindowExec single-partition warning stays out of clean runs)
     w = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("total_value"), F.asc("user_id")
+        F.desc("dec_total"), F.asc("user_id")
     )
-    return spark.table(name).withColumn("rk", F.row_number().over(w))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "user_id",
+            F.round("dec_total", 2).cast("double").alias("total_value"),
+            "rk",
+        )
+    )

@@ -448,8 +448,16 @@ def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two regexp_extract_all counts per doc, map-side,
     into one source-grain partial-aggregated rollup."""
     docs = _t(spark, sf_dir, "documents")
-    n_em = F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
-    n_num = F.size(F.expr(f"regexp_extract_all(text, '{_LONGNUM_RE}', 0)"))
+    # Python API, NOT F.expr: SQL string-literal unescaping turns the
+    # pattern's '\.' into a bare '.' wildcard, so the expr form
+    # counted dot-less emails (user@localhost) the oracle rejects —
+    # verified divergence (round-7 review finding)
+    n_em = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))
+    )
+    n_num = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_LONGNUM_RE), F.lit(0))
+    )
     flagged = docs.select(
         "source",
         n_em.alias("ne"),

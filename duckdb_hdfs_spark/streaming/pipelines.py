@@ -234,6 +234,16 @@ def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def drain(q, timeout_s: int, what: str = "streaming query") -> None:
+    """Shared availableNow drain guard (round-7 review: previously
+    copied at every start() site): await, and if the trigger hangs
+    past the timeout, stop the query and raise."""
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - guard against hung trigger
+        q.stop()
+        raise TimeoutError(f"{what} did not finish in {timeout_s}s")
+
+
 def run_available_now_to_memory(
     df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> list:
@@ -255,10 +265,7 @@ def run_available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:  # pragma: no cover - guard against hung trigger
-        q.stop()
-        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+    drain(q, timeout_s, f"streaming query {name}")
     return list(q.recentProgress)
 
 
@@ -283,10 +290,7 @@ def run_available_now_apply(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError(f"streaming apply did not finish in {timeout_s}s")
+    drain(q, timeout_s, "streaming apply")
 
 
 def run_available_now_foreach_batch(
