@@ -181,7 +181,12 @@ _DRIVER_PRIORITY = (
 # - share the 30-min gap sessionization block between ev_sessionize
 #   and ev_session_paths (Spark + oracle CTE copies);
 # - extract the decimal-weighted entropy / min-gap builders shared by
-#   ev_user_entropy, ev_inter_event_times, and ev_bot_score_panel.
+#   ev_user_entropy, ev_inter_event_times, and ev_bot_score_panel;
+# - consolidate streaming_q.py's four copies of the ordered-batch
+#   mtime-pinning fixture writer into one _write_ordered_batches;
+# - share sim_recall_eval's per-probe recall block with
+#   sim_ivf_probe_sweep, and the PQ encode machinery between
+#   emb_pq_codes and sim_pq_adc_topk (Spark + oracle).
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:
