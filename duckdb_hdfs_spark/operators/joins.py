@@ -49,9 +49,13 @@ def _asof(
     # union-sort window PARTITIONS NULL keys together and would match
     # them — drop NULL-key right rows so NULL-key left rows find no
     # payload (dropped under 'inner', NULL payload under 'left'),
-    # exactly the SQL semantics (round-7 review finding)
+    # exactly the SQL semantics (round-7 review finding).  Same for
+    # NULL right_ts: ``l.ts >= NULL`` is never true, but under asc
+    # NULLS FIRST a NULL-__ts right row would sort ahead of every
+    # left row and its payload would be carried as a bogus 'match'
+    # (round-7 advisor finding).
     rt = (
-        right.filter(F.col(on).isNotNull())
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
         .withColumn("__side", F.lit(0))
         .withColumn("__ts", F.col(right_ts))
     )
@@ -77,8 +81,15 @@ def _asof(
         "__payload",
     )
     unioned = left_sel.unionByName(right_sel)
-    # right rows sort before left rows at equal ts => inclusive match
-    ts_order = F.col("__ts").desc() if forward else F.col("__ts")
+    # right rows sort before left rows at equal ts => inclusive match.
+    # NULL-left_ts rows must sort FIRST in both directions: ``NULL >=
+    # r.ts`` / ``NULL <= r.ts`` never match, and Spark's desc default
+    # (NULLS LAST) would otherwise place them after every right row,
+    # carrying a bogus payload (same class as the right_ts advisor
+    # finding above; right-side NULL __ts is already filtered out).
+    ts_order = (
+        F.col("__ts").desc_nulls_first() if forward else F.col("__ts").asc_nulls_first()
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(ts_order, F.col("__side"))

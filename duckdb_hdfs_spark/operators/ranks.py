@@ -87,28 +87,35 @@ def halo_range_frame(
     rounding of ``u + hi``, so the bucket range only has to be a
     SUPERSET — the nudge guarantees coverage when (v-hi)/W rounds
     across a bucket boundary, at the cost of one extra replica for
-    values within ~1e-9 bucket of an edge."""
+    values within an epsilon of an edge.  Double rounding error is
+    RELATIVE, so the nudge scales with the quotient's magnitude
+    (max(1e-9, |q|·1e-12) — ~4000 ulps of headroom): an absolute
+    1e-9 would be swallowed above ~4e6 buckets (e.g. epoch
+    microseconds over a small ``bucket_width``) and a frame member
+    could fail to replicate into a core row's bucket (round-7
+    advisor finding)."""
+    if not bucket_width > 0:
+        raise ValueError(
+            f"bucket_width must be > 0, got {bucket_width!r}: zero or "
+            "negative widths produce NaN/reversed bucket sequences that "
+            "silently drop rows at the explode"
+        )
     v = F.col(value_col)
     w_lit = float(bucket_width)
-    eps = 1e-9
     home = F.floor(v / F.lit(w_lit)).cast("long")
+
+    def _nudge(q):  # relative epsilon in bucket-index units
+        return F.greatest(F.lit(1e-9), F.abs(q) * F.lit(1e-12))
+
+    q_lo = (v - F.lit(float(hi))) / F.lit(w_lit)
+    q_hi = (v - F.lit(float(lo))) / F.lit(w_lit)
     # the sequence bounds must CONTAIN the home bucket: for a frame
     # that does not straddle zero (lo > 0 or hi < 0) the member range
     # excludes the row's own bucket, and without the least/greatest
     # clamp the row would never be core and would silently vanish
     # (round-7 review finding)
-    lo_b = F.least(
-        F.floor((v - F.lit(float(hi))) / F.lit(w_lit) - F.lit(eps)).cast(
-            "long"
-        ),
-        home,
-    )
-    hi_b = F.greatest(
-        F.floor((v - F.lit(float(lo))) / F.lit(w_lit) + F.lit(eps)).cast(
-            "long"
-        ),
-        home,
-    )
+    lo_b = F.least(F.floor(q_lo - _nudge(q_lo)).cast("long"), home)
+    hi_b = F.greatest(F.floor(q_hi + _nudge(q_hi)).cast("long"), home)
     buckets = F.when(
         v.isNull(), F.array(F.lit(None).cast("long"))
     ).otherwise(F.sequence(lo_b, hi_b))

@@ -71,122 +71,84 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-7 allocation (VERDICT r6
-# "Next round" #1): 50 of the keys that have NEVER had a driver
-# CORRECTNESS row, highest-novelty first — mm_decode_gif (round-6 LZW
-# codec), the fs round-trip family + the round-7 fs_write_roundtrip
-# COPY-TO key (the one sanctioned widening), the 16 round-5 ev_* keys,
-# the window-frame trio, the corpus-curation wave, then the dedup and
-# sim/emb evals.  The 18-key remainder (3 text, 14 orders/stats,
-# emb_dim_variance) rotates in round 8 — see the pool note below.
+# Keep this list at exactly ≤50 names.  Round-8 allocation (VERDICT r6
+# "Next round" #1 + #8, executed on schedule): the 18 keys that have
+# NEVER had a driver CORRECTNESS row after round 7's 50/50-green window
+# (CORRECTNESS_r07.json) — this closes the "EVERY operator has a green
+# driver row" clause at 267/267 — followed by 32 stale re-verifies
+# ranked staleness × round-7 code churn: first the 16 dedup/sim keys
+# whose implementation changed in the round-7 graded-rebalance /
+# bucket_cells refactor (operators/rebalance.py, operators/dedup.py)
+# and whose latest driver row predates it (r3), then 16 more of the
+# untouched r3-stale set, oldest coverage first.
 _DRIVER_PRIORITY = (
-    # --- round-6 LZW codec + fs round-trips (10) ---
-    "mm_decode_gif",
-    "fs_write_roundtrip",
-    "fs_bucketed_join",
-    "fs_compact_small_files",
-    "fs_read_csv_malformed",
-    "fs_typed_roundtrip",
-    "fs_read_json_nested",
-    "fs_summarize_table",
-    "fs_parquet_codecs",
-    "fs_sql_join_views",
-    # --- round-5 events keys (16) ---
-    "ev_user_decile",
-    "ev_burst_flags",
-    "ev_cumulative_users",
-    "ev_anomaly_mad",
-    "ev_stickiness",
-    "ev_anomaly_ewma",
-    "ev_session_paths",
-    "ev_daily_conversion_wilson",
-    "ev_active_streaks",
-    "ev_funnel_windowed",
-    "ev_new_vs_returning",
-    "ev_gap_filled_daily",
-    "ev_linear_attribution",
-    "ev_user_entropy",
-    "ev_conversion_survival",
-    "ev_bot_score_panel",
-    # --- window-frame trio (3) ---
-    "win_value_range_frame",
-    "win_locf_ignore_nulls",
-    "win_nulls_ordering",
-    # --- corpus-curation wave (7) ---
-    "corpus_source_overlap",
-    "corpus_temperature_mix",
-    "corpus_length_drift_by_source",
-    "corpus_quality_dup_calibration",
-    "corpus_shard_planner",
-    "corpus_vocab_growth",
-    "corpus_quality_rule_ablation",
-    # --- dedup evals (6) ---
-    "dedup_cc_size_histogram",
-    "dedup_embedding_clusters",
-    "dedup_pair_triangles",
-    "dedup_embedding_threshold_sweep",
-    "dedup_chain_capture_eval",
-    "dedup_shingle_sensitivity",
-    # --- sim/emb evals (8) ---
-    "sim_mutual_knn_graph",
-    "sim_knn_label_accuracy",
-    "emb_matryoshka_recall",
-    "sim_ivf_cell_stats",
-    "emb_jl_project",
-    "emb_label_centroid_cohesion",
-    "emb_centroid_separation",
-    "emb_cluster_purity",
+    # --- the 18-key remainder: never driver-checked (closes 267/267) ---
+    "text_code_detection",
+    "text_tokenizer_fertility",
+    "text_pii_prevalence",
+    "emb_dim_variance",
+    "orders_pareto_deciles",
+    "asof_left_view_purchase",
+    "stats_welch_ttest",
+    "orders_cohort_revenue",
+    "ev_first_touch_attribution",
+    "orders_repeat_intervals",
+    "orders_market_basket",
+    "orders_priority_drift",
+    "orders_abc_class",
+    "orders_monthly_growth",
+    "orders_segment_migration",
+    "supplier_concentration_hhi",
+    "orders_seasonality_index",
+    "stats_linear_regression",
+    # --- r3-stale keys whose code changed in round 7 (rebalance /
+    # --- bucket_cells refactor): re-verify on fresh testdata (16) ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_pairs",
+    "dedup_minhash_est",
+    "dedup_simhash",
+    "dedup_cc_clusters",
+    "dedup_embedding_cos",
+    "dedup_exact",
+    "dedup_exact_stats",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "sim_bruteforce_topk",
+    "sim_knn_join",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_recall_eval",
+    "sim_embedding_norms",
+    # --- untouched r3-stale keys, oldest driver coverage first (16) ---
+    "text_token_stats",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_ngram_freq",
+    "text_chunk_windows",
+    "text_scrub_pii",
+    "asof_purchase_last_view",
+    "range_join_view_purchases",
+    "sample_hash_split",
+    "stats_quantiles",
+    "stats_moments",
+    "pack_context_windows",
+    "corpus_mix_sample",
+    "streaming_windowed_counts",
 )
 
-# Round-8 rotation pool — the 18 keys with no driver CORRECTNESS row
-# after round 7 (assuming CORRECTNESS_r07 goes green on the 50 above):
-#   text: code_detection, tokenizer_fertility, pii_prevalence
-#   orders/stats: pareto_deciles, asof_left_view_purchase, welch_ttest,
-#     cohort_revenue, first_touch_attribution, repeat_intervals,
-#     market_basket, priority_drift, abc_class, monthly_growth,
-#     segment_migration, concentration_hhi, seasonality_index,
-#     linear_regression
-#   emb: dim_variance (bumped from r7 to make room for the sanctioned
-#     fs_write_roundtrip widening — a brand-new key outranks a simple
-#     per-dimension variance aggregate for driver novelty)
-# That closes "EVERY operator has a driver row".  The other 32 slots
-# go to stale re-verifies, ranked staleness x round-7 code churn
-# (computed from CORRECTNESS_r01-06: 49 keys' latest row is r3, 50 r4).
-# First the r3-stale keys whose implementation CHANGED in round 7 via
-# the graded rebalance / bucket_cells refactor (operators/rebalance.py,
-# operators/dedup.py):
-#   dedup_minhash_lsh, dedup_minhash_pairs, dedup_minhash_est,
-#   dedup_simhash, dedup_cc_clusters, dedup_embedding_cos,
-#   dedup_exact, dedup_exact_stats, dedup_keep_best,
-#   dedup_ngram_jaccard, sim_bruteforce_topk, sim_knn_join,
-#   sim_lsh_ann, sim_ivf_ann, sim_recall_eval, sim_embedding_norms
-# then 16 more of the untouched r3-stale set, oldest-coverage first:
-#   text_token_stats, text_langid, text_quality, text_fingerprint,
-#   text_bpe_tokens, text_ngram_freq, text_chunk_windows,
-#   text_scrub_pii, asof_purchase_last_view,
-#   range_join_view_purchases, sample_hash_split, stats_quantiles,
-#   stats_moments, pack_context_windows, corpus_mix_sample,
-#   streaming_windowed_counts
-# (remaining r3 + all r4 stale keys roll to round 9+.)
-#
-# Deferred round-7 review cleanups (maintainability only, no
-# correctness/scale impact — deferred to avoid late-round churn of
-# oracle-pinned code):
-# - extract the decimal centroid build shared by
-#   emb_label_centroid_cohesion / emb_centroid_separation (Spark +
-#   oracle CTE, ~30 duplicated lines);
-# - extract the broadcast-codebook argmax shared by
-#   operators/similarity.assign, emb_kmeans_update, and
-#   emb_cluster_purity (~25 duplicated lines);
-# - share the 30-min gap sessionization block between ev_sessionize
-#   and ev_session_paths (Spark + oracle CTE copies);
-# - extract the decimal-weighted entropy / min-gap builders shared by
-#   ev_user_entropy, ev_inter_event_times, and ev_bot_score_panel;
-# - consolidate streaming_q.py's four copies of the ordered-batch
-#   mtime-pinning fixture writer into one _write_ordered_batches;
-# - share sim_recall_eval's per-probe recall block with
-#   sim_ivf_probe_sweep, and the PQ encode machinery between
-#   emb_pq_codes and sim_pq_adc_topk (Spark + oracle).
+# Round-9+ rotation pool — after the round-8 window above goes green,
+# every key has a driver row (267/267) and the rotation becomes pure
+# stale re-verification, oldest driver coverage first.  Remaining
+# staleness after r8 (from CORRECTNESS_r01-07): the last 17 r3-stale
+# keys (sqlfuncs string/date/conditional/set/array classes,
+# mm_binary_meta / mm_decode_features / mm_resize / mm_frame_sample,
+# fs_read_parquet / fs_write_parquet / fs_sql_path /
+# fs_describe_tables, ev_value_histogram, distinct_users_approx,
+# dedup_cc_clusters'-family leftovers), then the 50 r4-stale keys
+# (tpch q1/q3/q5/q6/q12/q14, llmextra wave, events r4 wave, cdc,
+# sketches, streaming r4 wave), then r5.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

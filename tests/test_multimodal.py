@@ -264,11 +264,13 @@ def test_gif_malformed_payloads_raise_value_error():
     for payload in (full, with_ext):
         assert decode_gif(payload)[0] == 4
         for cut in range(len(payload) - 1):
-            try:
+            # every strict prefix is missing at least the trailer, so
+            # a silent success is missing validation (ADVICE r7: the
+            # bare try/except only caught WRONG exception types, not
+            # absent ones); any other exception type (IndexError,
+            # struct.error) also fails the raises check
+            with pytest.raises((ValueError, NotImplementedError)):
                 decode_gif(payload[:cut])
-            except (ValueError, NotImplementedError):
-                pass  # the contract
-            # any other exception (IndexError, struct.error) fails
 
 
 def test_gif_zero_area_encode_rejected():
