@@ -34,6 +34,15 @@ def norm_text(text):
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# DuckDB-side mirror of :func:`norm_text` over the ``text`` column —
+# THE normalization contract for every oracle that defines "duplicate"
+# (dedup pipeline, dataset card, calibration panels).  Public so query
+# modules import the contract instead of re-spelling it (round-7
+# advisor: curation.py previously reached into queries/dedup.py's
+# underscore-private mid-module).
+NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
 def exact_clusters(docs: DataFrame) -> DataFrame:
     """Exact dedup: md5 over normalized text → cluster per digest.
     One shuffle on the digest; the digest (16 bytes) is the only

@@ -38,6 +38,7 @@ from duckdb_hdfs_spark.functions.text import (
     quality_score,
     quality_score_sql,
 )
+from duckdb_hdfs_spark.operators.dedup import NORM_SQL
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
 
@@ -278,12 +279,6 @@ def sample_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# the dedup-normalization contract is DEFINED in queries/dedup.py —
-# imported, not re-spelled, so the dataset-card dup_rate and the
-# calibration panel always measure the same duplicate definition as
-# the dedup pipeline they audit (round-7 review)
-from duckdb_hdfs_spark.queries.dedup import _NORM_SQL  # noqa: E402
-
 _NTOK_SQL = f"len(list_filter({_TOKS}, t -> t <> ''))"
 
 
@@ -293,7 +288,7 @@ _NTOK_SQL = f"len(list_filter({_TOKS}, t -> t <> ''))"
 SELECT source, lang,
        count(*) AS n_docs,
        CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens,
-       round(1.0 - CAST(count(DISTINCT {_NORM_SQL}) AS DOUBLE) / count(*), 4)
+       round(1.0 - CAST(count(DISTINCT {NORM_SQL}) AS DOUBLE) / count(*), 4)
            AS dup_rate,
        round(CAST(sum(CAST(round({quality_score_sql('text', _TOKS)}, 4)
                            AS DECIMAL(10, 4))) AS DOUBLE) / count(*), 4)
@@ -694,7 +689,7 @@ WITH RECURSIVE sv AS MATERIALIZED (
     SELECT doc_id, text, n_chars, q, len({_TOKS}) AS n_toks
     FROM (
         SELECT doc_id, text, n_chars, {qscore} AS q,
-               row_number() OVER (PARTITION BY md5({_NORM_SQL})
+               row_number() OVER (PARTITION BY md5({NORM_SQL})
                                   ORDER BY doc_id) AS rn
         FROM documents
         WHERE {qscore} >= 0.5
@@ -915,7 +910,7 @@ def corpus_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=rf"""
 WITH scored AS (
     SELECT doc_id, {quality_score_sql('text', _TOKS)} AS q,
-           md5({_NORM_SQL}) AS h
+           md5({NORM_SQL}) AS h
     FROM documents
 ),
 flagged AS (

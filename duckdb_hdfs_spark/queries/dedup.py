@@ -22,6 +22,7 @@ from duckdb_hdfs_spark.functions.hashing import (
 )
 from duckdb_hdfs_spark.functions.hashing import tokens as tokens_col
 from duckdb_hdfs_spark.operators.dedup import (
+    NORM_SQL,
     exact_clusters,
     jaccard_pairs,
     minhash_candidate_pairs,
@@ -31,7 +32,6 @@ from duckdb_hdfs_spark.operators.dedup import (
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
 
-_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKSET_SQL = f"list_distinct({tokens_sql('text')})"
 _SHINGLES_SQL = word_shingles_sql("toks", k=2)
 
@@ -82,7 +82,7 @@ _PAIRS_SQL = """pairs AS (
 @query(
     "dedup_exact",
     oracle=f"""
-SELECT md5({_NORM_SQL}) AS content_hash,
+SELECT md5({NORM_SQL}) AS content_hash,
        count(*) AS cluster_size,
        min(doc_id) AS keeper_doc_id
 FROM documents
@@ -100,7 +100,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT cluster_size, count(*) AS n_clusters
 FROM (
     SELECT count(*) AS cluster_size
-    FROM documents GROUP BY md5({_NORM_SQL})
+    FROM documents GROUP BY md5({NORM_SQL})
 )
 GROUP BY cluster_size
 """,
@@ -304,8 +304,8 @@ def dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ranked AS (
     SELECT doc_id, n_chars, lang,
-           md5({_NORM_SQL}) AS content_hash,
-           row_number() OVER (PARTITION BY md5({_NORM_SQL})
+           md5({NORM_SQL}) AS content_hash,
+           row_number() OVER (PARTITION BY md5({NORM_SQL})
                               ORDER BY n_chars DESC, doc_id) AS rk
     FROM documents
 )
