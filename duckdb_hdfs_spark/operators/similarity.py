@@ -186,23 +186,19 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     return _topk_merge(candidates.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
-def ivf_ann(
-    probes: DataFrame,
-    corpus: DataFrame,
-    n_cells: int = 16,
-    nprobe: int = 2,
-    k: int = 5,
-) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic pseudorandom corpus
-    sample, cell = argmin centroid distance (via max cosine), probes
-    search their ``nprobe`` nearest cells.
+def centroid_codebook(corpus: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic md5-sampled centroid codebook folded into ONE
+    broadcastable array row ``cents: array<struct<cent_id, cent,
+    cent_n>>`` — the shared build for every broadcast-codebook argmax
+    (IVF assignment, k-means update, cluster purity, cell stats;
+    round-7 review: previously four copies).
 
-    Centroid selection is ``orderBy(md5(vec_id)).limit(n_cells)``:
-    Catalyst plans it as TakeOrderedAndProject — every task keeps a
-    bounded n_cells heap and only partitions x n_cells rows merge —
-    unlike a partition-less ``Window.orderBy`` which sorts the entire
-    corpus through ONE task.  md5 order makes the sample deterministic
-    yet spread independently of vec_id locality."""
+    Selection is ``orderBy(md5(cent_id)).limit(n_cells)``: Catalyst
+    plans it as TakeOrderedAndProject — every task keeps a bounded
+    n_cells heap and only partitions × n_cells rows merge — unlike a
+    partition-less ``Window.orderBy`` which sorts the entire corpus
+    through ONE task.  md5 order makes the sample deterministic yet
+    spread independently of vec_id locality."""
     cents = (
         corpus.select(
             F.col("vec_id").alias("cent_id"),
@@ -212,52 +208,73 @@ def ivf_ann(
         .orderBy(F.md5(F.col("cent_id").cast("string")))
         .limit(n_cells)
     )
-    # Fold the n_cells centroids into ONE array row and broadcast it,
-    # so cell assignment is a pure map-side expression: score all
-    # centroids per vector inside `transform`, then `sort_array` +
-    # `slice` picks the nearest `top`.  The previous formulation
-    # (broadcast join then row_number over Window.partitionBy(vec))
-    # moved N x n_cells scored rows through an Exchange just to take
-    # each vector's argmax — a 16x data-movement tax on the corpus at
-    # scale.  Tiebreak (cos desc, cent_id asc) is preserved exactly:
-    # structs sort lexicographically on (neg_cos, cent_id).
-    cent_arr = cents.agg(
+    return cents.agg(
         F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
     )
 
-    def assign(df: DataFrame, emb_col: str, n_col: str, top: int) -> DataFrame:
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (
-                    -(dot(F.col(emb_col), c["cent"]) / (F.col(n_col) * c["cent_n"]))
-                ).alias("neg_cos"),
-                c["cent_id"].alias("cent_id"),
-            ),
-        )
-        return (
-            df.join(F.broadcast(cent_arr))
-            .withColumn("_near", F.explode(F.slice(F.sort_array(scored), 1, top)))
-            .withColumn("cent_id", F.col("_near.cent_id"))
-            .drop("cents", "_near")
-        )
 
+def assign_nearest(
+    df: DataFrame, cent_arr: DataFrame, emb_col: str, n_col: str, top: int
+) -> DataFrame:
+    """Append ``cent_id`` = each row's ``top`` nearest-by-cosine
+    codebook entries (one output row per (input row, near centroid)).
+
+    Pure map-side: the 1-row codebook broadcasts (keyless join →
+    BroadcastNestedLoopJoin), every vector scores all centroids
+    inside a ``transform`` and ``sort_array`` + ``slice`` keeps the
+    argmax — NO corpus-keyed Exchange.  The join-then-window
+    formulation this replaced moved N × n_cells scored rows through
+    an Exchange just to take each vector's argmax — a 16× data-
+    movement tax on the corpus at scale.  Tiebreak (cos desc,
+    cent_id asc) exactly: structs sort lexicographically on
+    (neg_cos, cent_id)."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(dot(F.col(emb_col), c["cent"]) / (F.col(n_col) * c["cent_n"]))
+            ).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return (
+        df.join(F.broadcast(cent_arr))
+        .withColumn("_near", F.explode(F.slice(F.sort_array(scored), 1, top)))
+        .withColumn("cent_id", F.col("_near.cent_id"))
+        .drop("cents", "_near")
+    )
+
+
+def ivf_ann(
+    probes: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic pseudorandom corpus
+    sample (:func:`centroid_codebook` — TakeOrdered md5 sample), cell
+    = argmax-cosine map-side assignment (:func:`assign_nearest`),
+    probes search their ``nprobe`` nearest cells."""
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
-    corpus_cells = assign(
+    cent_arr = centroid_codebook(corpus, n_cells)
+    corpus_cells = assign_nearest(
         rebalance_cpu_heavy(
             corpus.select("vec_id", F.col("embedding").alias("ce"))
         ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
+        cent_arr,
         "ce",
         "cn",
         1,
     )
-    probe_cells = assign(
+    probe_cells = assign_nearest(
         probes.select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
             norm(F.col("embedding")).alias("pn"),
         ),
+        cent_arr,
         "pe",
         "pn",
         nprobe,

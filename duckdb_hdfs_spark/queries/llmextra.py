@@ -322,38 +322,27 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed per-dimension mean update (first 8 dims emitted in
     long form to keep the audit result compact).
 
-    Scale: centroids broadcast (k rows); assignment is map-side
-    scoring + a partially-aggregated argmax groupBy — the shuffle
-    carries ONE row per vector (max-struct combiner), not k; the mean
-    update shuffles (k x dims) partial sums.  No partition-less
-    window, no corpus self-join; iterating = re-running with the
-    output means as the next seed."""
+    Scale: the broadcast-codebook argmax (operators/similarity.py
+    ``assign_nearest``) scores all k centroids per vector inside a
+    map-side transform — NO corpus-keyed Exchange for the assignment
+    (the previous join + max-struct groupBy shuffled one row per
+    vector just to take the argmax); the mean update shuffles
+    (k × dims) partial sums.  No partition-less window, no corpus
+    self-join; iterating = re-running with the output means as the
+    next seed."""
+    from duckdb_hdfs_spark.functions.vectors import norm
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(8)
+    v = rebalance_cpu_heavy(emb.select("vec_id", "embedding")).withColumn(
+        "_n", norm(F.col("embedding"))
     )
-    v = rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
-    scored = v.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cent")).alias("cc"),
-    )
-    # argmax via max-struct: (cc DESC, cent_id ASC) == max (cc, -cent_id);
-    # partial-aggregates map-side so the shuffle is one row per vector
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("cc").alias("cc"), (-F.col("cent_id")).alias("neg"))
-            ).alias("best"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", (-F.col("best.neg")).alias("cent_id"), "embedding")
+    assigned = assign_nearest(
+        v, centroid_codebook(emb, 8), "embedding", "_n", top=1
     )
     sliced = assigned.select(
         "cent_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
@@ -1151,20 +1140,51 @@ def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-def _cohesion_oracle() -> str:
-    sq = (
-        "(CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
-        " * (CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
-    )
-    return f"""
-WITH dims AS (
+# shared decimal-exact per-label centroid build — the Spark function
+# and oracle CTE pair used by BOTH halves of the cluster audit
+# (cohesion + separation), extracted so the two always agree on what
+# "the centroid" is (round-7 review: previously two verbatim copies
+# of each side).  DECIMAL accumulation makes the per-dimension mean
+# order-independent, so centroids are bit-identical across engines.
+_CENTROID_CTES = """dims AS (
     SELECT label, gs.i AS i,
            CAST(sum(CAST(CAST(embedding[gs.i] AS DOUBLE) AS DECIMAL(20,10)))
                 AS DOUBLE) / count(*) AS c
     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) gs
     GROUP BY label, gs.i
 ),
-cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label),
+cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)"""
+
+
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """(label, cent: array<double>) — per-label per-dimension decimal
+    mean via one posexplode shuffle; output is (labels × 64) cells,
+    corpus-size-independent, safe to broadcast."""
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    return dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+
+
+def _cohesion_oracle() -> str:
+    sq = (
+        "(CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - cent.cent[i])"
+    )
+    return f"""
+WITH {_CENTROID_CTES},
 d AS (
     SELECT e.label,
            round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1198,22 +1218,7 @@ def emb_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS back onto the corpus for a map-side distance fold;
     the final per-label rollup is a second bounded aggregate."""
     e = _t(spark, sf_dir, "embeddings")
-    dims = (
-        e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-    )
-    cent = dims.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-        ).alias("cent")
-    )
+    cent = _label_centroids(e)
     diff2 = F.zip_with(
         F.col("embedding"),
         F.col("cent"),
@@ -1244,14 +1249,7 @@ def _separation_oracle() -> str:
     from duckdb_hdfs_spark.functions.vectors import cosine_sql
 
     return f"""
-WITH dims AS (
-    SELECT label, gs.i AS i,
-           CAST(sum(CAST(CAST(embedding[gs.i] AS DOUBLE) AS DECIMAL(20,10)))
-                AS DOUBLE) / count(*) AS c
-    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) gs
-    GROUP BY label, gs.i
-),
-cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)
+WITH {_CENTROID_CTES}
 SELECT a.label AS label_a, b.label AS label_b,
        round({cosine_sql('a.cent', 'b.cent')}, 6) AS centroid_cos
 FROM cent a JOIN cent b ON a.label < b.label
@@ -1273,22 +1271,7 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.functions.vectors import cosine
 
     e = _t(spark, sf_dir, "embeddings")
-    dims = (
-        e.select("label", F.posexplode(F.col("embedding")).alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-    )
-    cent = dims.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-        ).alias("cent")
-    )
+    cent = _label_centroids(e)
     a = cent.select(F.col("label").alias("label_a"), F.col("cent").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), F.col("cent").alias("cb"))
     return a.join(
@@ -1394,40 +1377,20 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the map-side broadcast-codebook argmax (no
     corpus-keyed Exchange), then cell-grain vote and size aggregates
     with a cell-partitioned argmax window — 8-row output."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import norm
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent"),
-            norm(F.col("embedding")).alias("cent_n"),
-        )
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(8)
-    )
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
-    )
     corpus = rebalance_cpu_heavy(
         emb.select("vec_id", "label", F.col("embedding").alias("ce"))
     ).select("vec_id", "label", "ce", norm(F.col("ce")).alias("cn"))
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (
-                -(dot(F.col("ce"), c["cent"]) / (F.col("cn") * c["cent_n"]))
-            ).alias("neg_cos"),
-            c["cent_id"].alias("cent_id"),
-        ),
-    )
     assign = (
-        corpus.join(F.broadcast(cent_arr))
-        .withColumn(
-            "cent_id", F.element_at(F.sort_array(scored), 1)["cent_id"]
-        )
+        assign_nearest(corpus, centroid_codebook(emb, 8), "ce", "cn", top=1)
         .select("vec_id", "label", "cent_id")
         # three-column assignment materialized once: the vote branch
         # and the size branch would otherwise each re-run the scoring

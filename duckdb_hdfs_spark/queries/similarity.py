@@ -1160,40 +1160,19 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector scores all centroids inside a transform() and keeps its
     argmax WITHOUT any corpus-keyed Exchange — then one 16-group
     partial-aggregated count."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import norm
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent"),
-            norm(F.col("embedding")).alias("cent_n"),
-        )
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(16)
-    )
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("cent_id", "cent", "cent_n")).alias("cents")
-    )
     corpus = rebalance_cpu_heavy(
         emb.select("vec_id", F.col("embedding").alias("ce"))
     ).select("vec_id", "ce", norm(F.col("ce")).alias("cn"))
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (
-                -(dot(F.col("ce"), c["cent"]) / (F.col("cn") * c["cent_n"]))
-            ).alias("neg_cos"),
-            c["cent_id"].alias("cent_id"),
-        ),
-    )
-    assigned = (
-        corpus.join(F.broadcast(cent_arr))
-        .withColumn(
-            "cent_id",
-            F.element_at(F.sort_array(scored), 1)["cent_id"],
-        )
+    assigned = assign_nearest(
+        corpus, centroid_codebook(emb, 16), "ce", "cn", top=1
     )
     return assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_vectors")

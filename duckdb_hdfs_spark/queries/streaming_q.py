@@ -23,6 +23,28 @@ from duckdb_hdfs_spark.sources.catalog import load_table
 _run_counter = itertools.count()
 
 
+def _write_ordered_batches(batches, src: str) -> str:
+    """Append-write each batch DataFrame as one parquet file under
+    ``src`` (cleared first) with file mtimes pinned to strictly
+    increasing minutes, so the file source's oldest-first ordering
+    replays EXACTLY this arrival order — the fixture contract every
+    forced-arrival-order streaming query relies on.  One definition
+    (round-7 review: previously four copies of the glob/utime dance
+    drifted independently)."""
+    import glob as _glob
+
+    shutil.rmtree(src, ignore_errors=True)
+    t0 = 1_700_000_000
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
+        b.repartition(1).write.mode("append").parquet(src)
+        parts = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
+        for p in parts:
+            os.utime(p, (t0 + 60 * i, t0 + 60 * i))
+        seen |= parts
+    return src
+
+
 def _rewrite_events(
     spark: SparkSession, sf_dir: str, n_files: int, tag: str
 ) -> str:
@@ -317,34 +339,27 @@ def _rewrite_events_split_late(
     than the one a batch's progress row displays (probe-verified:
     with only two batches the operative late watermark in batch 1 is
     still the epoch, and nothing drops).  Returns ``src_dir``."""
-    import glob as _glob
-
     src = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_{tag}",
         os.path.basename(sf_dir),
     )
-    shutil.rmtree(src, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     row = ev.agg(
         F.expr(f"max(ts) - INTERVAL {late_days} DAY").alias("cutoff"),
         F.expr("max(ts) - INTERVAL 2 DAY").alias("mid"),
     ).collect()[0]
     cutoff, mid = row["cutoff"], row["mid"]
-    batches = (
-        ev.filter((F.col("ts") >= F.lit(cutoff)) & (F.col("ts") < F.lit(mid))),
-        ev.filter(F.col("ts") >= F.lit(mid)),
-        ev.filter(F.col("ts") < F.lit(cutoff)),
+    return _write_ordered_batches(
+        (
+            ev.filter(
+                (F.col("ts") >= F.lit(cutoff)) & (F.col("ts") < F.lit(mid))
+            ),
+            ev.filter(F.col("ts") >= F.lit(mid)),
+            ev.filter(F.col("ts") < F.lit(cutoff)),
+        ),
+        src,
     )
-    t0 = 1_700_000_000
-    seen: set[str] = set()
-    for i, b in enumerate(batches):
-        b.repartition(1).write.mode("append").parquet(src)
-        parts = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
-        for p in parts:
-            os.utime(p, (t0 + 60 * i, t0 + 60 * i))
-        seen |= parts
-    return src
 
 
 @query(
@@ -498,8 +513,6 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern object stores need for atomicity.  (A production sink
     compacts state periodically — fs_compact_small_files — and lets
     the checkpoint give exactly-once batch ids for idempotence.)"""
-    import glob as _glob
-
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -525,7 +538,6 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_stream_cdc_{run_id}",
         os.path.basename(sf_dir),
     )
-    shutil.rmtree(src, ignore_errors=True)
     ods = load_table(spark, sf_dir, "orders")
     batches = (
         ods.select(
@@ -550,14 +562,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("pri"),
         ),
     )
-    t0 = 1_700_000_000
-    seen: set[str] = set()
-    for i, b in enumerate(batches):
-        b.repartition(1).write.mode("append").parquet(src)
-        parts = set(_glob.glob(os.path.join(src, "*.parquet"))) - seen
-        for p in parts:
-            os.utime(p, (t0 + 60 * i, t0 + 60 * i))
-        seen |= parts
+    _write_ordered_batches(batches, src)
 
     state_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_cdc_state_{run_id}"
@@ -798,8 +803,6 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both streams shuffle on user_id once; view state is
     bounded by horizon+delay of event-time, independent of history."""
-    import glob as _glob
-
     run_id = next(_run_counter)
     base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"louter_{run_id}")
     ev_static = spark.read.parquet(base)
@@ -812,20 +815,15 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
     ).first()
     mx = min(mxv, mxp)
-    src = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_louter_split_{run_id}"
+    src = _write_ordered_batches(
+        (
+            ev_static.filter(F.col("ts") <= F.lit(mid)),
+            ev_static.filter(F.col("ts") > F.lit(mid)),
+        ),
+        os.path.join(
+            tempfile.gettempdir(), f"spark_graft_stream_louter_split_{run_id}"
+        ),
     )
-    shutil.rmtree(src, ignore_errors=True)
-    ev_static.filter(F.col("ts") <= F.lit(mid)).repartition(1).write.mode(
-        "append"
-    ).parquet(src)
-    first = set(_glob.glob(os.path.join(src, "*.parquet")))
-    ev_static.filter(F.col("ts") > F.lit(mid)).repartition(1).write.mode(
-        "append"
-    ).parquet(src)
-    t0 = 1_700_000_000
-    for p in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
-        os.utime(p, (t0, t0) if p in first else (t0 + 60, t0 + 60))
 
     from duckdb_hdfs_spark.streaming.pipelines import (
         read_event_stream,
@@ -884,26 +882,16 @@ def _rewrite_events_time_ordered(
     """Two-file events rewrite SPLIT BY EVENT TIME with arrival order
     matching (mtimes ordered) — for tight-watermark pipelines where
     out-of-order arrival would drop rows."""
-    import glob as _glob
-
     base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"{tag}_base")
     ev_static = spark.read.parquet(base)
     (mid,) = ev_static.agg(F.percentile_approx("ts", 0.5)).first()
-    src = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_{tag}_split"
+    return _write_ordered_batches(
+        (
+            ev_static.filter(F.col("ts") <= F.lit(mid)),
+            ev_static.filter(F.col("ts") > F.lit(mid)),
+        ),
+        os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}_split"),
     )
-    shutil.rmtree(src, ignore_errors=True)
-    ev_static.filter(F.col("ts") <= F.lit(mid)).repartition(1).write.mode(
-        "append"
-    ).parquet(src)
-    first = set(_glob.glob(os.path.join(src, "*.parquet")))
-    ev_static.filter(F.col("ts") > F.lit(mid)).repartition(1).write.mode(
-        "append"
-    ).parquet(src)
-    t0 = 1_700_000_000
-    for p in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
-        os.utime(p, (t0, t0) if p in first else (t0 + 60, t0 + 60))
-    return src
 
 
 @query(
