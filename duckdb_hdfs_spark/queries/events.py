@@ -14,6 +14,115 @@ from duckdb_hdfs_spark.queries._helpers import _dsum, _t
 
 SESSION_GAP_MIN = 30
 
+#: THE gap-sessionization contract, oracle side: lag → new-session
+#: flag → running sum, yielding one ``session_no`` per (user, 30-min
+#: inactivity island).  Shared by every query whose oracle defines
+#: "session" (ev_sessionize, ev_session_paths, and the streaming
+#: sessionizers' batch twins) so they can never drift apart
+#: (round-7 review: three verbatim copies).  Carries event_type /
+#: event_id through; consumers that don't need them let the engine
+#: prune.
+SESS_CTES = f"""flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_type, ts, event_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
+    FROM flagged
+)"""
+
+
+def sessionized(ev: DataFrame) -> DataFrame:
+    """Spark side of :data:`SESS_CTES`: append ``session_no`` via
+    lag → flag → cumulative sum — ONE shuffle on user_id, partitioned
+    windows only, linear at any scale.  The streaming twin uses
+    ``F.session_window`` with a watermark (see streaming/)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.withColumn(
+        "session_no", F.sum("new_sess").over(cum)
+    ).drop("new_sess")
+
+
+#: per-user event-type entropy contract, oracle side: H = ln n −
+#: (Σ c·ln c)/n with per-type ln(c) rounded to 6 decimals and the
+#: weighted sum in DECIMAL (the repo's log-sum discipline — exact,
+#: order-independent).  Shared by ev_user_entropy and
+#: ev_bot_score_panel (round-7 review: two verbatim copies).
+ENTROPY_CTES = """tc AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+ent AS (
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - CAST(sum(
+                       CAST(c AS DECIMAL(20, 8))
+                       * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+                              AS DECIMAL(20, 8))
+                   ) AS DOUBLE) / sum(c), 4) AS entropy
+    FROM tc GROUP BY user_id
+)"""
+
+#: per-user inter-event gap contract, oracle side (NULL first-row
+#: gaps retained — consumers filter).  Shared by ev_inter_event_times
+#: and ev_bot_score_panel's cadence signal.
+GAPS_CTE = """gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+               AS gap_us
+    FROM events
+)"""
+
+
+def user_type_entropy(ev: DataFrame) -> DataFrame:
+    """Spark side of :data:`ENTROPY_CTES`: (user_id, n_events,
+    n_types, entropy) via two chained partial-aggregated group-bys on
+    the same user-keyed shuffle."""
+    tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    clogc = F.col("c").cast("decimal(20,8)") * F.round(
+        F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(20,8)")
+    return tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(clogc).cast("double") / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+def user_gaps(ev: DataFrame) -> DataFrame:
+    """Spark side of :data:`GAPS_CTE` with the NULL first-row gap
+    already filtered: (user_id, gap_us) — one user-keyed lag window
+    whose partitioning the downstream per-user aggregate reuses."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+
 
 # --------------------------------------------------------------------------
 @query(
@@ -52,21 +161,7 @@ def ev_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_sessionize",
     oracle=f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                     > {SESSION_GAP_MIN} * 60 * 1000000
-                  OR lag(ts) OVER w IS NULL
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-    SELECT user_id, ts,
-           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
-    FROM flagged
-)
+WITH {SESS_CTES}
 SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
@@ -75,23 +170,10 @@ GROUP BY user_id, session_no
 """,
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag → new-session
-    flag → running sum = session number — one shuffle on user_id,
-    linear at any scale.  The streaming twin uses
-    ``F.session_window`` with a watermark (see streaming/)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
-        ).otherwise(0),
-    )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sess = flagged.withColumn("session_no", F.sum("new_sess").over(cum))
+    """Gap-based sessionization (30-min inactivity) rolled up per
+    session — :func:`sessionized` / :data:`SESS_CTES` is the shared
+    lag → flag → running-sum contract."""
+    sess = sessionized(_t(spark, sf_dir, "events"))
     return sess.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -518,14 +600,8 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "ev_inter_event_times",
-    oracle="""
-WITH gaps AS (
-    SELECT user_id,
-           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-                                                 ORDER BY ts, event_id))
-               AS gap_us
-    FROM events
-)
+    oracle=f"""
+WITH {GAPS_CTE}
 SELECT user_id, count(*) AS n_gaps,
        CAST(min(gap_us) AS BIGINT) AS min_gap_us,
        round(quantile_cont(gap_us, 0.50), 2) AS p50_gap_us,
@@ -544,17 +620,7 @@ def ev_inter_event_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group-by (same key → Spark reuses the partitioning); gaps are
     integer microseconds, and the exact interpolated percentile is
     the engine-portable stats_quantiles recipe."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-            ).alias("gap_us"),
-        )
-        .filter(F.col("gap_us").isNotNull())
-    )
+    gaps = user_gaps(_t(spark, sf_dir, "events"))
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.min("gap_us").alias("min_gap_us"),
@@ -958,21 +1024,7 @@ def ev_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_session_paths",
     oracle=f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id, event_type,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                     > {SESSION_GAP_MIN} * 60 * 1000000
-                  OR lag(ts) OVER w IS NULL
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-    SELECT user_id, event_type, ts, event_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-    FROM flagged
-),
+WITH {SESS_CTES},
 ranked AS (
     SELECT user_id, session_no, event_type,
            row_number() OVER (PARTITION BY user_id, session_no
@@ -1004,17 +1056,7 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs, not the whole session); the final top-20 is
     TakeOrderedAndProject (no global sort), tie-broken on the path
     string so the cut is deterministic on both engines."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
-        ).otherwise(0),
-    )
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    sess = flagged.withColumn("session_no", F.sum("new_sess").over(cum))
+    sess = sessionized(_t(spark, sf_dir, "events"))
     rn = F.row_number().over(
         Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
     )
@@ -1434,21 +1476,9 @@ def ev_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "ev_user_entropy",
-    oracle="""
-WITH tc AS (
-    SELECT user_id, event_type, count(*) AS c
-    FROM events GROUP BY 1, 2
-)
-SELECT user_id,
-       CAST(sum(c) AS BIGINT) AS n_events,
-       count(*) AS n_types,
-       round(ln(CAST(sum(c) AS DOUBLE))
-             - CAST(sum(
-                   CAST(c AS DECIMAL(20, 8))
-                   * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20, 8))
-               ) AS DOUBLE) / sum(c), 4) AS entropy
-FROM tc
-GROUP BY user_id
+    oracle=f"""
+WITH {ENTROPY_CTES}
+SELECT user_id, n_events, n_types, entropy FROM ent
 """,
 )
 def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,23 +1494,8 @@ def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline).
 
     Scale shape: two chained partial-aggregated group-bys on the same
-    user-keyed shuffle."""
-    ev = _t(spark, sf_dir, "events")
-    tc = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    term = F.col("c").cast("decimal(20,8)") * F.round(
-        F.log(F.col("c").cast("double")), 6
-    ).cast("decimal(20,8)")
-    return tc.groupBy("user_id").agg(
-        F.sum("c").alias("n_events"),
-        F.count(F.lit(1)).alias("n_types"),
-        F.round(
-            F.log(F.sum("c").cast("double"))
-            - F.sum(term).cast("double") / F.sum("c"),
-            4,
-        ).alias("entropy"),
-    )
+    user-keyed shuffle (:func:`user_type_entropy`)."""
+    return user_type_entropy(_t(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
@@ -1589,30 +1604,12 @@ def ev_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "ev_bot_score_panel",
-    oracle="""
-WITH tc AS (
-    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
-),
-ent AS (
-    SELECT user_id,
-           CAST(sum(c) AS BIGINT) AS n_events,
-           round(ln(CAST(sum(c) AS DOUBLE))
-                 - CAST(sum(
-                       CAST(c AS DECIMAL(20, 8))
-                       * CAST(round(ln(CAST(c AS DOUBLE)), 6)
-                              AS DECIMAL(20, 8))
-                   ) AS DOUBLE) / sum(c), 4) AS entropy
-    FROM tc GROUP BY user_id
-),
-gaps AS (
-    SELECT user_id,
-           epoch_us(ts) - lag(epoch_us(ts))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
-    FROM events
-),
+    oracle=f"""
+WITH {ENTROPY_CTES},
+{GAPS_CTE},
 cadence AS (
-    SELECT user_id, CAST(min(g) AS BIGINT) AS min_gap_us
-    FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    SELECT user_id, CAST(min(gap_us) AS BIGINT) AS min_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
 )
 SELECT ent.user_id, n_events, entropy,
        coalesce(min_gap_us, -1) AS min_gap_us,
@@ -1636,29 +1633,14 @@ def ev_bot_score_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both signals reuse ONE user-keyed shuffle family
     (type counts aggregate; lag window), joined at user grain; all
-    thresholds integer/rounded-double — engine-identical."""
+    thresholds integer/rounded-double — engine-identical.  Signals
+    come from the shared builders (:func:`user_type_entropy`,
+    :func:`user_gaps`) so the panel can never drift from the
+    individual feature queries it composes."""
     ev = _t(spark, sf_dir, "events")
-    tc = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    clogc = F.col("c").cast("decimal(20,8)") * F.round(
-        F.log(F.col("c").cast("double")), 6
-    ).cast("decimal(20,8)")
-    ent = tc.groupBy("user_id").agg(
-        F.sum("c").alias("n_events"),
-        F.round(
-            F.log(F.sum("c").cast("double"))
-            - F.sum(clogc).cast("double") / F.sum("c"),
-            4,
-        ).alias("entropy"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "user_id",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
-    ).filter(F.col("g").isNotNull())
-    cadence = gaps.groupBy("user_id").agg(
-        F.min("g").cast("bigint").alias("min_gap_us")
+    ent = user_type_entropy(ev).drop("n_types")
+    cadence = user_gaps(ev).groupBy("user_id").agg(
+        F.min("gap_us").cast("bigint").alias("min_gap_us")
     )
     j = ent.join(cadence, "user_id", "left").select(
         "user_id",

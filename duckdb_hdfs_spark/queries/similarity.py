@@ -364,6 +364,32 @@ SELECT 'pq' AS method, count(*) AS n_probes,
 """
 
 
+def _per_probe_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """(probe_id, r): each probe's recall of ``approx`` against the
+    exact ``truth`` top-k — the shared evaluation core of
+    sim_recall_eval and sim_ivf_probe_sweep (round-7 review: two
+    copies).  Both inputs are expected pre-checkpointed (probes × k
+    rows), so the joins here run over tiny materialized sets."""
+    hits = truth.join(
+        approx.select("probe_id", "vec_id"), ["probe_id", "vec_id"]
+    )
+    return (
+        truth.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(
+            hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "probe_id",
+            "left",
+        )
+        .select(
+            "probe_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias(
+                "r"
+            ),
+        )
+    )
+
+
 @query("sim_recall_eval", oracle=_recall_oracle())
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@5 of the LSH, IVF, and PQ/ADC
@@ -384,22 +410,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def method_recall(df: DataFrame, method: str) -> DataFrame:
-        hits = truth.join(df.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
-        per_probe = (
-            truth.groupBy("probe_id")
-            .count()
-            .withColumnRenamed("count", "n_truth")
-            .join(
-                hits.groupBy("probe_id").count().withColumnRenamed("count", "n_hit"),
-                "probe_id",
-                "left",
-            )
-            .select(
-                "probe_id",
-                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("r"),
-            )
-        )
-        return per_probe.agg(
+        return _per_probe_recall(truth, df).agg(
             F.lit(method).alias("method"),
             F.count(F.lit(1)).alias("n_probes"),
             F.round(F.avg("r"), 4).alias("recall_at_5"),
@@ -582,6 +593,28 @@ FROM b0 {joins}
 """
 
 
+def _pq_best_structs() -> list:
+    """The PQ encode core shared by emb_pq_codes and the ADC search's
+    codes build (round-7 review: two copies of the scorer/transform):
+    8 ``array_min(transform(cents, ...))`` struct columns (d,
+    cent_id), one per subspace — argmin squared-L2 with ties on
+    centroid id — evaluated against the row's ``embedding`` and the
+    broadcast ``cents`` codebook column, entirely map-side."""
+
+    def scorer(m: int):
+        # single-arg lambda: a two-arg lambda would be interpreted by
+        # F.transform as the (element, index) form
+        return lambda c: F.struct(
+            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
+            c["cent_id"].alias("cent_id"),
+        )
+
+    return [
+        F.array_min(F.transform(F.col("cents"), scorer(m)))
+        for m in range(PQ_M)
+    ]
+
+
 @query("emb_pq_codes", oracle=_pq_oracle())
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: encode each 64-dim embedding as 8
@@ -602,20 +635,8 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     cent_arr = _pq_cent_arr(e)
-
-    def scorer(m: int):
-        # single-arg lambda: a two-arg lambda would be interpreted by
-        # F.transform as the (element, index) form
-        return lambda c: F.struct(
-            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
-            c["cent_id"].alias("cent_id"),
-        )
-
     base = e.join(F.broadcast(cent_arr))
-    bests = [
-        F.array_min(F.transform(F.col("cents"), scorer(m)))
-        for m in range(PQ_M)
-    ]
+    bests = _pq_best_structs()
     # left-to-right d0..d7, matching the oracle's left-to-right sum:
     # float addition is order-dependent, and round(err, 6) can flip a
     # hash on boundary values if the association differs
@@ -651,21 +672,12 @@ def _adc_topk(e: DataFrame) -> DataFrame:
     # to one computation each, instead of re-deriving the codebook
     # sample scan per joined branch (measured 18 file scans without)
     cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
-
-    def scorer(m: int):
-        return lambda c: F.struct(
-            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
-            c["cent_id"].alias("cent_id"),
-        )
-
     enc = e.join(F.broadcast(cent_arr))
     codes = enc.select(
         "vec_id",
         *[
-            F.array_min(F.transform(F.col("cents"), scorer(m)))["cent_id"].alias(
-                f"code_{m}"
-            )
-            for m in range(PQ_M)
+            b["cent_id"].alias(f"code_{m}")
+            for m, b in enumerate(_pq_best_structs())
         ],
     )
     # probe-to-centroid distance tables: one row per (probe, centroid)
@@ -1048,25 +1060,8 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("probe_id", "vec_id")
             .localCheckpoint(eager=True)
         )
-        hits = truth.join(approx, ["probe_id", "vec_id"])
-        per_probe = (
-            truth.groupBy("probe_id")
-            .agg(F.count(F.lit(1)).alias("n_truth"))
-            .join(
-                hits.groupBy("probe_id").agg(
-                    F.count(F.lit(1)).alias("n_hit")
-                ),
-                "probe_id",
-                "left",
-            )
-            .select(
-                (
-                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")
-                ).alias("r")
-            )
-        )
         arms.append(
-            per_probe.agg(
+            _per_probe_recall(truth, approx).agg(
                 F.lit(p).cast("long").alias("nprobe"),
                 F.count(F.lit(1)).alias("n_probes"),
                 F.round(F.avg("r"), 4).alias("recall_at_5"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.events import SESSION_GAP_MIN
+from duckdb_hdfs_spark.queries.events import SESS_CTES
 from duckdb_hdfs_spark.sources.catalog import load_table
 
 _run_counter = itertools.count()
@@ -903,22 +903,7 @@ def _rewrite_events_time_ordered(
     # restricts to sessions provably closed by end-of-stream; they
     # must equal the batch gaps-and-islands sessions.
     oracle=f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                     > {SESSION_GAP_MIN} * 60 * 1000000
-                  OR lag(ts) OVER w IS NULL
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-    SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_no
-    FROM flagged
-),
+WITH {SESS_CTES},
 rolled AS (
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events

@@ -76,3 +76,31 @@ def test_asof_null_keys_follow_sql_semantics(spark):
     )
     got = {r.k: r.v for r in left_how.collect()}
     assert got == {1: "a", None: None}
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL timestamps never satisfy ts >= / <= comparisons (round-7
+    advisor): a NULL-right_ts row's payload must not be carried to
+    any left row, and a NULL-left_ts row must find no match in
+    EITHER direction — in particular under forward's desc sort,
+    where Spark's default NULLS LAST would have placed it after all
+    right rows and handed it a bogus payload."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, None)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "ghost")], "k int, rts int, v string"
+    )
+    back = asof_backward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload=["v"], how="left",
+    )
+    got = {r.ts: r.v for r in back.collect()}
+    assert got == {10: "a", None: None}
+    fwd = asof_forward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        payload=["v"], how="left",
+    )
+    got_f = {r.ts: r.v for r in fwd.collect()}
+    # ts=10 has no later right row (rts=5 < 10; NULL never matches)
+    assert got_f == {10: None, None: None}

@@ -267,6 +267,61 @@ def test_halo_range_frame_following_only(spark):
     assert got == want
 
 
+def test_halo_range_frame_large_magnitude_values(spark):
+    """Epoch-microsecond-scale values over a small bucket_width push
+    the replication-bound quotient to ~1.7e12 buckets, where double
+    rounding error (~|q|·2⁻⁵²) dwarfs the old absolute 1e-9 nudge —
+    a frame member could fail to replicate into a core row's bucket
+    and the aggregate went silently wrong (round-7 advisor, medium).
+    The relative epsilon must keep bit-identity to the naive window."""
+    base = 1_700_000_000_000_000  # ~2023 in epoch micros
+    rows = [
+        ("p" if i % 3 else "q", float(base + i * 250), i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "part string, value double, rid long")
+    naive_w = (
+        Window.partitionBy("part").orderBy("value").rangeBetween(-500, 500)
+    )
+    want = sorted(
+        map(tuple, df.select(
+            "rid",
+            F.count(F.lit(1)).over(naive_w).alias("n"),
+            F.round(F.sum("value").over(naive_w), 4).alias("s"),
+        ).collect())
+    )
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    got = sorted(
+        map(tuple, halo_range_frame(
+            df, ["part"], "value", -500, 500,
+            lambda w: [
+                F.count(F.lit(1)).over(w).alias("n"),
+                F.round(F.sum("value").over(w), 4).alias("s"),
+            ],
+            bucket_width=1000,
+        ).select("rid", "n", "s").collect())
+    )
+    assert got == want
+
+
+def test_halo_range_frame_rejects_nonpositive_width(spark):
+    """bucket_width <= 0 must raise ValueError at the call site, not
+    NaN/reversed sequences that silently drop rows downstream
+    (round-7 advisor)."""
+    import pytest
+
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    df = spark.createDataFrame([("p", 1.0, 0)], "part string, value double, rid long")
+    for bad in (0, -4.0):
+        with pytest.raises(ValueError, match="bucket_width"):
+            halo_range_frame(
+                df, ["part"], "value", -5, 5,
+                lambda w: [F.count(F.lit(1)).over(w).alias("n")],
+                bucket_width=bad,
+            )
+
+
 def test_grouped_cumsum_keeps_null_group_rows(spark):
     """A NULL group key is its own partition in window semantics;
     the operator's internal equi-joins must be null-safe or those
