@@ -192,3 +192,64 @@ def test_halo_range_frame_random_frames(spark, lo, hi, width, rows):
         )
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_assign_nearest_matches_reference(spark, vecs, n_cells):
+    """The shared broadcast-codebook argmax (round-8 extraction —
+    the assignment core of IVF / k-means / purity / cell stats) must
+    agree with a direct Python argmax on arbitrary vectors: for each
+    vector, the chosen centroid maximizes cosine with ties on the
+    smaller cent_id, using the SAME md5-ordered codebook sample."""
+    import hashlib as _hl
+    import math
+
+    from duckdb_hdfs_spark.functions.vectors import norm
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
+
+    # vectors must be non-degenerate for cosine
+    vecs = [v if any(x != 0 for x in v) else [1.0, 0.0, 0.0, 0.0] for v in vecs]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = assign_nearest(
+        df.withColumn("_n", norm(F.col("embedding"))),
+        centroid_codebook(df, n_cells),
+        "embedding",
+        "_n",
+        top=1,
+    )
+    got = {r.vec_id: r.cent_id for r in out.collect()}
+
+    # reference: same md5-order sample, float32-cast dot/cosine argmax
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    cast = {i: [f32(x) for x in v] for i, v in enumerate(vecs)}
+    order = sorted(cast, key=lambda i: _hl.md5(str(i).encode()).hexdigest())
+    cents = order[: n_cells]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for i, v in cast.items():
+        best = min(cents, key=lambda c: (-cos(v, cast[c]), c))
+        assert got[i] == best, (i, got[i], best)

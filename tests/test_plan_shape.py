@@ -357,11 +357,16 @@ def test_quality_filter_is_map_only(spark, sf_dir):
 
 def test_kmeans_centroids_broadcast(spark, sf_dir):
     """The k-means update must broadcast the k centroids against the
-    corpus (BroadcastNestedLoopJoin on the keyless score join) — never
-    a shuffle join of the corpus — and must not plan a sort-merge."""
+    corpus (BroadcastNestedLoopJoin on the keyless codebook join) —
+    never a shuffle join of the corpus — and must not plan a
+    sort-merge.  Since round 8 the assignment is the shared map-side
+    codebook argmax (operators/similarity.assign_nearest), so NO
+    vec_id-keyed exchange may appear either (the old join +
+    max-struct groupBy shuffled one row per vector)."""
     plan = plan_of(REGISTRY["emb_kmeans_update"].spark(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
 
 
 #: queries allowed a global (partition-less) Window, each justified.
