@@ -62,10 +62,13 @@ def halo_range_frame(
     window task no matter how many executors exist.  This operator
     splits each partition into value buckets of ``bucket_width`` and
     replicates every row into each bucket whose core rows' frames can
-    reach it — bucket range ``floor((v-hi)/W) .. floor((v-lo)/W)``,
-    at most 1 + ceil((hi-lo)/W) buckets, i.e. ≤2 for W > hi-lo —
-    then evaluates the SAME range window per (partition, bucket) and
-    keeps only each row's home-bucket result.  Every frame member of
+    reach it — member range ``floor((v-hi)/W) .. floor((v-lo)/W)``
+    (at most 1 + ceil((hi-lo)/W) buckets, i.e. ≤2 for W > hi-lo)
+    plus its own home bucket — then evaluates the SAME range window
+    per (partition, bucket) and keeps only each row's home-bucket
+    result.  Replication depends only on the frame SPAN, not the
+    frame OFFSET, so far-offset frames (lag-style comparisons ~1e15
+    away) cost the same ~2-3 replicas as local ones.  Every frame member of
     a core row is present in its bucket by construction, so results
     are bit-identical to the global-partition window; parallelism
     becomes (partition keys × occupied value buckets) and each task's
@@ -88,12 +91,14 @@ def halo_range_frame(
     SUPERSET — the nudge guarantees coverage when (v-hi)/W rounds
     across a bucket boundary, at the cost of one extra replica for
     values within an epsilon of an edge.  Double rounding error is
-    RELATIVE, so the nudge scales with the quotient's magnitude
-    (max(1e-9, |q|·1e-12) — ~4000 ulps of headroom): an absolute
-    1e-9 would be swallowed above ~4e6 buckets (e.g. epoch
-    microseconds over a small ``bucket_width``) and a frame member
-    could fail to replicate into a core row's bucket (round-7
-    advisor finding)."""
+    RELATIVE TO THE OPERANDS, not the result: ``v - hi`` carries
+    absolute error ~ulp(max(|v|, |hi|)) even when the difference is
+    tiny (cancellation), so the nudge scales with the OPERAND
+    magnitude in bucket units — max(1e-9, (|v|+|lo|+|hi|)/W · 1e-12),
+    ~4000 ulps of headroom.  An absolute 1e-9 was swallowed above
+    ~4e6 buckets (epoch microseconds over a small ``bucket_width``;
+    round-7 advisor finding), and a quotient-scaled nudge would
+    still under-cover when |v-hi| ≪ |v| (round-8 review)."""
     if not bucket_width > 0:
         raise ValueError(
             f"bucket_width must be > 0, got {bucket_width!r}: zero or "
@@ -104,21 +109,33 @@ def halo_range_frame(
     w_lit = float(bucket_width)
     home = F.floor(v / F.lit(w_lit)).cast("long")
 
-    def _nudge(q):  # relative epsilon in bucket-index units
-        return F.greatest(F.lit(1e-9), F.abs(q) * F.lit(1e-12))
+    # operand-magnitude scale in bucket-index units: dominates both
+    # |q_lo| and |q_hi|, and covers the cancellation error of v - hi
+    scale = (F.abs(v) + F.lit(abs(float(lo)) + abs(float(hi)))) / F.lit(w_lit)
+    nudge = F.greatest(F.lit(1e-9), scale * F.lit(1e-12))
 
     q_lo = (v - F.lit(float(hi))) / F.lit(w_lit)
     q_hi = (v - F.lit(float(lo))) / F.lit(w_lit)
-    # the sequence bounds must CONTAIN the home bucket: for a frame
-    # that does not straddle zero (lo > 0 or hi < 0) the member range
-    # excludes the row's own bucket, and without the least/greatest
-    # clamp the row would never be core and would silently vanish
-    # (round-7 review finding)
-    lo_b = F.least(F.floor(q_lo - _nudge(q_lo)).cast("long"), home)
-    hi_b = F.greatest(F.floor(q_hi + _nudge(q_hi)).cast("long"), home)
+    lo_b = F.floor(q_lo - nudge).cast("long")
+    hi_b = F.floor(q_hi + nudge).cast("long")
+    # member buckets + the row's own home bucket.  Home must be an
+    # APPENDED element, never a least/greatest stretch of the
+    # sequence bounds: for a frame that does not straddle zero the
+    # member range excludes the row's own bucket (the row would
+    # never be core and silently vanish — round-7 review finding),
+    # and for a FAR-OFFSET frame (|lo|,|hi| ≫ W) stretching the
+    # contiguous sequence down/up to home materializes every bucket
+    # in between — offset/W array elements per row, an OOM/limit
+    # blowup at offset ~1e15 (round-8 review).  array_distinct
+    # collapses the duplicate when home already lies in the member
+    # range; the empty-sequence guard covers inverted frames
+    # (lo > hi ⇒ empty frame, matching the naive window's empties).
+    members = F.when(lo_b <= hi_b, F.sequence(lo_b, hi_b)).otherwise(
+        F.array().cast("array<long>")
+    )
     buckets = F.when(
         v.isNull(), F.array(F.lit(None).cast("long"))
-    ).otherwise(F.sequence(lo_b, hi_b))
+    ).otherwise(F.array_distinct(F.concat(members, F.array(home))))
     rep = df.select("*", F.explode(buckets).alias("_vbkt")).withColumn(
         "_is_core", F.col("_vbkt").eqNullSafe(home)
     )

@@ -28,7 +28,7 @@ from duckdb_hdfs_spark.functions.hashing import (
     word_shingles_sql,
 )
 from duckdb_hdfs_spark.functions.text import quality_score, quality_score_sql
-from duckdb_hdfs_spark.functions.vectors import cosine, cosine_sql
+from duckdb_hdfs_spark.functions.vectors import cosine_sql
 from duckdb_hdfs_spark.operators.similarity import brute_topk
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t

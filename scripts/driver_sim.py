@@ -11,10 +11,11 @@ key and a final tally.  Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from duckdb_hdfs_spark.oracle import compare, duckdb_connection
 from duckdb_hdfs_spark.queries import load_all
@@ -34,9 +35,9 @@ def main() -> int:
     con = duckdb_connection(args.sf)
     bad = []
     for i, name in enumerate(keys):
-        qd = reg[name]
         t0 = time.time()
         try:
+            qd = reg[name]  # inside try: a typo'd key is a FAIL, not an abort
             if qd.oracle is None:
                 n = qd.spark(spark, args.sf).count()
                 ok, msg = n > 0, f"rows-only n={n}"

@@ -304,6 +304,40 @@ def test_halo_range_frame_large_magnitude_values(spark):
     assert got == want
 
 
+def test_halo_range_frame_far_offset_frame_cancellation(spark):
+    """A frame whose offsets are comparable to the value magnitude
+    (two value clusters ~1.7e15 apart, frame reaching from one to the
+    other) makes ``v - hi`` catastrophically cancel: the quotient is
+    tiny but its absolute error is ~ulp(1.7e15)/W ≈ 6e-5 buckets —
+    far above both the old absolute 1e-9 nudge AND a quotient-scaled
+    one (round-8 review).  The operand-magnitude nudge must keep
+    bit-identity to the naive window."""
+    base = 1_700_000_000_000_000
+    low = [float(u) for u in range(0, 4000, 37)]
+    high = [float(base + i) for i in range(-2000, 2001, 31)]
+    rows = [("p", v, i) for i, v in enumerate(low + high)]
+    df = spark.createDataFrame(rows, "part string, value double, rid long")
+    lo, hi = base - 2000, base + 2000
+    naive_w = (
+        Window.partitionBy("part").orderBy("value").rangeBetween(lo, hi)
+    )
+    want = sorted(
+        map(tuple, df.select(
+            "rid", F.count(F.lit(1)).over(naive_w).alias("n")
+        ).collect())
+    )
+    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+
+    got = sorted(
+        map(tuple, halo_range_frame(
+            df, ["part"], "value", lo, hi,
+            lambda w: [F.count(F.lit(1)).over(w).alias("n")],
+            bucket_width=4000,
+        ).select("rid", "n").collect())
+    )
+    assert got == want
+
+
 def test_halo_range_frame_rejects_nonpositive_width(spark):
     """bucket_width <= 0 must raise ValueError at the call site, not
     NaN/reversed sequences that silently drop rows downstream
