@@ -1514,3 +1514,468 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "stats_chi2_independence",
+    oracle="""
+WITH obs AS (
+    SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+           count(*) AS observed
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+rt AS (SELECT segment, sum(observed) AS row_n FROM obs GROUP BY segment),
+ct AS (SELECT priority, sum(observed) AS col_n FROM obs GROUP BY priority),
+tot AS (SELECT sum(observed) AS n FROM obs),
+cell AS (
+    SELECT segment, priority, observed,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e
+    FROM obs JOIN rt USING (segment) JOIN ct USING (priority) CROSS JOIN tot
+),
+panel AS (
+    SELECT segment, priority, CAST(observed AS BIGINT) AS observed,
+           round(e, 6) AS expected,
+           round((observed - e) * (observed - e) / e, 6) AS contrib
+    FROM cell
+),
+total AS (
+    SELECT CAST(sum(CAST(contrib AS DECIMAL(24,6))) AS DOUBLE) AS chi2,
+           (count(DISTINCT segment) - 1) * (count(DISTINCT priority) - 1)
+               AS dof
+    FROM panel
+)
+SELECT segment, priority, observed, expected, contrib,
+       round(chi2, 6) AS chi2_total, CAST(dof AS BIGINT) AS dof
+FROM panel CROSS JOIN total
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (customer market segment x order priority) — the
+    categorical-association primitive beside the numeric comparison
+    (stats_welch_ttest) and trend (stats_linear_regression) tests:
+    per-cell observed vs expected-under-independence counts, each
+    cell's (O-E)^2/E contribution, and the table-level statistic with
+    its degrees of freedom (here 4x4=16; chi2 beyond ~26.3 rejects at
+    5%).  The per-cell panel is the diagnostic half: the largest
+    contributions point at WHICH segment/priority pairing drives any
+    dependence.
+
+    Determinism: E assembles in double with a fixed operation order
+    from exact integer marginals; contributions round to 6 decimals
+    then sum in DECIMAL (order-independent), so the statistic is
+    engine-identical — no transcendental appears (the p-value needs
+    the incomplete gamma; the fixed-dof critical-value comparison is
+    the portable form).
+
+    Scale shape: ONE fact-scan group-by to segment x priority grain
+    (25 cells; partial-aggregated shuffle on the customer join key
+    before it — AQE broadcasts the customer side while it fits),
+    then every marginal (5-row row/col totals, 1-row grand total,
+    1-row chi2) derives from the 25-row cell panel — broadcast
+    joins only, no second fact scan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    obs = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+        # 25-row panel feeds four aggregate branches: materialize once
+        # (DataFrame reuse is plan reuse — each branch would re-run
+        # the fact join otherwise)
+        .localCheckpoint(eager=True)
+    )
+    rt = obs.groupBy("segment").agg(F.sum("observed").alias("row_n"))
+    ct = obs.groupBy("priority").agg(F.sum("observed").alias("col_n"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    panel = (
+        obs.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "priority")
+        .join(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            F.col("observed").cast("bigint").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+            ).alias("contrib"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = panel.agg(
+        F.sum(F.col("contrib").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("chi2"),
+        (
+            (F.count_distinct(F.col("segment")) - 1)
+            * (F.count_distinct(F.col("priority")) - 1)
+        ).alias("dof"),
+    )
+    return panel.join(F.broadcast(total)).select(
+        "segment",
+        "priority",
+        "observed",
+        "expected",
+        "contrib",
+        F.round(F.col("chi2"), 6).alias("chi2_total"),
+        F.col("dof").cast("bigint").alias("dof"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "stats_mann_whitney",
+    oracle="""
+WITH q AS (
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS src,
+           CAST(l_quantity AS DOUBLE) AS x
+    FROM lineitem
+),
+pv AS (
+    SELECT x, sum(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS c_a,
+           count(*) AS c
+    FROM q GROUP BY x
+),
+cum AS (
+    SELECT x, c_a, c, sum(c) OVER (ORDER BY x) AS cumc FROM pv
+),
+s AS (
+    SELECT CAST(sum(CAST(c_a AS DECIMAL(38,0))
+                    * CAST(2 * cumc - c + 1 AS DECIMAL(38,0)))
+                AS DOUBLE) AS r2_a,
+           CAST(sum(c_a) AS DOUBLE) AS n_a,
+           CAST(sum(c - c_a) AS DOUBLE) AS n_b,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS DOUBLE)
+               AS tie3
+    FROM cum
+),
+u AS (
+    SELECT n_a, n_b, (r2_a - n_a * (n_a + 1)) / 2 AS u_a,
+           n_a * n_b - (r2_a - n_a * (n_a + 1)) / 2 AS u_b, tie3,
+           n_a + n_b AS n
+    FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(u_a, 1) AS u_a, round(u_b, 1) AS u_b,
+       round((u_a - n_a * n_b / 2)
+             / sqrt(n_a * n_b / 12
+                    * ((n + 1) - tie3 / (n * (n - 1)))), 6) AS z_stat,
+       abs((u_a - n_a * n_b / 2)
+           / sqrt(n_a * n_b / 12
+                  * ((n + 1) - tie3 / (n * (n - 1))))) > 1.96
+           AS significant_5pct
+FROM u
+""",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    tie-corrected normal approximation — the NONPARAMETRIC companion
+    to stats_welch_ttest (same even/odd null split of lineitem
+    quantities): rank-based, so heavy-tailed or ordinal metrics that
+    break the t-test's moment assumptions still test cleanly.  The
+    integer quantity domain (1..50) is maximally tied, exercising the
+    average-rank and tie-variance machinery for real.
+
+    Determinism: ranks never materialize per row — the value-grain
+    panel carries (value, cohort counts, cumulative count), and the
+    DOUBLED average rank 2*cum - c + 1 is an exact INTEGER, so the
+    rank-sum accumulates in DECIMAL(38,0) with zero float error in
+    any reducer order; U, the tie term sum(c^3 - c), and the z
+    assembly then run in double with one fixed association order and
+    a single IEEE sqrt — bit-identical cross-engine (the Welch
+    recipe).
+
+    Scale shape: one partial-aggregated shuffle to VALUE grain (the
+    panel is bounded by the value domain, 50 rows here — never the
+    row count for discrete metrics), then the global cumulative count
+    runs through operators/ranks.grouped_cumsum under a constant
+    group (range-bucketed two-phase cumsum — no partition-less
+    window even for continuous domains), and the test statistic is a
+    1-row fold of the panel."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("src"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    pv = (
+        q.groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("src") == "A", 1).otherwise(0)).alias("c_a"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("__g", F.lit(1))
+    )
+    cum = grouped_cumsum(pv, ["__g"], [("x", "asc")], val="c", out="cumc")
+    s = cum.agg(
+        F.sum(
+            F.col("c_a").cast("decimal(38,0)")
+            * (2 * F.col("cumc") - F.col("c") + 1).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("r2_a"),
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum(F.col("c") - F.col("c_a")).cast("double").alias("n_b"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        )
+        .cast("double")
+        .alias("tie3"),
+    )
+    n_a, n_b, tie3 = F.col("n_a"), F.col("n_b"), F.col("tie3")
+    u_a = (F.col("r2_a") - n_a * (n_a + 1)) / 2
+    n = n_a + n_b
+    # nullif guards: a single-value panel (tie3 == n^3 - n) zeroes the
+    # variance and ANSI Spark would throw where DuckDB yields NULL
+    z = (u_a - n_a * n_b / 2) / F.nullif(
+        F.sqrt(n_a * n_b / 12 * ((n + 1) - tie3 / (n * (n - 1)))),
+        F.lit(0.0),
+    )
+    return s.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(n_a * n_b - u_a, 1).alias("u_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "stats_ks_test",
+    oracle="""
+WITH q AS (
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS src,
+           CAST(l_extendedprice AS DOUBLE) AS x
+    FROM lineitem
+),
+pv AS (
+    SELECT x, sum(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS c_a,
+           count(*) AS c
+    FROM q GROUP BY x
+),
+cum AS (
+    SELECT x, sum(c_a) OVER (ORDER BY x) AS cum_a,
+           sum(c - c_a) OVER (ORDER BY x) AS cum_b
+    FROM pv
+),
+tot AS (
+    SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+           CAST(sum(c - c_a) AS BIGINT) AS n_b
+    FROM pv
+),
+d AS (
+    SELECT x, abs(cum_a * n_b - cum_b * n_a) AS d_num
+    FROM cum CROSS JOIN tot
+),
+mx AS (SELECT max(d_num) AS max_num FROM d)
+SELECT n_a, n_b,
+       round(CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+           AS d_stat,
+       round(min(x), 2) AS ks_at_value,
+       CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+           > 1.358 * sqrt((n_a + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * n_b))
+           AS significant_5pct
+FROM d CROSS JOIN mx CROSS JOIN tot
+WHERE d_num = max_num
+GROUP BY n_a, n_b, max_num
+""",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — the DISTRIBUTION-shape
+    member of the comparison family (Welch = means, Mann-Whitney =
+    stochastic order, KS = the whole CDF): D = sup|F_A - F_B| between
+    even- and odd-keyed cohorts' price distributions, with the value
+    where the gap peaks (ks_at_value localizes WHERE the
+    distributions diverge) and the 5% large-sample decision.
+
+    Determinism: the supremum never touches floats — the gap
+    numerator |cum_a*n_b - cum_b*n_a| is an exact INTEGER per value
+    (common denominator n_a*n_b), so max and the argmin-value
+    tie-break are exact on both engines; only the final D and the
+    1.358*sqrt critical value assemble in double (fixed order, one
+    IEEE sqrt — the Welch recipe).
+
+    Scale shape: one partial-aggregated shuffle to VALUE grain, the
+    two cumulative counts share ONE constant-group distributed
+    cumsum pass (multi-column grouped_cumsum — range-bucketed, no
+    partition-less window), and the sup is a 1-row fold with a
+    broadcast-back argmin join."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("src"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    pv = (
+        q.groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("src") == "A", 1).otherwise(0)).alias("c_a"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn("c_b", F.col("c") - F.col("c_a"))
+        .withColumn("__g", F.lit(1))
+    )
+    cum = grouped_cumsum(
+        pv,
+        ["__g"],
+        [("x", "asc")],
+        val=["c_a", "c_b"],
+        out=["cum_a", "cum_b"],
+    )
+    tot = pv.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.join(F.broadcast(tot))
+        .select(
+            "x",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("d_num"),
+        )
+        # the max fold and the argmin-value join both read the gap
+        # panel: materialize once
+        .localCheckpoint(eager=True)
+    )
+    mx = d.agg(F.max("d_num").alias("max_num"))
+    n_a_d = F.col("n_a").cast("double")
+    d_stat = F.col("max_num").cast("double") / (n_a_d * F.col("n_b"))
+    return (
+        d.join(F.broadcast(mx))
+        .filter(F.col("d_num") == F.col("max_num"))
+        .groupBy("n_a", "n_b", "max_num")
+        .agg(F.round(F.min("x"), 2).alias("ks_at_value"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(d_stat, 6).alias("d_stat"),
+            "ks_at_value",
+            (
+                d_stat
+                > 1.358
+                * F.sqrt((F.col("n_a") + F.col("n_b").cast("double")) / (n_a_d * F.col("n_b")))
+            ).alias("significant_5pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "orders_forecast_holt",
+    oracle="""
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1
+),
+arr AS (
+    SELECT array_agg(rev ORDER BY month) AS xs, count(*) AS n FROM m
+),
+st AS (
+    -- accumulator is a 2-element LIST [l, b], not a struct: DuckDB
+    -- 1.0 list_reduce evaluates struct-accumulator fields against
+    -- INCONSISTENT acc snapshots (probe: step-2 'b' reads a
+    -- different acc than step-2 'l'); list construction folds
+    -- consistently (probe-verified against the python reference)
+    SELECT n,
+           list_reduce(
+               list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                            list_transform(xs[2:],
+                                x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                            0.5 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2])
+                                   - acc[1]) + 0.5 * acc[2]]) AS s
+    FROM arr
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       round(s[1], 4) AS level,
+       round(s[2], 4) AS trend,
+       round(s[1] + s[2], 4) AS forecast_next
+FROM st
+""",
+)
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over
+    the monthly revenue series, one-step-ahead forecast — the trend
+    upgrade of ev_anomaly_ewma's flat EWMA baseline (EWMA lags a
+    trending series systematically; Holt's trend state removes that
+    lag) and the forecasting capstone of the orders panel family.
+    α = β = 1/2: exact binary weights, so every smoothing step is
+    plain IEEE add/multiply — no libm pow — and the left-to-right
+    fold evaluates bit-identically on both engines (the EWMA/fold
+    contract, sqlfuncs list_reduce parity class).
+
+    Recurrence (zero initial trend, documented): l₁ = x₁, b₁ = 0;
+    then lₜ = ½xₜ + ½(l+b), bₜ = ½(lₜ − l) + ½b.
+
+    Scale shape: the fact table collapses to the CALENDAR-bounded
+    month panel in one partial-aggregated scan (decimal-exact sums);
+    only the ~dozens-of-rows panel is collected into the sequential
+    fold — per-task state is bounded by the calendar, never the data
+    (the pack_context_windows/corpus_shard_planner bounded-collect
+    rule).  Sequential dependence is irreducible in exponential
+    smoothing; bounding WHAT is sequential is the design."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    arr = m.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("month", "rev"))),
+            lambda e: e["rev"],
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def step(acc, e):
+        new_l = 0.5 * e["l"] + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (0.5 * (new_l - acc["l"]) + 0.5 * acc["b"]).alias("b"),
+        )
+
+    xs = F.col("xs")
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    tail = F.transform(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+    )
+    st = arr.select(
+        "n", F.aggregate(tail, init, step).alias("s")
+    )
+    return st.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(F.col("s.l"), 4).alias("level"),
+        F.round(F.col("s.b"), 4).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.b"), 4).alias("forecast_next"),
+    )

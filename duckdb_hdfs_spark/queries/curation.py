@@ -1222,3 +1222,118 @@ def corpus_quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, {md5_int60_sql('t.tok')} % 128 AS bkt
+    FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents) t
+    WHERE t.tok <> ''
+),
+bstats AS (
+    SELECT bkt, count(*) AS raw_c,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+    FROM tok GROUP BY bkt
+),
+tot AS (
+    SELECT sum(raw_c) AS n_raw, sum(tgt_c) AS n_tgt FROM bstats
+),
+lr AS (
+    SELECT bkt,
+           CAST(round(
+               ln((CAST(tgt_c AS DOUBLE) + 1) / (CAST(n_tgt AS DOUBLE) + 128))
+               - ln((CAST(raw_c AS DOUBLE) + 1)
+                    / (CAST(n_raw AS DOUBLE) + 128)), 6)
+           AS DECIMAL(20,8)) AS w
+    FROM bstats CROSS JOIN tot
+),
+db AS (
+    SELECT doc_id, bkt, count(*) AS n_b FROM tok GROUP BY doc_id, bkt
+)
+SELECT doc_id,
+       CAST(sum(n_b) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(n_b AS DECIMAL(20,8)) * w) AS DOUBLE), 4)
+           AS dsir_logratio
+FROM db JOIN lr USING (bkt)
+GROUP BY doc_id
+""",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) —
+    data selection by importance resampling (round 8): each document
+    scores the log importance ratio of a TARGET domain (here the
+    English sub-corpus standing in for the high-quality target) over
+    the RAW corpus, under hashed-unigram bag-of-words LMs with
+    Laplace smoothing over 128 hash buckets.  High scores mark
+    documents the target distribution up-weights; downstream
+    selection samples proportionally (sample_quality_resample is the
+    md5-deterministic sampler these weights feed).
+
+    Determinism: the 128 per-bucket log-ratios round to 6 decimals
+    then enter DECIMAL products/sums (the unigram-logprob recipe), so
+    per-doc totals are order-independent and engine-exact; md5-hashed
+    bucketing is the engines' shared portable hash.
+
+    Scale shape: hashed features make the "vocabulary" CONSTANT-size
+    (128 buckets, not Heaps-law) — the bucket-LM build is one
+    partial-aggregated pass to bucket grain, totals are a broadcast
+    1-row fold, and the per-doc score joins the 128-row weight table
+    BROADCAST onto (doc, bucket) counts: no vocabulary-sized shuffle
+    anywhere, unlike the exact-unigram LM keys."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tokb = tok.select(
+        "doc_id", "lang", (md5_int60(F.col("tok")) % 128).alias("bkt")
+    )
+    bstats = (
+        tokb.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "tgt_c"
+            ),
+        )
+        # the totals fold and the weight table both read the bucket
+        # stats; 128 rows — materialize once
+        .localCheckpoint(eager=True)
+    )
+    tot = bstats.agg(
+        F.sum("raw_c").alias("n_raw"), F.sum("tgt_c").alias("n_tgt")
+    )
+    lr = bstats.join(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            F.log(
+                (F.col("tgt_c").cast("double") + 1)
+                / (F.col("n_tgt").cast("double") + 128)
+            )
+            - F.log(
+                (F.col("raw_c").cast("double") + 1)
+                / (F.col("n_raw").cast("double") + 128)
+            ),
+            6,
+        )
+        .cast("decimal(20,8)")
+        .alias("w"),
+    )
+    db = tokb.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        db.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n_b").cast("decimal(20,8)") * F.col("w")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("dsir_logratio"),
+        )
+    )

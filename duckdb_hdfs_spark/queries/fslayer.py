@@ -25,7 +25,15 @@ from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.sources.catalog import load_table, table_path
 from duckdb_hdfs_spark.sources.fs import HadoopFs
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "duckdb_hdfs_spark_scratch")
+# Per-process scratch root: the fs round-trip keys rmtree-then-write
+# fixed-named subdirs, so two sessions sharing one literal path race
+# (one deletes mid-scan of the other — seen as a flaky plan test when
+# pytest overlaps an oracle sweep).  PID-suffixing gives each process
+# its own namespace; within a process the fixed names keep re-runs
+# idempotent.
+_SCRATCH = os.path.join(
+    tempfile.gettempdir(), f"duckdb_hdfs_spark_scratch_{os.getpid()}"
+)
 
 
 # --------------------------------------------------------------------------

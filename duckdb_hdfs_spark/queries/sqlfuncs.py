@@ -1003,3 +1003,54 @@ def sql_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, "k1").alias("has_k1"),
         F.map_contains_key(m, "k9").alias("has_k9"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_qualify",
+    oracle="""
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       rank() OVER (PARTITION BY s_nationkey
+                    ORDER BY s_acctbal DESC, s_suppkey) AS rk,
+       round(s_acctbal - avg(s_acctbal) OVER (PARTITION BY s_nationkey), 2)
+           AS above_nation_avg
+FROM supplier
+QUALIFY rk <= 3
+""",
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause parity (round 8): filtering on a window
+    function without a subquery — DuckDB/Snowflake/BigQuery QUALIFY
+    (here: each nation's top-3 suppliers by balance, annotated with
+    their distance above the nation mean).  Spark SQL has no QUALIFY
+    keyword; the portable lowering is compute-the-windows-then-filter
+    — which is exactly the plan QUALIFY compiles to in engines that
+    have it, so nothing is lost: one shuffle on the partition key
+    computes both windows in a single Window node, the rank filter
+    applies after.
+
+    Scale shape: both window functions share one nation-keyed sort
+    (Catalyst collapses same-spec windows into one Window operator);
+    the rank()<=3 predicate keeps per-key state bounded.  No global
+    window, no join — partition keys spread nations across the
+    cluster."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    wo = w.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.withColumn("rk", F.rank().over(wo))
+        .withColumn(
+            "above_nation_avg",
+            F.round(F.col("s_acctbal") - F.avg("s_acctbal").over(w), 2),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "above_nation_avg",
+        )
+    )

@@ -1,0 +1,186 @@
+"""Analytic semantics for the round-8 statistics / selection keys.
+
+The DuckDB oracle proves ENGINE PARITY (both engines compute the same
+expression); these tests prove the expression computes the intended
+STATISTIC — U against pandas average ranks, chi-square against the
+textbook crosstab formula, SemDeDup against a NumPy re-derivation of
+the assignment + prune, QUALIFY against the per-group definition,
+DSIR against its design intent (target-domain docs score higher).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from duckdb_hdfs_spark.queries import load_all
+
+REG = load_all()
+
+
+def test_mann_whitney_matches_pandas_average_ranks(spark, sf_dir):
+    """U from the value-grain doubled-rank panel == U from explicit
+    per-row average ranks (pandas rank(method='average')) — the
+    identity the distributed formulation must preserve."""
+    out = REG["stats_mann_whitney"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    x = li["l_quantity"].astype(float)
+    is_a = (li["l_orderkey"] % 2 == 0).to_numpy()
+    ranks = x.rank(method="average").to_numpy()
+    n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+    u_a = float(ranks[is_a].sum()) - n_a * (n_a + 1) / 2
+    row = out.iloc[0]
+    assert int(row["n_a"]) == n_a and int(row["n_b"]) == n_b
+    assert abs(float(row["u_a"]) - u_a) < 0.5
+    assert abs(float(row["u_a"]) + float(row["u_b"]) - n_a * n_b) < 0.5
+    # tie-corrected z against the explicit formula
+    _, counts = np.unique(x.to_numpy(), return_counts=True)
+    tie3 = float((counts.astype(float) ** 3 - counts).sum())
+    n = n_a + n_b
+    var_u = n_a * n_b / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / np.sqrt(var_u)
+    assert abs(float(row["z_stat"]) - z) < 1e-4
+
+
+def test_chi2_matches_crosstab_formula(spark, sf_dir):
+    """chi2_total == sum over the pandas crosstab of (O-E)^2/E, and
+    the per-cell panel is complete and internally consistent."""
+    out = REG["stats_chi2_independence"].spark(spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    ct = pd.crosstab(j["c_mktsegment"], j["o_orderpriority"])
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / ct.to_numpy().sum()
+    chi2 = float(((ct.to_numpy() - e) ** 2 / e).sum())
+    assert len(out) == ct.shape[0] * ct.shape[1]
+    assert out["chi2_total"].nunique() == 1
+    assert abs(float(out["chi2_total"].iloc[0]) - chi2) < 1e-3
+    assert int(out["dof"].iloc[0]) == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert int(out["observed"].sum()) == len(j)
+    # per-cell observed matches the crosstab
+    got = out.set_index(["segment", "priority"])["observed"].to_dict()
+    for seg in ct.index:
+        for pri in ct.columns:
+            assert got[(seg, pri)] == ct.loc[seg, pri]
+
+
+def _np_semdedup(emb_df: pd.DataFrame, n_cells: int = 8, tau: float = 0.3):
+    """NumPy re-derivation: md5-sampled codebook, argmax-cosine cell
+    assignment (tiebreak cent_id asc), within-cell keep-first prune."""
+    ids = emb_df["vec_id"].to_numpy()
+    mat = np.stack(emb_df["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    cent_ids = ids[order[:n_cells]]
+    cents = mat[order[:n_cells]]
+    sims = (mat @ cents.T) / (
+        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    # argmax with cent_id-ascending tiebreak: stable argmax over
+    # cells sorted by cent_id
+    csort = np.argsort(cent_ids)
+    cell = cent_ids[csort][np.argmax(sims[:, csort], axis=1)]
+    dropped = set()
+    for cid in np.unique(cell):
+        members = ids[cell == cid]
+        m = mat[cell == cid]
+        nrm = np.linalg.norm(m, axis=1)
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        o = np.argsort(members)
+        for i in range(len(members)):
+            for k in range(i):
+                if cos[o[i], o[k]] >= tau:
+                    dropped.add(int(members[o[i]]))
+                    break
+    return {int(i): int(c) for i, c in zip(ids, cell)}, dropped
+
+
+def test_semdedup_matches_numpy(spark, sf_dir):
+    out = REG["dedup_semdedup"].spark(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cells, dropped = _np_semdedup(emb)
+    assert len(out) == len(emb)
+    got_cells = dict(zip(out["vec_id"].astype(int), out["cent_id"].astype(int)))
+    assert got_cells == cells
+    got_dropped = set(out.loc[out["dropped"], "vec_id"].astype(int))
+    assert got_dropped == dropped
+    # the policy must keep at least one representative everywhere:
+    # the lowest-id member of every cell is never dropped
+    keep_min = out.groupby("cent_id")["vec_id"].min()
+    assert not out.set_index("vec_id").loc[keep_min, "dropped"].any()
+
+
+def test_qualify_is_per_group_top3_with_ties(spark, sf_dir):
+    out = REG["sql_qualify"].spark(spark, sf_dir).toPandas()
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    assert (out["rk"] <= 3).all()
+    for nk, grp in s.groupby("s_nationkey"):
+        ranked = grp.sort_values(
+            ["s_acctbal", "s_suppkey"], ascending=[False, True]
+        )
+        # rank() semantics: competition rank on acctbal desc
+        r = ranked["s_acctbal"].rank(method="min", ascending=False)
+        expect = set(ranked.loc[r.to_numpy() <= 3, "s_suppkey"])
+        got = set(out.loc[out["s_nationkey"] == nk, "s_suppkey"])
+        assert got == expect, f"nation {nk}"
+
+
+def test_dsir_upweights_target_domain(spark, sf_dir):
+    """Design intent: the target (English) sub-corpus must score a
+    higher MEAN log importance ratio than the rest — if it doesn't,
+    the target/raw LMs are swapped or the smoothing is broken."""
+    out = REG["text_dsir_weights"].spark(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    j = out.merge(docs, on="doc_id")
+    assert len(j) == len(docs)
+    en = j.loc[j["lang"] == "en", "dsir_logratio"].mean()
+    rest = j.loc[j["lang"] != "en", "dsir_logratio"].mean()
+    assert en > rest
+
+
+def test_ks_matches_numpy_ecdf(spark, sf_dir):
+    """D from the integer-numerator panel == sup|F_A - F_B| from
+    explicit NumPy empirical CDFs evaluated at every sample point."""
+    out = REG["stats_ks_test"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    x = li["l_extendedprice"].astype(float).to_numpy()
+    is_a = (li["l_orderkey"] % 2 == 0).to_numpy()
+    a, b = np.sort(x[is_a]), np.sort(x[~is_a])
+    grid = np.unique(x)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = float(np.max(np.abs(fa - fb)))
+    row = out.iloc[0]
+    assert int(row["n_a"]) == len(a) and int(row["n_b"]) == len(b)
+    assert abs(float(row["d_stat"]) - d) < 1e-6
+    # the reported location attains the max gap
+    at = float(row["ks_at_value"])
+    ia = np.searchsorted(a, at, side="right") / len(a)
+    ib = np.searchsorted(b, at, side="right") / len(b)
+    assert abs(abs(ia - ib) - d) < 1e-9
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    """The engine fold == an explicit python Holt recursion over the
+    same monthly panel (the recurrence documented in the docstring)."""
+    out = REG["orders_forecast_holt"].spark(spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    m = (
+        o.assign(month=pd.to_datetime(o["o_orderdate"]).dt.to_period("M"))
+        .groupby("month")["o_totalprice"]
+        .sum()
+        .sort_index()
+        .round(2)
+        .to_numpy()
+    )
+    l, b = float(m[0]), 0.0
+    for v in m[1:]:
+        nl = 0.5 * float(v) + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+    row = out.iloc[0]
+    assert int(row["n_months"]) == len(m)
+    assert abs(float(row["level"]) - l) < 1e-2
+    assert abs(float(row["trend"]) - b) < 1e-2
+    assert abs(float(row["forecast_next"]) - (l + b)) < 2e-2
