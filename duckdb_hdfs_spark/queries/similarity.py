@@ -662,10 +662,15 @@ FROM (
 """
 
 
-def _adc_topk(e: DataFrame) -> DataFrame:
+def _adc_topk(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
     """ADC top-5 per probe over PQ codes (the sim_pq_adc_topk body,
     reusable by the recall eval's pq arm).  Returns (probe_id,
-    vec_id, adc_dist, rk)."""
+    vec_id, adc_dist, rk).
+
+    ``cand``: optional (probe_id, vec_id) candidate restriction —
+    the IVF+PQ path (sim_ivf_pq_topk): only candidate pairs are
+    scored, so the lookup joins expand candidates (corpus x nprobe /
+    n_cells), never corpus x P."""
     from duckdb_hdfs_spark.operators.similarity import _topk_merge
     # the codebook row and the probe tables are TINY (1 row; P x 16
     # rows) but feed many plan branches — eager checkpoints pin them
@@ -703,7 +708,7 @@ def _adc_topk(e: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    joined = codes
+    joined = codes if cand is None else cand.join(codes, "vec_id")
     for m in range(PQ_M):
         side = ptab.select(
             F.col("probe_id").alias(f"p{m}"),
@@ -711,16 +716,21 @@ def _adc_topk(e: DataFrame) -> DataFrame:
             f"d{m}",
         )
         cond = joined[f"code_{m}"] == side[f"c{m}"]
-        if m > 0:
+        if cand is not None:
+            cond = cond & (joined["probe_id"] == side[f"p{m}"])
+        elif m > 0:
             cond = cond & (joined["p0"] == side[f"p{m}"])
         joined = joined.join(F.broadcast(side), cond).drop(f"c{m}")
+        if cand is not None:
+            joined = joined.drop(f"p{m}")
     # decimal sum (exact, order-independent — matches the oracle's
     # group-by sum), then one cast to double for the ranking struct
     adc = sum(F.col(f"d{m}") for m in range(1, PQ_M)) + F.col("d0")
+    probe = F.col("probe_id") if cand is not None else F.col("p0")
     scored = (
-        joined.filter(F.col("vec_id") != F.col("p0"))
+        joined.filter(F.col("vec_id") != probe)
         .select(
-            F.col("p0").alias("probe_id"),
+            probe.alias("probe_id"),
             "vec_id",
             (-adc.cast("double")).alias("cos_sim"),
         )
@@ -1172,3 +1182,84 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# --------------------------------------------------------------------------
+def _ivf_pq_oracle() -> str:
+    return f"""
+WITH {_adc_ctes()},
+cand AS ({_ivf_cand_sql()}),
+restricted AS (
+    SELECT a.probe_id, a.vec_id, a.adc
+    FROM adc_scored a
+    JOIN cand ON cand.probe_id = a.probe_id AND cand.vec_id = a.vec_id
+)
+SELECT probe_id, vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rk
+FROM (
+    SELECT probe_id, vec_id, adc,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM restricted
+) WHERE rk <= 5
+"""
+
+
+@query("sim_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined search (round 8) — the production ANN index
+    shape (FAISS IVFPQ, Jégou et al. 2011): IVF routes each probe to
+    its nprobe=2 nearest of 16 cells, and only the vectors IN those
+    cells are scored — by ADC table lookups over their 8-byte PQ
+    codes, not their float vectors.  sim_ivf_ann prunes the corpus
+    but scans floats; sim_pq_adc_topk compresses the scan but visits
+    everything; this composes both prunings, which is why it is the
+    index every billion-vector deployment actually builds.
+
+    Scale shape: both prunings are scan-side — cell assignment and
+    PQ encoding are map-side broadcast-codebook argmaxes (zero
+    shuffle), the candidate join expands each corpus vector by its
+    cell's probe visits (corpus x nprobe/n_cells expected, never
+    corpus x P — the cand branch of _adc_topk), the 8 ADC lookups
+    are broadcast hash joins against the P x 16 distance tables, and
+    the final rank is the bounded partial top-k merge.  At 100 TB
+    the scan reads codes + cell ids only; cells partition the
+    corpus, so each probe's work is ~nprobe/n_cells of one pass.
+
+    Determinism: the SAME md5-sample codebook drives cells and PQ
+    (roles differ); per-subspace distances round to 9 decimals into
+    DECIMAL sums (the ADC contract), ranks tie on vec_id."""
+    from duckdb_hdfs_spark.functions.vectors import norm
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
+    corpus_cells = assign_nearest(
+        rebalance_cpu_heavy(
+            emb.select("vec_id", F.col("embedding").alias("ce"))
+        ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
+        cent_arr,
+        "ce",
+        "cn",
+        top=1,
+    ).select("vec_id", "cent_id")
+    probe_cells = assign_nearest(
+        _probes(emb).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            norm(F.col("embedding")).alias("pn"),
+        ),
+        cent_arr,
+        "pe",
+        "pn",
+        top=2,
+    ).select("probe_id", "cent_id")
+    cand = (
+        corpus_cells.join(F.broadcast(probe_cells), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    return _adc_topk(emb, cand=cand)
