@@ -689,3 +689,48 @@ def test_brute_topk_window_group_limit(spark, sf_dir):
     assert final.count("WindowGroupLimit") >= 2, (
         "rank-limit pushdown (partial+final) missing from the top-k plan"
     )
+
+
+# --------------------------------------------------------------------------
+def test_semdedup_assignment_is_map_side(spark, sf_dir):
+    """dedup_semdedup's cell assignment must stay a map-side
+    broadcast-codebook argmax (the sim_ivf_ann contract: zero
+    exchanges before the pair stage), and the full plan may shuffle
+    the corpus on vec_id at most ONCE — the verdict attach, which is
+    corpus-grain by nature (the dropped set is ~half the corpus in
+    published SemDeDup runs, so broadcasting it is NOT the scale
+    plan; one keyed shuffle is)."""
+    from duckdb_hdfs_spark.functions.vectors import norm
+    from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
+        centroid_codebook,
+    )
+    from duckdb_hdfs_spark.queries._helpers import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = assign_nearest(
+        emb.select("vec_id", F.col("embedding").alias("e"),
+                   norm(F.col("embedding")).alias("n")),
+        centroid_codebook(emb, 8), "e", "n", top=1,
+    )
+    # the codebook's BroadcastExchange is the design; what must NOT
+    # appear is any shuffle of the corpus
+    aplan = plan_of(assign)
+    assert "Exchange hashpartitioning" not in aplan
+    assert "Exchange rangepartitioning" not in aplan
+
+    plan = plan_of(REGISTRY["dedup_semdedup"].spark(spark, sf_dir))
+    assert plan.count("hashpartitioning(vec_id") <= 2  # one join's sides
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+def test_ivfpq_all_joins_broadcast(spark, sf_dir):
+    """sim_ivf_pq_topk composes cell routing with ADC lookups; every
+    join must be broadcast (the probe-cell table, the codebook row,
+    and the 8 P x 16 distance tables are all tiny by construction) —
+    a sort-merge join here would mean a corpus-sized shuffle snuck
+    into the scan-side index path."""
+    plan = plan_of(REGISTRY["sim_ivf_pq_topk"].spark(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan
