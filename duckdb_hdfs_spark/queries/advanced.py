@@ -1520,15 +1520,23 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_chi2_independence",
     oracle="""
-WITH obs AS (
+WITH obs0 AS (
     SELECT c_mktsegment AS segment, o_orderpriority AS priority,
            count(*) AS observed
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2
 ),
-rt AS (SELECT segment, sum(observed) AS row_n FROM obs GROUP BY segment),
-ct AS (SELECT priority, sum(observed) AS col_n FROM obs GROUP BY priority),
-tot AS (SELECT sum(observed) AS n FROM obs),
+rt AS (SELECT segment, sum(observed) AS row_n FROM obs0 GROUP BY segment),
+ct AS (SELECT priority, sum(observed) AS col_n FROM obs0 GROUP BY priority),
+tot AS (SELECT sum(observed) AS n FROM obs0),
+-- full marginal grid: a (segment, priority) combination with ZERO
+-- observations still contributes E to the statistic (textbook chi2);
+-- building cells from observed combos alone would silently drop it
+obs AS (
+    SELECT rt.segment, ct.priority, coalesce(o.observed, 0) AS observed
+    FROM rt CROSS JOIN ct
+    LEFT JOIN obs0 o ON o.segment = rt.segment AND o.priority = ct.priority
+),
 cell AS (
     SELECT segment, priority, observed,
            CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)
@@ -1579,7 +1587,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins only, no second fact scan."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    obs = (
+    obs0 = (
         orders.join(
             cust.select(
                 F.col("c_custkey").alias("o_custkey"),
@@ -1594,9 +1602,22 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fact join otherwise)
         .localCheckpoint(eager=True)
     )
-    rt = obs.groupBy("segment").agg(F.sum("observed").alias("row_n"))
-    ct = obs.groupBy("priority").agg(F.sum("observed").alias("col_n"))
-    tot = obs.agg(F.sum("observed").alias("n"))
+    rt = obs0.groupBy("segment").agg(F.sum("observed").alias("row_n"))
+    ct = obs0.groupBy("priority").agg(F.sum("observed").alias("col_n"))
+    tot = obs0.agg(F.sum("observed").alias("n"))
+    # full marginal grid (tiny broadcast cross): an unobserved
+    # (segment, priority) combination still contributes E to chi2 —
+    # cells from observed combos alone would silently understate it
+    obs = (
+        rt.select("segment")
+        .crossJoin(F.broadcast(ct.select("priority")))
+        .join(F.broadcast(obs0), ["segment", "priority"], "left")
+        .select(
+            "segment",
+            "priority",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+        )
+    )
     e = (
         F.col("row_n").cast("double")
         * F.col("col_n").cast("double")
