@@ -139,16 +139,19 @@ _DRIVER_PRIORITY = (
 )
 
 # Round-9+ rotation pool — after the round-8 window above goes green,
-# every key has a driver row (267/267) and the rotation becomes pure
-# stale re-verification, oldest driver coverage first.  Remaining
-# staleness after r8 (from CORRECTNESS_r01-07): the last 17 r3-stale
-# keys (sqlfuncs string/date/conditional/set/array classes,
-# mm_binary_meta / mm_decode_features / mm_resize / mm_frame_sample,
-# fs_read_parquet / fs_write_parquet / fs_sql_path /
+# every pre-round-8 key has a driver row and the rotation becomes the
+# 8 round-8 additions plus stale re-verification, oldest coverage
+# first.  Round-9 window = the 8 new round-8 keys (dedup_semdedup,
+# text_dsir_weights, stats_chi2_independence, stats_mann_whitney,
+# stats_ks_test, orders_forecast_holt, sql_qualify, sim_ivf_pq_topk
+# — never driver-checked; they close the bar at 275/275) + 42 stale:
+# the last 17 r3-stale keys (sqlfuncs string/date/conditional/set/
+# array classes, mm_binary_meta / mm_decode_features / mm_resize /
+# mm_frame_sample, fs_read_parquet / fs_write_parquet / fs_sql_path /
 # fs_describe_tables, ev_value_histogram, distinct_users_approx,
-# dedup_cc_clusters'-family leftovers), then the 50 r4-stale keys
-# (tpch q1/q3/q5/q6/q12/q14, llmextra wave, events r4 wave, cdc,
-# sketches, streaming r4 wave), then r5.
+# dedup_cc_clusters'-family leftovers), then the oldest of the 50
+# r4-stale keys (tpch q1/q3/q5/q6/q12/q14, llmextra wave, events r4
+# wave, cdc, sketches, streaming r4 wave), then r5.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:
