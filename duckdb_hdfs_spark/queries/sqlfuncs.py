@@ -1012,7 +1012,10 @@ def sql_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
        rank() OVER (PARTITION BY s_nationkey
                     ORDER BY s_acctbal DESC, s_suppkey) AS rk,
-       round(s_acctbal - avg(s_acctbal) OVER (PARTITION BY s_nationkey), 2)
+       round(s_acctbal
+             - CAST(sum(CAST(s_acctbal AS DECIMAL(18,6)))
+                        OVER (PARTITION BY s_nationkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY s_nationkey), 2)
            AS above_nation_avg
 FROM supplier
 QUALIFY rk <= 3
@@ -1043,7 +1046,19 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.rank().over(wo))
         .withColumn(
             "above_nation_avg",
-            F.round(F.col("s_acctbal") - F.avg("s_acctbal").over(w), 2),
+            # decimal window sum, not avg-of-doubles: partition
+            # iteration order differs between engines, and a double
+            # sum is order-sensitive (repo contract) — the decimal
+            # sum is exact, the division assembles in double with one
+            # fixed association order
+            F.round(
+                F.col("s_acctbal")
+                - F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double")
+                / F.count(F.lit(1)).over(w),
+                2,
+            ),
         )
         .filter(F.col("rk") <= 3)
         .select(
