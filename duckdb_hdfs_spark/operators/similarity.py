@@ -256,9 +256,33 @@ def ivf_ann(
     sample (:func:`centroid_codebook` — TakeOrdered md5 sample), cell
     = argmax-cosine map-side assignment (:func:`assign_nearest`),
     probes search their ``nprobe`` nearest cells."""
+    joined = ivf_candidates(probes, corpus, n_cells, nprobe)
+    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
+    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
+
+
+def ivf_candidates(
+    probes: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    cent_arr: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF routing block shared by :func:`ivf_ann` and the IVF+PQ
+    composed search (round-8 review: the two paths carried verbatim
+    copies): codebook sample → map-side corpus assignment (top=1) →
+    map-side probe assignment (top=nprobe) → cell-keyed broadcast
+    join, self-pairs dropped.  One row per candidate with the scoring
+    payload (``pe``/``pn`` probe vector+norm, ``ce``/``cn`` corpus
+    vector+norm, ``cent_id``).
+
+    ``cent_arr``: pass a pre-built (possibly checkpointed) codebook
+    to share it with other consumers; default builds one inline
+    (exactly ivf_ann's historical plan)."""
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
-    cent_arr = centroid_codebook(corpus, n_cells)
+    if cent_arr is None:
+        cent_arr = centroid_codebook(corpus, n_cells)
     corpus_cells = assign_nearest(
         rebalance_cpu_heavy(
             corpus.select("vec_id", F.col("embedding").alias("ce"))
@@ -279,8 +303,6 @@ def ivf_ann(
         "pn",
         nprobe,
     )
-    joined = corpus_cells.join(
+    return corpus_cells.join(
         F.broadcast(probe_cells), "cent_id"
     ).filter(F.col("vec_id") != F.col("probe_id"))
-    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
-    return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)

@@ -14,6 +14,7 @@ the round-trip through glob/CSV/JSON must reproduce the same rows.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -30,10 +31,12 @@ from duckdb_hdfs_spark.sources.fs import HadoopFs
 # (one deletes mid-scan of the other — seen as a flaky plan test when
 # pytest overlaps an oracle sweep).  PID-suffixing gives each process
 # its own namespace; within a process the fixed names keep re-runs
-# idempotent.
+# idempotent, and the atexit hook keeps repeated runs from
+# accumulating per-PID table copies in the temp dir (round-8 review).
 _SCRATCH = os.path.join(
     tempfile.gettempdir(), f"duckdb_hdfs_spark_scratch_{os.getpid()}"
 )
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

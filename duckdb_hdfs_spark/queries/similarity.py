@@ -1228,38 +1228,16 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the SAME md5-sample codebook drives cells and PQ
     (roles differ); per-subspace distances round to 9 decimals into
     DECIMAL sums (the ADC contract), ranks tie on vec_id."""
-    from duckdb_hdfs_spark.functions.vectors import norm
-    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
     from duckdb_hdfs_spark.operators.similarity import (
-        assign_nearest,
         centroid_codebook,
+        ivf_candidates,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the codebook feeds both assignment arms: checkpoint so the
+    # TakeOrdered sample scan runs once
     cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
-    corpus_cells = assign_nearest(
-        rebalance_cpu_heavy(
-            emb.select("vec_id", F.col("embedding").alias("ce"))
-        ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
-        cent_arr,
-        "ce",
-        "cn",
-        top=1,
-    ).select("vec_id", "cent_id")
-    probe_cells = assign_nearest(
-        _probes(emb).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pe"),
-            norm(F.col("embedding")).alias("pn"),
-        ),
-        cent_arr,
-        "pe",
-        "pn",
-        top=2,
-    ).select("probe_id", "cent_id")
-    cand = (
-        corpus_cells.join(F.broadcast(probe_cells), "cent_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id")
-    )
+    cand = ivf_candidates(
+        _probes(emb), emb, n_cells=16, nprobe=2, cent_arr=cent_arr
+    ).select("probe_id", "vec_id")
     return _adc_topk(emb, cand=cand)

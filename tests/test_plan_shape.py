@@ -726,11 +726,15 @@ def test_semdedup_assignment_is_map_side(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 def test_ivfpq_all_joins_broadcast(spark, sf_dir):
-    """sim_ivf_pq_topk composes cell routing with ADC lookups; every
-    join must be broadcast (the probe-cell table, the codebook row,
-    and the 8 P x 16 distance tables are all tiny by construction) —
-    a sort-merge join here would mean a corpus-sized shuffle snuck
-    into the scan-side index path."""
+    """sim_ivf_pq_topk composes cell routing with ADC lookups; the
+    routing join and the 8 ADC lookup joins must be BROADCAST (the
+    probe-cell table, the codebook row, and the P x 16 distance
+    tables are tiny by construction).  The cand-to-codes attach is
+    corpus-grain on BOTH sides, so a vec_id-keyed shuffle for that
+    ONE join is the legitimate scale plan (round-8 review: the
+    original no-vec_id-exchange assertion only held because sf0.001
+    fits under the broadcast threshold) — budget it, don't forbid
+    it."""
     plan = plan_of(REGISTRY["sim_ivf_pq_topk"].spark(spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    assert "hashpartitioning(vec_id" not in plan
+    assert plan.count("BroadcastHashJoin") >= 8  # the ADC lookups
+    assert plan.count("hashpartitioning(vec_id") <= 2  # cand attach only
