@@ -1839,7 +1839,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     two cumulative counts share ONE constant-group distributed
     cumsum pass (multi-column grouped_cumsum — range-bucketed, no
     partition-less window), and the sup is a 1-row fold with a
-    broadcast-back argmin join."""
+    broadcast-back argmin join.  The checkpointed gap panel is
+    VALUE-grain: bounded by distinct values, not rows — for a truly
+    continuous key at extreme scale, pre-round the metric to the
+    resolution the decision needs before testing (the statistic is
+    CDF-level, so quantization below the reporting precision is
+    harmless)."""
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
