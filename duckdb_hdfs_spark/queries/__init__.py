@@ -74,13 +74,16 @@ _QUERY_MODULES = (
 # Keep this list at exactly ≤50 names.  Round-8 allocation (VERDICT r6
 # "Next round" #1 + #8, executed on schedule): the 18 keys that have
 # NEVER had a driver CORRECTNESS row after round 7's 50/50-green window
-# (CORRECTNESS_r07.json) — this closes the "EVERY operator has a green
-# driver row" clause at 267/267 — followed by 32 stale re-verifies
-# ranked staleness × round-7 code churn: first the 16 dedup/sim keys
-# whose implementation changed in the round-7 graded-rebalance /
+# (CORRECTNESS_r07.json), PLUS the 8 keys added this round — together
+# they close the "EVERY operator has a green driver row" clause at
+# 275/275 in THIS round — followed by 24 stale re-verifies ranked
+# staleness × round-7 code churn: first the 16 dedup/sim keys whose
+# implementation changed in the round-7 graded-rebalance /
 # bucket_cells refactor (operators/rebalance.py, operators/dedup.py)
-# and whose latest driver row predates it (r3), then 16 more of the
-# untouched r3-stale set, oldest coverage first.
+# and whose latest driver row predates it (r3), then 8 of the
+# untouched r3-stale set, oldest coverage first.  (All 26 never-
+# driver-checked keys are green in this session's full sf0.01 local
+# oracle sweep, including a shuffle.partitions=7 determinism probe.)
 _DRIVER_PRIORITY = (
     # --- the 18-key remainder: never driver-checked (closes 267/267) ---
     "text_code_detection",
@@ -128,24 +131,26 @@ _DRIVER_PRIORITY = (
     "text_ngram_freq",
     "text_chunk_windows",
     "text_scrub_pii",
-    "asof_purchase_last_view",
-    "range_join_view_purchases",
-    "sample_hash_split",
-    "stats_quantiles",
-    "stats_moments",
-    "pack_context_windows",
-    "corpus_mix_sample",
-    "streaming_windowed_counts",
+    # --- the 8 round-8 additions: never driver-checked; including
+    # --- them here closes the 275/275 bar THIS round ---
+    "dedup_semdedup",
+    "text_dsir_weights",
+    "stats_chi2_independence",
+    "stats_mann_whitney",
+    "stats_ks_test",
+    "orders_forecast_holt",
+    "sql_qualify",
+    "sim_ivf_pq_topk",
 )
 
 # Round-9+ rotation pool — after the round-8 window above goes green,
-# every pre-round-8 key has a driver row and the rotation becomes the
-# 8 round-8 additions plus stale re-verification, oldest coverage
-# first.  Round-9 window = the 8 new round-8 keys (dedup_semdedup,
-# text_dsir_weights, stats_chi2_independence, stats_mann_whitney,
-# stats_ks_test, orders_forecast_holt, sql_qualify, sim_ivf_pq_topk
-# — never driver-checked; they close the bar at 275/275) + 42 stale:
-# the last 17 r3-stale keys (sqlfuncs string/date/conditional/set/
+# EVERY registry key has a driver row and the rotation becomes pure
+# stale re-verification, oldest coverage first.  Round-9 window =
+# the 8 untouched r3-stale keys displaced from the round-8 window
+# (asof_purchase_last_view, range_join_view_purchases,
+# sample_hash_split, stats_quantiles, stats_moments,
+# pack_context_windows, corpus_mix_sample, streaming_windowed_counts)
+# + the last 17 r3-stale keys (sqlfuncs string/date/conditional/set/
 # array classes, mm_binary_meta / mm_decode_features / mm_resize /
 # mm_frame_sample, fs_read_parquet / fs_write_parquet / fs_sql_path /
 # fs_describe_tables, ev_value_histogram, distinct_users_approx,
