@@ -268,9 +268,10 @@ def ivf_candidates(
     nprobe: int = 2,
     cent_arr: DataFrame | None = None,
 ) -> DataFrame:
-    """The IVF routing block shared by :func:`ivf_ann` and the IVF+PQ
-    composed search (round-8 review: the two paths carried verbatim
-    copies): codebook sample → map-side corpus assignment (top=1) →
+    """The IVF routing block behind :func:`ivf_ann` (the IVF+PQ
+    composed search used it too until it moved to a fused
+    cells+codes single corpus scan — see queries/similarity.py
+    ``sim_ivf_pq_topk``): codebook sample → map-side corpus assignment (top=1) →
     map-side probe assignment (top=nprobe) → cell-keyed broadcast
     join, self-pairs dropped.  One row per candidate with the scoring
     payload (``pe``/``pn`` probe vector+norm, ``ce``/``cn`` corpus

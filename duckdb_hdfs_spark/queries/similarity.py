@@ -662,32 +662,15 @@ FROM (
 """
 
 
-def _adc_topk(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
-    """ADC top-5 per probe over PQ codes (the sim_pq_adc_topk body,
-    reusable by the recall eval's pq arm).  Returns (probe_id,
-    vec_id, adc_dist, rk).
-
-    ``cand``: optional (probe_id, vec_id) candidate restriction —
-    the IVF+PQ path (sim_ivf_pq_topk): only candidate pairs are
-    scored, so the lookup joins expand candidates (corpus x nprobe /
-    n_cells), never corpus x P."""
-    from duckdb_hdfs_spark.operators.similarity import _topk_merge
-    # the codebook row and the probe tables are TINY (1 row; P x 16
-    # rows) but feed many plan branches — eager checkpoints pin them
-    # to one computation each, instead of re-deriving the codebook
-    # sample scan per joined branch (measured 18 file scans without)
-    cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
-    enc = e.join(F.broadcast(cent_arr))
-    codes = enc.select(
-        "vec_id",
-        *[
-            b["cent_id"].alias(f"code_{m}")
-            for m, b in enumerate(_pq_best_structs())
-        ],
-    )
-    # probe-to-centroid distance tables: one row per (probe, centroid)
-    # with the 8 subspace distances — P x 16 rows, broadcastable
-    ptab = (
+def _pq_ptab(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Probe-to-centroid distance tables: one row per (probe,
+    centroid) with the 8 per-subspace squared-L2 distances — P x 16
+    rows, broadcastable.  ``cent_arr`` is any 1-row codebook whose
+    ``cents`` structs carry ``cent_id``/``cent`` (the PQ sample or
+    the richer IVF codebook).  Eagerly checkpointed: the tiny table
+    feeds 8 join branches, and without the pin each branch re-derives
+    the codebook sample scan (measured 18 file scans without)."""
+    return (
         _probes(e)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
         .join(F.broadcast(cent_arr))
@@ -708,7 +691,62 @@ def _adc_topk(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    joined = codes if cand is None else cand.join(codes, "vec_id")
+
+
+def _adc_rank(joined: DataFrame, ptab: DataFrame) -> DataFrame:
+    """ADC lookup + rank tail shared by the PQ searches: ``joined``
+    is (probe_id, vec_id, code_0..7) candidate rows; each subspace
+    code picks its distance from the broadcast ``ptab`` slice keyed
+    (probe_id, cent_id), the 8 DECIMAL distances sum exactly
+    (order-independent — matches the oracle's group-by sum), and the
+    bounded partial top-k merge ranks per probe."""
+    from duckdb_hdfs_spark.operators.similarity import _topk_merge
+
+    for m in range(PQ_M):
+        side = ptab.select(
+            F.col("probe_id").alias(f"p{m}"),
+            F.col("cent_id").alias(f"c{m}"),
+            f"d{m}",
+        )
+        cond = (joined[f"code_{m}"] == side[f"c{m}"]) & (
+            joined["probe_id"] == side[f"p{m}"]
+        )
+        joined = joined.join(F.broadcast(side), cond).drop(f"c{m}", f"p{m}")
+    adc = sum(F.col(f"d{m}") for m in range(1, PQ_M)) + F.col("d0")
+    scored = joined.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        (-adc.cast("double")).alias("cos_sim"),
+    )
+    ranked = _topk_merge(scored, k=5)
+    return ranked.select(
+        "probe_id",
+        "vec_id",
+        F.round(-F.col("cos_sim"), 6).alias("adc_dist"),
+        "rk",
+    )
+
+
+def _adc_topk(e: DataFrame) -> DataFrame:
+    """ADC top-5 per probe over PQ codes, full corpus (the
+    sim_pq_adc_topk body, reusable by the recall eval's pq arm).
+    Returns (probe_id, vec_id, adc_dist, rk)."""
+    from duckdb_hdfs_spark.operators.similarity import _topk_merge
+    # the codebook row and the probe tables are TINY (1 row; P x 16
+    # rows) but feed many plan branches — eager checkpoints pin them
+    # to one computation each, instead of re-deriving the codebook
+    # sample scan per joined branch (measured 18 file scans without)
+    cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
+    enc = e.join(F.broadcast(cent_arr))
+    codes = enc.select(
+        "vec_id",
+        *[
+            b["cent_id"].alias(f"code_{m}")
+            for m, b in enumerate(_pq_best_structs())
+        ],
+    )
+    ptab = _pq_ptab(e, cent_arr)
+    joined = codes
     for m in range(PQ_M):
         side = ptab.select(
             F.col("probe_id").alias(f"p{m}"),
@@ -716,21 +754,16 @@ def _adc_topk(e: DataFrame, cand: DataFrame | None = None) -> DataFrame:
             f"d{m}",
         )
         cond = joined[f"code_{m}"] == side[f"c{m}"]
-        if cand is not None:
-            cond = cond & (joined["probe_id"] == side[f"p{m}"])
-        elif m > 0:
+        if m > 0:
             cond = cond & (joined["p0"] == side[f"p{m}"])
         joined = joined.join(F.broadcast(side), cond).drop(f"c{m}")
-        if cand is not None:
-            joined = joined.drop(f"p{m}")
     # decimal sum (exact, order-independent — matches the oracle's
     # group-by sum), then one cast to double for the ranking struct
     adc = sum(F.col(f"d{m}") for m in range(1, PQ_M)) + F.col("d0")
-    probe = F.col("probe_id") if cand is not None else F.col("p0")
     scored = (
-        joined.filter(F.col("vec_id") != probe)
+        joined.filter(F.col("vec_id") != F.col("p0"))
         .select(
-            probe.alias("probe_id"),
+            F.col("p0").alias("probe_id"),
             "vec_id",
             (-adc.cast("double")).alias("cos_sim"),
         )
@@ -1215,29 +1248,78 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything; this composes both prunings, which is why it is the
     index every billion-vector deployment actually builds.
 
-    Scale shape: both prunings are scan-side — cell assignment and
-    PQ encoding are map-side broadcast-codebook argmaxes (zero
-    shuffle), the candidate join expands each corpus vector by its
-    cell's probe visits (corpus x nprobe/n_cells expected, never
-    corpus x P — the cand branch of _adc_topk), the 8 ADC lookups
-    are broadcast hash joins against the P x 16 distance tables, and
-    the final rank is the bounded partial top-k merge.  At 100 TB
-    the scan reads codes + cell ids only; cells partition the
-    corpus, so each probe's work is ~nprobe/n_cells of one pass.
+    Scale shape: ONE corpus scan computes BOTH prunings map-side —
+    each vector's IVF cell (broadcast-codebook argmax) and its 8 PQ
+    codes come out of the same projection, so the 100 TB pass reads
+    every embedding exactly once and emits only (vec_id, cell, 8
+    codes).  Candidates attach by broadcasting the tiny P x nprobe
+    probe-routing table onto the cell column (corpus x
+    nprobe/n_cells expected, never corpus x P, and NO corpus-keyed
+    shuffle at all — the earlier two-scan formulation paid a vec_id
+    Exchange to re-join codes to candidates), the 8 ADC lookups are
+    broadcast hash joins against the P x 16 distance tables, and the
+    final rank is the bounded partial top-k merge.
 
     Determinism: the SAME md5-sample codebook drives cells and PQ
-    (roles differ); per-subspace distances round to 9 decimals into
-    DECIMAL sums (the ADC contract), ranks tie on vec_id."""
+    (roles differ — _pq_best_structs reads cent_id/cent from the
+    richer IVF structs); per-subspace distances round to 9 decimals
+    into DECIMAL sums (the ADC contract), ranks tie on vec_id."""
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
     from duckdb_hdfs_spark.operators.similarity import (
+        assign_nearest,
         centroid_codebook,
-        ivf_candidates,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # the codebook feeds both assignment arms: checkpoint so the
-    # TakeOrdered sample scan runs once
+    # ONE checkpointed codebook feeds cells, codes, routing, and the
+    # probe distance tables: the TakeOrdered sample scan runs once
     cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
-    cand = ivf_candidates(
-        _probes(emb), emb, n_cells=16, nprobe=2, cent_arr=cent_arr
-    ).select("probe_id", "vec_id")
-    return _adc_topk(emb, cand=cand)
+    # probe routing: P x nprobe=2 rows — tiny; checkpoint so the
+    # probe-side scan leaves the corpus plan entirely
+    routing = (
+        assign_nearest(
+            _probes(emb).select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("pe"),
+                norm(F.col("embedding")).alias("pn"),
+            ),
+            cent_arr,
+            "pe",
+            "pn",
+            2,
+        )
+        .select("probe_id", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    ptab = _pq_ptab(emb, cent_arr)
+    # the fused corpus scan: cell argmax (assign_nearest's expression,
+    # top=1 as array_min) + the 8 PQ code argmins, all map-side
+    enc = (
+        rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
+        .withColumn("_n", norm(F.col("embedding")))
+        .join(F.broadcast(cent_arr))
+    )
+    cell_scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (
+                -(dot(F.col("embedding"), c["cent"]) / (F.col("_n") * c["cent_n"]))
+            ).alias("neg_cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    codes = enc.select(
+        "vec_id",
+        F.array_min(cell_scored)["cent_id"].alias("cent_id"),
+        *[
+            b["cent_id"].alias(f"code_{m}")
+            for m, b in enumerate(_pq_best_structs())
+        ],
+    )
+    joined = (
+        codes.join(F.broadcast(routing), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .drop("cent_id")
+    )
+    return _adc_rank(joined, ptab)

@@ -726,15 +726,14 @@ def test_semdedup_assignment_is_map_side(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 def test_ivfpq_all_joins_broadcast(spark, sf_dir):
-    """sim_ivf_pq_topk composes cell routing with ADC lookups; the
-    routing join and the 8 ADC lookup joins must be BROADCAST (the
-    probe-cell table, the codebook row, and the P x 16 distance
-    tables are tiny by construction).  The cand-to-codes attach is
-    corpus-grain on BOTH sides, so a vec_id-keyed shuffle for that
-    ONE join is the legitimate scale plan (round-8 review: the
-    original no-vec_id-exchange assertion only held because sf0.001
-    fits under the broadcast threshold) — budget it, don't forbid
-    it."""
+    """sim_ivf_pq_topk computes cells AND codes in ONE fused corpus
+    scan, so every join in the plan is BROADCAST: the P x nprobe
+    routing attach on the cell column plus the 8 ADC lookups against
+    the P x 16 distance tables (all tiny by construction).  The
+    two-scan formulation this replaced needed a vec_id-keyed shuffle
+    to re-join codes to candidates — the fused plan has NO
+    corpus-keyed Exchange and exactly one embeddings file scan."""
     plan = plan_of(REGISTRY["sim_ivf_pq_topk"].spark(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 8  # the ADC lookups
-    assert plan.count("hashpartitioning(vec_id") <= 2  # cand attach only
+    assert plan.count("hashpartitioning(vec_id") == 0  # fused: no re-join
+    assert plan.count("embeddings.parquet") <= 1  # one corpus scan
