@@ -278,12 +278,17 @@ def ivf_candidates(
     vector+norm, ``cent_id``).
 
     ``cent_arr``: pass a pre-built (possibly checkpointed) codebook
-    to share it with other consumers; default builds one inline
-    (exactly ivf_ann's historical plan)."""
+    to share it with other consumers; default builds one inline and
+    eagerly checkpoints it — the 1-row codebook feeds BOTH assignment
+    arms, and without the pin each arm re-runs the TakeOrdered sample
+    scan (2 extra file scans in ivf_ann's plan for the same 16
+    rows)."""
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
     if cent_arr is None:
-        cent_arr = centroid_codebook(corpus, n_cells)
+        cent_arr = centroid_codebook(corpus, n_cells).localCheckpoint(
+            eager=True
+        )
     corpus_cells = assign_nearest(
         rebalance_cpu_heavy(
             corpus.select("vec_id", F.col("embedding").alias("ce"))

@@ -208,7 +208,9 @@ _SCAN_BUDGET_EXCEPTIONS = {
     "dedup_minhash_est": 3,     # candidates + signature join per pair side
     "dedup_ngram_jaccard": 3,   # candidates + 3-gram join per pair side
     "dedup_containment": 3,     # candidates + wordset join per pair side
-    "sim_ivf_ann": 4,           # corpus/probe cell-assign + centroid sample
+    # sim_ivf_ann now holds the default budget of 2 (corpus assign +
+    # probe assign): the codebook sample is checkpointed inside
+    # ivf_candidates, so its scan no longer appears per-arm
     "sim_knn_join": 4,          # corpus + broadcast probes for scoring, plus
                                 # two label-only scans (column-pruned to
                                 # (vec_id,label) — no embedding read) that
@@ -291,9 +293,16 @@ def test_topk_is_take_ordered(spark, sf_dir):
 def test_ivf_centroids_are_take_ordered(spark, sf_dir):
     """The IVF centroid sample must plan TakeOrderedAndProject (bounded
     per-task heap), not a partition-less Window/global sort pushing the
-    whole corpus through one task (the round-1/2 regression)."""
+    whole corpus through one task (the round-1/2 regression).  The
+    sample is checkpointed inside ivf_candidates, so its plan is
+    pinned on the codebook build itself; the search plan is then
+    pinned to NOT re-derive the sample (2 scans: corpus + probes)."""
+    from duckdb_hdfs_spark.operators.similarity import centroid_codebook
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert "TakeOrderedAndProject" in plan_of(centroid_codebook(emb, 16))
     plan = plan_of(REGISTRY["sim_ivf_ann"].spark(spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
+    assert plan.count("embeddings.parquet") <= 2
 
 
 def _exchange_nodes(plan: str) -> int:
