@@ -251,12 +251,17 @@ def ivf_ann(
     n_cells: int = 16,
     nprobe: int = 2,
     k: int = 5,
+    cent_arr: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministic pseudorandom corpus
     sample (:func:`centroid_codebook` — TakeOrdered md5 sample), cell
     = argmax-cosine map-side assignment (:func:`assign_nearest`),
-    probes search their ``nprobe`` nearest cells."""
-    joined = ivf_candidates(probes, corpus, n_cells, nprobe)
+    probes search their ``nprobe`` nearest cells.
+
+    ``cent_arr``: optional pre-built (checkpointed) codebook —
+    multi-arm callers (the nprobe sweep) pass one so the corpus-wide
+    sample pass runs once, not once per arm."""
+    joined = ivf_candidates(probes, corpus, n_cells, nprobe, cent_arr=cent_arr)
     cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 

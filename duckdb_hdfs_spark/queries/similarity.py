@@ -1089,6 +1089,8 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized sets; each arm reuses the same map-side IVF
     machinery (broadcast codebook argmax assignment, partial top-k
     before the only shuffle)."""
+    from duckdb_hdfs_spark.operators.similarity import centroid_codebook
+
     emb = _t(spark, sf_dir, "embeddings")
     probes = _probes(emb)
     truth = (
@@ -1096,10 +1098,14 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    # ONE corpus-wide codebook sample shared by all three arms — at
+    # scale each build is a full corpus pass, so per-arm rebuilds
+    # triple the sampling cost for bit-identical 16 rows
+    cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
     arms = []
     for p in (1, 2, 4):
         approx = (
-            ivf_ann(probes, emb, n_cells=16, nprobe=p, k=5)
+            ivf_ann(probes, emb, n_cells=16, nprobe=p, k=5, cent_arr=cent_arr)
             .select("probe_id", "vec_id")
             .localCheckpoint(eager=True)
         )
