@@ -416,14 +416,24 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("r"), 4).alias("recall_at_5"),
         )
 
+    # the IVF codebook and the PQ sample are the same md5-ordered 16
+    # rows — build once (one corpus sample pass, not two) and share;
+    # _pq_best_structs reads cent_id/cent from the richer IVF structs
+    from duckdb_hdfs_spark.operators.similarity import centroid_codebook
+
+    cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
     lsh = method_recall(
         lsh_ann(probes, emb, k=5).localCheckpoint(eager=True), "lsh"
     )
     ivf = method_recall(
-        ivf_ann(probes, emb, n_cells=16, nprobe=2, k=5).localCheckpoint(eager=True),
+        ivf_ann(
+            probes, emb, n_cells=16, nprobe=2, k=5, cent_arr=cent_arr
+        ).localCheckpoint(eager=True),
         "ivf",
     )
-    pq = method_recall(_adc_topk(emb).localCheckpoint(eager=True), "pq")
+    pq = method_recall(
+        _adc_topk(emb, cent_arr=cent_arr).localCheckpoint(eager=True), "pq"
+    )
     return lsh.unionByName(ivf).unionByName(pq)
 
 
@@ -727,16 +737,22 @@ def _adc_rank(joined: DataFrame, ptab: DataFrame) -> DataFrame:
     )
 
 
-def _adc_topk(e: DataFrame) -> DataFrame:
+def _adc_topk(e: DataFrame, cent_arr: DataFrame | None = None) -> DataFrame:
     """ADC top-5 per probe over PQ codes, full corpus (the
     sim_pq_adc_topk body, reusable by the recall eval's pq arm).
-    Returns (probe_id, vec_id, adc_dist, rk)."""
+    Returns (probe_id, vec_id, adc_dist, rk).
+
+    ``cent_arr``: optional pre-built (checkpointed) codebook — the
+    PQ sample and the IVF codebook are the SAME md5-ordered 16 rows,
+    so multi-method callers (the recall eval) pass one shared build
+    instead of paying a second corpus-wide sample pass."""
     from duckdb_hdfs_spark.operators.similarity import _topk_merge
     # the codebook row and the probe tables are TINY (1 row; P x 16
     # rows) but feed many plan branches — eager checkpoints pin them
     # to one computation each, instead of re-deriving the codebook
     # sample scan per joined branch (measured 18 file scans without)
-    cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
+    if cent_arr is None:
+        cent_arr = _pq_cent_arr(e).localCheckpoint(eager=True)
     enc = e.join(F.broadcast(cent_arr))
     codes = enc.select(
         "vec_id",
