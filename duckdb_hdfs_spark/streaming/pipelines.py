@@ -245,7 +245,11 @@ def drain(q, timeout_s: int, what: str = "streaming query") -> None:
 
 
 def run_available_now_to_memory(
-    df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+    shuffle_partitions: int | None = 8,
 ) -> list:
     """Drain the current input with an availableNow trigger into an
     in-memory table ``name`` (tests/backfills).  Returns the query's
@@ -253,18 +257,48 @@ def run_available_now_to_memory(
     runtime metrics — e.g. ``stateOperators[].numRowsDroppedByWatermark``
     for late-data accounting.
 
+    ``shuffle_partitions``: state-partition sizing for THIS drain.
+    A stateful query locks its state-store partition count from
+    ``spark.sql.shuffle.partitions`` at its first micro-batch, and
+    every subsequent batch commits every partition of every state
+    store — so a one-file-per-trigger drain over a few thousand rows
+    pays (batches x stores x partitions) commit overhead scaled to
+    the SESSION's batch-sized default (32), not to the stream.  The
+    default 8 sizes state to these drains (measured: the
+    two-state-store stream-stream join fell 28s → 8s warm, results
+    identical); pass None to keep the session value, or larger for
+    bigger backfills.  The session conf is restored right after
+    start — streaming isolates itself by cloning the session there,
+    so the running drain keeps its value.  Production sizes state
+    partitions the same way: to the stream's key cardinality and
+    cluster, independent of the batch-shuffle default.  Results are
+    partition-count-independent (pinned by the oracle and the
+    shuffle.partitions=7 sweep probes).
+
     The progress buffer is bounded by
     ``spark.sql.streaming.numRecentProgressUpdates`` — sessions from
     get_spark() raise it to 10,000 (session.py) because the 100-entry
     default silently evicts early micro-batches on long one-file-per-
     trigger drains, undercounting the audit (round-7 review)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = df.sparkSession
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
     )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     drain(q, timeout_s, f"streaming query {name}")
     return list(q.recentProgress)
 
@@ -280,16 +314,34 @@ def dropped_by_watermark(progress: list) -> int:
 
 
 def run_available_now_apply(
-    df: DataFrame, fn, output_mode: str = "update", timeout_s: int = 180
+    df: DataFrame,
+    fn,
+    output_mode: str = "update",
+    timeout_s: int = 180,
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drain with availableNow through a caller-supplied foreachBatch
-    function (idempotent sinks: CDC apply, MERGE publishing)."""
-    q = (
-        df.writeStream.foreachBatch(fn)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    function (idempotent sinks: CDC apply, MERGE publishing).
+    ``shuffle_partitions``: same drain-proportionate state sizing as
+    :func:`run_available_now_to_memory` (see its docstring)."""
+    spark = df.sparkSession
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
     )
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(fn)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     drain(q, timeout_s, "streaming apply")
 
 
