@@ -1693,12 +1693,16 @@ u AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(u_a, 1) AS u_a, round(u_b, 1) AS u_b,
+       -- nullif mirrors the Spark side's zero-variance guard: a
+       -- degenerate single-value panel (tie3 == n^3 - n) yields NULL
+       -- on BOTH engines instead of NULL-vs-inf divergence
        round((u_a - n_a * n_b / 2)
-             / sqrt(n_a * n_b / 12
-                    * ((n + 1) - tie3 / (n * (n - 1)))), 6) AS z_stat,
+             / nullif(sqrt(n_a * n_b / 12
+                           * ((n + 1) - tie3 / (n * (n - 1)))), 0), 6)
+           AS z_stat,
        abs((u_a - n_a * n_b / 2)
-           / sqrt(n_a * n_b / 12
-                  * ((n + 1) - tie3 / (n * (n - 1))))) > 1.96
+           / nullif(sqrt(n_a * n_b / 12
+                         * ((n + 1) - tie3 / (n * (n - 1)))), 0)) > 1.96
            AS significant_5pct
 FROM u
 """,

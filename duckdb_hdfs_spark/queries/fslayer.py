@@ -36,6 +36,35 @@ from duckdb_hdfs_spark.sources.fs import HadoopFs
 _SCRATCH = os.path.join(
     tempfile.gettempdir(), f"duckdb_hdfs_spark_scratch_{os.getpid()}"
 )
+
+
+def _prune_stale_scratch() -> None:
+    """Best-effort removal of sibling scratch dirs whose owning PID is
+    dead: the atexit hook only fires on graceful exit, so a SIGKILLed
+    or OOMed run leaks its dir — and with PID recycling those stale
+    copies would otherwise accumulate forever (round-8 advice)."""
+    prefix = "duckdb_hdfs_spark_scratch_"
+    try:
+        entries = os.listdir(tempfile.gettempdir())
+    except OSError:  # pragma: no cover - unreadable tmp
+        return
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        pid_part = name[len(prefix):]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(), name), ignore_errors=True
+            )
+        except OSError:  # pragma: no cover - alive but not ours (EPERM)
+            pass
+
+
+_prune_stale_scratch()
 atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 
 

@@ -746,7 +746,6 @@ def _adc_topk(e: DataFrame, cent_arr: DataFrame | None = None) -> DataFrame:
     PQ sample and the IVF codebook are the SAME md5-ordered 16 rows,
     so multi-method callers (the recall eval) pass one shared build
     instead of paying a second corpus-wide sample pass."""
-    from duckdb_hdfs_spark.operators.similarity import _topk_merge
     # the codebook row and the probe tables are TINY (1 row; P x 16
     # rows) but feed many plan branches — eager checkpoints pin them
     # to one computation each, instead of re-deriving the codebook
@@ -762,35 +761,13 @@ def _adc_topk(e: DataFrame, cent_arr: DataFrame | None = None) -> DataFrame:
         ],
     )
     ptab = _pq_ptab(e, cent_arr)
-    joined = codes
-    for m in range(PQ_M):
-        side = ptab.select(
-            F.col("probe_id").alias(f"p{m}"),
-            F.col("cent_id").alias(f"c{m}"),
-            f"d{m}",
-        )
-        cond = joined[f"code_{m}"] == side[f"c{m}"]
-        if m > 0:
-            cond = cond & (joined["p0"] == side[f"p{m}"])
-        joined = joined.join(F.broadcast(side), cond).drop(f"c{m}")
-    # decimal sum (exact, order-independent — matches the oracle's
-    # group-by sum), then one cast to double for the ranking struct
-    adc = sum(F.col(f"d{m}") for m in range(1, PQ_M)) + F.col("d0")
-    scored = (
-        joined.filter(F.col("vec_id") != F.col("p0"))
-        .select(
-            F.col("p0").alias("probe_id"),
-            "vec_id",
-            (-adc.cast("double")).alias("cos_sim"),
-        )
-    )
-    ranked = _topk_merge(scored, k=5)
-    return ranked.select(
-        "probe_id",
-        "vec_id",
-        F.round(-F.col("cos_sim"), 6).alias("adc_dist"),
-        "rk",
-    )
+    # pre-attach probe_id by broadcasting the tiny probe-id list onto
+    # every code row (P rows per corpus row — the same fan-out the
+    # ADC contract requires), then share _adc_rank's 8-way lookup +
+    # decimal sum + top-k tail with the IVF+PQ path
+    probe_ids = _probes(e).select(F.col("vec_id").alias("probe_id"))
+    joined = codes.join(F.broadcast(probe_ids))
+    return _adc_rank(joined, ptab)
 
 
 @query("sim_pq_adc_topk", oracle=_adc_oracle())

@@ -22,6 +22,7 @@ Scale design (100 TB / continuous ingest):
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterable
 
 import pandas as pd
@@ -244,6 +245,26 @@ def drain(q, timeout_s: int, what: str = "streaming query") -> None:
         raise TimeoutError(f"{what} did not finish in {timeout_s}s")
 
 
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to a drain's .start()
+    call (state-partition sizing — see run_available_now_to_memory's
+    docstring); restores the session value on exit.  Mutating the
+    session-global conf is only safe because these drains run
+    single-threaded per session: nothing else plans a query between
+    set and restore (streaming clones the session at start, so the
+    running drain keeps its value after restore).  ``n=None`` keeps
+    the session value untouched."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions") if n is not None else None
+    if n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now_to_memory(
     df: DataFrame,
     name: str,
@@ -281,14 +302,7 @@ def run_available_now_to_memory(
     default silently evicts early micro-batches on long one-file-per-
     trigger drains, undercounting the audit (round-7 review)."""
     spark = df.sparkSession
-    prev = (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions is not None
-        else None
-    )
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _state_partitions(spark, shuffle_partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -296,9 +310,6 @@ def run_available_now_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     drain(q, timeout_s, f"streaming query {name}")
     return list(q.recentProgress)
 
@@ -325,23 +336,13 @@ def run_available_now_apply(
     ``shuffle_partitions``: same drain-proportionate state sizing as
     :func:`run_available_now_to_memory` (see its docstring)."""
     spark = df.sparkSession
-    prev = (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions is not None
-        else None
-    )
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _state_partitions(spark, shuffle_partitions):
         q = (
             df.writeStream.foreachBatch(fn)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     drain(q, timeout_s, "streaming apply")
 
 
