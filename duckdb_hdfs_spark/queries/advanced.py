@@ -2009,3 +2009,178 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.b"), 4).alias("trend"),
         F.round(F.col("s.l") + F.col("s.b"), 4).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Poisson-bootstrap replicate count and inverse-CDF ladder for
+#: Poisson(1): weight k is the first index whose cumulative
+#: probability exceeds the row's deterministic uniform draw.  The
+#: 6-decimal cumulative constants are FIXED LITERALS shared by both
+#: engines (sum_{i<=k} e^-1/i!), so the resample is bit-reproducible.
+BOOT_R = 64
+BOOT_POISSON_CDF = (
+    0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406, 0.999917,
+)
+#: uniform-draw resolution: md5 % 1e6 / 1e6 gives 6 decimal digits,
+#: matching the CDF ladder's resolution.
+BOOT_U_MOD = 1_000_000
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(BOOT_POISSON_CDF)
+    )
+    return f"CASE {cases} ELSE {len(BOOT_POISSON_CDF)} END"
+
+
+def _bootstrap_oracle() -> str:
+    key = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+    u = f"CAST({md5_int60_sql(key)} % {BOOT_U_MOD} AS DOUBLE) / {BOOT_U_MOD}"
+    return f"""
+WITH reps AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, r
+    FROM orders CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r)
+),
+w AS (SELECT r, price, {_boot_weight_sql(u)} AS k FROM reps),
+means AS (
+    SELECT r,
+           round(CAST(sum(CAST(k AS DECIMAL(18,0)) * price) AS DOUBLE)
+                 / sum(k), 6) AS m
+    FROM w GROUP BY r
+),
+ranked AS (
+    SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
+),
+boot AS (
+    SELECT round(CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+                 / {BOOT_R}, 6) AS boot_mean,
+           round(sqrt((CAST(sum(CAST(m AS DECIMAL(20,6))
+                                * CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+                       - CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+                         * CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+                         / {BOOT_R})
+                      / ({BOOT_R} - 1)), 6) AS boot_se,
+           min(CASE WHEN rk = {max(1, round(0.025 * BOOT_R))} THEN m END)
+               AS ci_lo,
+           min(CASE WHEN rk = {round(0.975 * BOOT_R)} THEN m END) AS ci_hi
+    FROM ranked
+),
+pt AS (
+    SELECT count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS point_mean
+    FROM orders
+)
+SELECT n_orders, point_mean, boot_mean, boot_se, ci_lo, ci_hi,
+       point_mean >= ci_lo AND point_mean <= ci_hi AS point_in_ci
+FROM pt CROSS JOIN boot
+"""
+
+
+@query("stats_bootstrap_ci", oracle=_bootstrap_oracle())
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams" — the resampling scheme built for one-pass distributed
+    data): each of BOOT_R replicates reweights every order by a
+    DETERMINISTIC Poisson(1) draw (md5 of (orderkey, replicate) →
+    uniform → inverse-CDF ladder), so the full bootstrap needs ONE
+    scan, no per-replicate shuffling of the data, and reruns
+    bit-identically on both engines.
+
+    Determinism: weights are exact integers from fixed 6-decimal CDF
+    literals; replicate sums accumulate in DECIMAL (order-free); each
+    replicate mean is one rounded division; the SE assembles from
+    exact decimal Σm / Σm² with a single sqrt; the percentile CI picks
+    ranked replicate means (rank 2 / 62 of 64) — no float folds
+    anywhere.
+
+    Scale shape: the replicate dimension explodes MAP-SIDE (×64 rows
+    feeding partial aggregation, so the shuffle carries at most
+    64 partials per map task, never 64× the data); the replicate
+    panel is 64 rows — the rank, SE, and CI are driver-trivial
+    folds over it.  At 100 TB this is scan-bound with a 64-row
+    reduction state."""
+    od = _t(spark, sf_dir, "orders")
+    reps = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    )
+    u = (
+        md5_int60(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("r").cast("string"),
+            )
+        )
+        % BOOT_U_MOD
+    ).cast("double") / BOOT_U_MOD
+    k = F.lit(len(BOOT_POISSON_CDF))
+    for i, c in reversed(list(enumerate(BOOT_POISSON_CDF))):
+        k = F.when(u < c, F.lit(i)).otherwise(k)
+    means = (
+        reps.select("r", "price", k.alias("k"))
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("k").cast("decimal(18,0)") * F.col("price"))
+                .cast("double")
+                / F.sum("k"),
+                6,
+            ).alias("m")
+        )
+    )
+    md = F.col("m").cast("decimal(20,6)")
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    # replicate-mean ranks via the range-bucketed two-phase cumsum
+    # (64-row panel, but the no-global-window rule holds repo-wide)
+    ranked = grouped_cumsum(
+        means.withColumn("one", F.lit(1)),
+        ["one"],
+        [("m", "asc"), ("r", "asc")],
+        val="one",
+        out="rk",
+    )
+    lo_rk = max(1, round(0.025 * BOOT_R))
+    hi_rk = round(0.975 * BOOT_R)
+    boot = ranked.agg(
+        F.round(F.sum(md).cast("double") / BOOT_R, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(md * md).cast("double")
+                    - F.sum(md).cast("double")
+                    * F.sum(md).cast("double")
+                    / BOOT_R
+                )
+                / (BOOT_R - 1)
+            ),
+            6,
+        ).alias("boot_se"),
+        F.min(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi"),
+    )
+    pt = od.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+    )
+    return pt.join(F.broadcast(boot)).select(
+        "n_orders",
+        "point_mean",
+        "boot_mean",
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+        (
+            (F.col("point_mean") >= F.col("ci_lo"))
+            & (F.col("point_mean") <= F.col("ci_hi"))
+        ).alias("point_in_ci"),
+    )

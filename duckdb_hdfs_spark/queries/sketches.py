@@ -806,3 +806,86 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+#: KMV sketch size: k smallest distinct hash values retained.  The
+#: estimator's relative standard error is ~1/sqrt(k-2) ≈ 6.3% at 256;
+#: the oracle pins the ESTIMATE bit-exactly (same md5-derived order
+#: statistics on both engines), and within_bound additionally asserts
+#: the estimate landed inside 4 standard errors of the exact count.
+KMV_K = 256
+#: 2^60 — the md5_int60 hash domain size (15 hex chars).
+KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH hs AS (SELECT DISTINCT {h} AS h FROM orders),
+bk AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}),
+kt AS (SELECT max(h) AS h_k, count(*) AS k_used FROM bk),
+ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT CAST(k_used AS BIGINT) AS k_used, h_k AS kth_min_hash,
+       round(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                  ELSE (k_used - 1) * {KMV_DOMAIN!r} / h_k END, 2)
+           AS kmv_est,
+       n_exact,
+       round(abs(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                      ELSE (k_used - 1) * {KMV_DOMAIN!r} / h_k END
+                 - n_exact) / n_exact, 4) AS rel_err,
+       abs(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE (k_used - 1) * {KMV_DOMAIN!r} / h_k END
+           - n_exact) / n_exact <= 0.25 AS within_bound
+FROM kt CROSS JOIN ex
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_kmv_oracle())
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the bottom-k formulation of Beyer et al. 2007): keep the KMV_K
+    smallest distinct hash values; est = (k-1) * DOMAIN / h_(k).
+    Completes the mergeable-summary family with the ORDER-STATISTICS
+    sketch: two KMV sets union by merge-and-truncate (keep the k
+    smallest of the union), so per-source / per-day sketches roll up
+    without rescanning — and unlike HLL, KMV supports set
+    INTERSECTION estimates natively (the k smallest of the union are
+    a uniform sample of the union).
+
+    Determinism: every order statistic is an exact md5-derived
+    integer, the estimator is one double expression over a 1-row
+    fold — bit-identical cross-engine (no float accumulation).
+
+    Scale shape: the hash projection is map-side; the distinct
+    collapses via partial aggregation (each map task emits its local
+    distinct hash set once); the bottom-k is TakeOrderedAndProject —
+    a bounded k-element heap per partition merged on the driver,
+    never a global sort.  A production rollup keeps only the k-hash
+    set per shard (mergeable); the exact-count arm here exists to
+    AUDIT the estimator and shares the scan."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    od = _t(spark, sf_dir, "orders")
+    hs = od.select(
+        md5_int60(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    bk = hs.orderBy("h").limit(KMV_K)
+    kt = bk.agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_used")
+    )
+    ex = od.agg(F.count_distinct("o_custkey").alias("n_exact"))
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise((F.col("k_used") - 1) * F.lit(KMV_DOMAIN) / F.col("h_k"))
+    rel = F.abs(est - F.col("n_exact")) / F.col("n_exact")
+    return kt.join(F.broadcast(ex)).select(
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.col("h_k").alias("kth_min_hash"),
+        F.round(est, 2).alias("kmv_est"),
+        "n_exact",
+        F.round(rel, 4).alias("rel_err"),
+        (rel <= 0.25).alias("within_bound"),
+    )

@@ -473,3 +473,171 @@ def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("has_pii").cast("double") / F.count(F.lit(1)), 6
         ).alias("pii_doc_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", Table A1 — the published heuristic filter set).
+GOPHER_WORDS_MIN = 50
+GOPHER_WORDS_MAX = 100_000
+GOPHER_MEAN_WLEN_MIN = 3.0
+GOPHER_MEAN_WLEN_MAX = 10.0
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+GOPHER_BULLET_FRAC_MAX = 0.9
+GOPHER_ELLIPSIS_FRAC_MAX = 0.3
+GOPHER_ALPHA_FRAC_MIN = 0.8
+GOPHER_STOPWORDS_MIN = 2
+#: the paper's required-stopword set
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    n = f"len({_TOKS})"
+    mean_wlen = (
+        f"CAST(list_reduce(list_transform({_TOKS}, t -> length(t)), "
+        f"(a, b) -> a + b) AS DOUBLE) / {n}"
+    )
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ell = "(length(text) - length(replace(text, '...', ''))) / 3"
+    lines = "string_split(text, chr(10))"
+    bullet_frac = (
+        f"CAST(len(list_filter({lines}, l ->"
+        f" substr(ltrim(l), 1, 1) IN ('-', '*'))) AS DOUBLE) / len({lines})"
+    )
+    ell_frac = (
+        f"CAST(len(list_filter({lines}, l ->"
+        f" substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) AS DOUBLE)"
+        f" / len({lines})"
+    )
+    alpha_frac = (
+        f"CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))"
+        f" AS DOUBLE) / {n}"
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    n_stops = f"len(list_filter([{stops}], w -> list_contains({_TOKS}, w)))"
+    rules = {
+        "f_words": f"({n} < {GOPHER_WORDS_MIN} OR {n} > {GOPHER_WORDS_MAX})",
+        "f_wlen": f"({mean_wlen} < {GOPHER_MEAN_WLEN_MIN}"
+        f" OR {mean_wlen} > {GOPHER_MEAN_WLEN_MAX})",
+        "f_symbol": f"(CAST({n_hash} + {n_ell} AS DOUBLE) / {n}"
+        f" > {GOPHER_SYMBOL_RATIO_MAX})",
+        "f_bullet": f"({bullet_frac} > {GOPHER_BULLET_FRAC_MAX})",
+        "f_ellipsis": f"({ell_frac} > {GOPHER_ELLIPSIS_FRAC_MAX})",
+        "f_alpha": f"({alpha_frac} < {GOPHER_ALPHA_FRAC_MIN})",
+        "f_stop": f"({n_stops} < {GOPHER_STOPWORDS_MIN})",
+    }
+    flags = ", ".join(
+        f"CASE WHEN {expr} THEN 1 ELSE 0 END AS {name}"
+        for name, expr in rules.items()
+    )
+    sums = ", ".join(
+        f"CAST(sum({name}) AS BIGINT) AS n_{name}" for name in rules
+    )
+    any_fail = " + ".join(rules.keys())
+    return f"""
+WITH flagged AS (SELECT source, {flags} FROM documents)
+SELECT source, count(*) AS n_docs, {sums},
+       CAST(sum(CASE WHEN {any_fail} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_all,
+       round(CAST(sum(CASE WHEN {any_fail} = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pass_rate
+FROM flagged GROUP BY source
+"""
+
+
+@query("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality-filter panel (Rae et al. 2021 Table A1)
+    aggregated by source: word-count band, mean-word-length band,
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, and the required-stopword floor — the
+    RULE-LEVEL breakdown a curation run reads to see WHICH filter is
+    biting a source (text_quality scores a composite; the keep/drop
+    verdict is pipeline_quality_filter; this is the per-rule audit
+    between them).
+
+    Determinism: every signal is integer counting plus one final
+    division (single IEEE op) — bit-identical cross-engine.
+
+    Scale shape: pure map work over the documents scan (one token
+    split feeds every rule; lines split only for the two line rules)
+    followed by one partial-aggregated group-by on the low-cardinality
+    source key — scan-bound at 100 TB, zero joins, zero windows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ell_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(
+                    F.rtrim(l), -3, 3
+                ) == "...",
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    n_stops = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    rules = {
+        "f_words": (n < GOPHER_WORDS_MIN) | (n > GOPHER_WORDS_MAX),
+        "f_wlen": (mean_wlen < GOPHER_MEAN_WLEN_MIN)
+        | (mean_wlen > GOPHER_MEAN_WLEN_MAX),
+        "f_symbol": (n_hash + n_ell).cast("double") / n
+        > GOPHER_SYMBOL_RATIO_MAX,
+        "f_bullet": bullet_frac > GOPHER_BULLET_FRAC_MAX,
+        "f_ellipsis": ell_frac > GOPHER_ELLIPSIS_FRAC_MAX,
+        "f_alpha": alpha_frac < GOPHER_ALPHA_FRAC_MIN,
+        "f_stop": n_stops < GOPHER_STOPWORDS_MIN,
+    }
+    flagged = docs.select(
+        "source",
+        *[
+            F.when(expr, 1).otherwise(0).alias(name)
+            for name, expr in rules.items()
+        ],
+    )
+    any_fail = sum(F.col(name) for name in rules)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(name).cast("bigint").alias(f"n_{name}")
+            for name in rules
+        ],
+        F.sum(F.when(any_fail == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_all"),
+        F.round(
+            F.sum(F.when(any_fail == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_rate"),
+    )
