@@ -2184,3 +2184,288 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("point_mean") <= F.col("ci_hi"))
         ).alias("point_in_ci"),
     )
+
+
+# --------------------------------------------------------------------------
+#: chi-square 5% critical values by dof — fixed literals both engines.
+KW_CHI2_CRIT = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592}
+
+
+def _kw_crit_sql(dof: str) -> str:
+    cases = " ".join(
+        f"WHEN {dof} = {d} THEN {c!r}" for d, c in KW_CHI2_CRIT.items()
+    )
+    return f"CASE {cases} END"
+
+
+def _kruskal_oracle() -> str:
+    return f"""
+WITH q AS (
+    SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
+    FROM lineitem
+),
+pvg AS (SELECT x, grp, count(*) AS c_g FROM q GROUP BY x, grp),
+pv AS (SELECT x, sum(c_g) AS c FROM pvg GROUP BY x),
+cum AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cumc FROM pv),
+rg AS (
+    SELECT grp,
+           sum(CAST(c_g AS DECIMAL(38,0))
+               * CAST(2 * cumc - c + 1 AS DECIMAL(38,0))) AS r2_g,
+           CAST(sum(c_g) AS DOUBLE) AS n_g
+    FROM pvg JOIN cum USING (x) GROUP BY grp
+),
+tie AS (
+    SELECT CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS DOUBLE) AS tie3,
+           CAST(sum(c) AS DOUBLE) AS n
+    FROM pv
+),
+terms AS (
+    SELECT grp, n_g,
+           CAST(r2_g AS DOUBLE) / 2 / n_g AS mean_rank,
+           CAST(round((CAST(r2_g AS DOUBLE) / 2)
+                      * (CAST(r2_g AS DOUBLE) / 2) / n_g, 4)
+                AS DECIMAL(38,4)) AS term
+    FROM rg
+),
+h AS (
+    SELECT 12 / (n * (n + 1)) * CAST(sum(term) AS DOUBLE) - 3 * (n + 1)
+               AS h_raw,
+           count(*) - 1 AS dof, tie3, n
+    FROM terms CROSS JOIN tie
+    GROUP BY tie3, n
+)
+SELECT t.grp, CAST(t.n_g AS BIGINT) AS n_g,
+       round(t.mean_rank, 4) AS mean_rank,
+       round(h.h_raw / (1 - h.tie3 / (h.n * h.n * h.n - h.n)), 6)
+           AS h_stat,
+       CAST(h.dof AS BIGINT) AS dof,
+       h.h_raw / (1 - h.tie3 / (h.n * h.n * h.n - h.n))
+           > {_kw_crit_sql("h.dof")} AS significant_5pct
+FROM terms t CROSS JOIN h
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_kruskal_oracle())
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (the k-group extension of
+    stats_mann_whitney): are the l_quantity distributions of the
+    return-flag cohorts shifted?  Rank-based one-way ANOVA with the
+    tie-corrected statistic H' = H / (1 − Σ(c³−c)/(n³−n)) — the
+    nonparametric gate before pairwise rank tests.
+
+    Determinism: the Mann-Whitney recipe generalized — value-grain
+    panel, DOUBLED average ranks (2·cum − c + 1) as exact integers,
+    per-group rank sums in DECIMAL(38,0); each group's squared-rank
+    term rounds to 4dp then sums in DECIMAL (reducer-order-free);
+    the final H assembly is one fixed-order double expression.
+
+    Scale shape: one partial-aggregated shuffle to (value, group)
+    grain (bounded by the 50-value quantity domain × 3 flags), the
+    global cumulative count through operators/ranks.grouped_cumsum
+    under a constant group, and a 3-row fold — never per-row ranks."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    pvg = q.groupBy("x", "grp").agg(F.count(F.lit(1)).alias("c_g"))
+    pv = pvg.groupBy("x").agg(F.sum("c_g").alias("c")).withColumn(
+        "__g", F.lit(1)
+    )
+    cum = grouped_cumsum(pv, ["__g"], [("x", "asc")], val="c", out="cumc")
+    rg = (
+        pvg.join(cum.select("x", "c", "cumc"), "x")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("c_g").cast("decimal(38,0)")
+                * (2 * F.col("cumc") - F.col("c") + 1).cast("decimal(38,0)")
+            ).alias("r2_g"),
+            F.sum("c_g").cast("double").alias("n_g"),
+        )
+    )
+    tie = cum.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        )
+        .cast("double")
+        .alias("tie3"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    half_r = F.col("r2_g").cast("double") / 2
+    terms = rg.select(
+        "grp",
+        "n_g",
+        (half_r / F.col("n_g")).alias("mean_rank"),
+        F.round(half_r * half_r / F.col("n_g"), 4)
+        .cast("decimal(38,4)")
+        .alias("term"),
+    )
+    h = (
+        terms.join(F.broadcast(tie))
+        .groupBy("tie3", "n")
+        .agg(
+            (
+                12 / (F.col("n") * (F.col("n") + 1))
+                * F.sum("term").cast("double")
+                - 3 * (F.col("n") + 1)
+            ).alias("h_raw"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+        )
+    )
+    corr = F.col("h_raw") / (
+        1 - F.col("tie3") / (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+    )
+    crit = F.lit(None).cast("double")
+    for d, c in KW_CHI2_CRIT.items():
+        crit = F.when(F.col("dof") == d, F.lit(c)).otherwise(crit)
+    return terms.join(F.broadcast(h)).select(
+        "grp",
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.round("mean_rank", 4).alias("mean_rank"),
+        F.round(corr, 6).alias("h_stat"),
+        F.col("dof").cast("bigint").alias("dof"),
+        (corr > crit).alias("significant_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _theil_sen_oracle() -> str:
+    return """
+WITH m AS (
+    SELECT (year(o_orderdate) - 1990) * 12 + month(o_orderdate) AS t,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY t
+),
+pairs AS (
+    SELECT CAST(round((b.y - a.y) / (b.t - a.t), 6) AS DECIMAL(28,6)) AS s
+    FROM m a JOIN m b ON a.t < b.t
+),
+pv AS (SELECT s, count(*) AS c FROM pairs GROUP BY s),
+cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cumc FROM pv),
+np AS (SELECT count(*) AS n_pairs FROM pairs),
+med AS (
+    SELECT (min(CASE WHEN cumc >= (n_pairs + 1) // 2 THEN s END)
+            + min(CASE WHEN cumc >= n_pairs // 2 + 1 THEN s END)) / 2
+               AS ts_slope
+    FROM cum CROSS JOIN np
+),
+ols AS (
+    SELECT count(*) AS n_months,
+           (count(*) * CAST(sum(CAST(t AS DECIMAL(28,6))
+                                * CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+            - CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)
+              * CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
+           / (count(*) * CAST(sum(CAST(t AS DECIMAL(28,0)) * t) AS DOUBLE)
+              - CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)
+                * CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)) AS ols
+    FROM m
+)
+SELECT CAST(n_months AS BIGINT) AS n_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(CAST(ts_slope AS DOUBLE), 6) AS ts_slope,
+       round(ols, 6) AS ols_slope,
+       round(CAST(ts_slope AS DOUBLE) - ols, 6) AS robust_minus_ols
+FROM med CROSS JOIN ols CROSS JOIN np
+"""
+
+
+@query("stats_theil_sen_slope", oracle=_theil_sen_oracle())
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes of
+    the monthly-revenue panel, beside the OLS slope
+    (stats_linear_regression's estimator) — 29% outlier breakdown vs
+    OLS's zero; the difference column is the outlier-influence
+    diagnostic.
+
+    Determinism: the panel aggregates in DECIMAL; each pairwise slope
+    is one double division rounded to 6dp then DECIMAL-grained, so the
+    median picks exact ranked values through the range-bucketed
+    cumsum; even pair counts average the two middles in decimal.
+
+    Scale shape: the O(d²) pair set is CALENDAR-BOUNDED (d = months,
+    so ~84 rows → 3.5k pairs regardless of order volume) and builds
+    via a broadcast nested-loop join of the tiny panel against
+    itself; the raw orders scan collapses to month grain through one
+    partial-aggregated shuffle.  The median never sorts globally —
+    value-grain counts + grouped_cumsum, the Mann-Whitney recipe."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    od = _t(spark, sf_dir, "orders")
+    m = (
+        od.groupBy(
+            (
+                (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")
+            ).alias("t")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = m.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = m.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    pairs = F.broadcast(a).join(b, F.col("t1") < F.col("t2")).select(
+        F.round(
+            (F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1")), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("s")
+    )
+    pv = (
+        pairs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__g", F.lit(1))
+    )
+    cum = grouped_cumsum(pv, ["__g"], [("s", "asc")], val="c", out="cumc")
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    lo_rank = F.floor((F.col("n_pairs") + 1) / 2)
+    hi_rank = F.floor(F.col("n_pairs") / 2) + 1
+    med = (
+        cum.join(F.broadcast(np_))
+        .agg(
+            (
+                (
+                    F.min(F.when(F.col("cumc") >= lo_rank, F.col("s")))
+                    + F.min(F.when(F.col("cumc") >= hi_rank, F.col("s")))
+                )
+                / 2
+            ).alias("ts_slope"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+    td = F.col("t").cast("decimal(28,0)")
+    yd = F.col("y").cast("decimal(28,6)")
+    ols = m.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(td).alias("st"),
+        F.sum(yd).alias("sy"),
+        F.sum(td * F.col("t")).alias("stt"),
+        F.sum(td.cast("decimal(28,6)") * yd).alias("sty"),
+    ).select(
+        "n_months",
+        (
+            (
+                F.col("n_months") * F.col("sty").cast("double")
+                - F.col("st").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n_months") * F.col("stt").cast("double")
+                - F.col("st").cast("double") * F.col("st").cast("double")
+            )
+        ).alias("ols"),
+    )
+    return med.join(F.broadcast(ols)).select(
+        F.col("n_months").cast("bigint").alias("n_months"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("ts_slope").cast("double"), 6).alias("ts_slope"),
+        F.round("ols", 6).alias("ols_slope"),
+        F.round(
+            F.col("ts_slope").cast("double") - F.col("ols"), 6
+        ).alias("robust_minus_ols"),
+    )

@@ -1662,3 +1662,139 @@ def ev_bot_score_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p1 + p2).alias("bot_score"),
         ((p1 + p2) >= 2).alias("is_bot"),
     )
+
+
+# --------------------------------------------------------------------------
+#: CUSUM drift allowance (k, in σ units) and alarm threshold (h):
+#: the textbook σ/2 slack + 4σ decision interval (Page 1954; Montgomery
+#: SPC).  Fixed literals shared by both engines.
+CUSUM_K = "0.5"
+CUSUM_H = "4.0"
+
+
+def _cusum_oracle() -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS c
+    FROM events GROUP BY event_type, day
+),
+st AS (
+    SELECT event_type, count(*) AS n_days,
+           sum(CAST(c AS DECIMAL(20,0))) AS sc,
+           sum(CAST(c AS DECIMAL(20,0)) * c) AS sc2
+    FROM daily GROUP BY event_type
+),
+z AS (
+    SELECT d.event_type, d.day, d.c,
+           CAST(round((d.c - CAST(sc AS DOUBLE) / n_days)
+                      / nullif(sqrt((CAST(sc2 AS DOUBLE)
+                                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                                       / n_days)
+                                    / (n_days - 1)), 0), 6)
+                AS DECIMAL(20,6)) AS z
+    FROM daily d JOIN st USING (event_type)
+),
+p AS (
+    SELECT event_type, day, c, z,
+           sum(z - {CUSUM_K}) OVER w AS p_pos,
+           sum(-z - {CUSUM_K}) OVER w AS p_neg
+    FROM z
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+    SELECT event_type, day, c, z,
+           p_pos - least(CAST(0 AS DECIMAL(38,6)), min(p_pos) OVER w)
+               AS s_pos,
+           p_neg - least(CAST(0 AS DECIMAL(38,6)), min(p_neg) OVER w)
+               AS s_neg
+    FROM p
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, c AS n_events,
+       CAST(z AS DOUBLE) AS z_day,
+       round(CAST(s_pos AS DOUBLE), 6) AS cusum_pos,
+       round(CAST(s_neg AS DOUBLE), 6) AS cusum_neg,
+       s_pos > {CUSUM_H} OR s_neg > {CUSUM_H} AS drift_alarm
+FROM s
+"""
+
+
+@query("ev_cusum_changepoint", oracle=_cusum_oracle())
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection on daily event counts per type
+    (Page 1954): standardized residuals accumulate through
+    Sₜ = max(0, Sₜ₋₁ + zₜ − k) on each side; an alarm fires when
+    either side exceeds h — the SEQUENTIAL changepoint monitor that
+    catches slow drifts the per-day z-score (ev_anomaly_zscore) and
+    EWMA (ev_anomaly_ewma) baselines miss, completing the anomaly
+    family.  The max(0, ·) recursion is NOT a recurrence at the
+    engine level: Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ) with P the plain
+    cumulative sum of (z − k), so two stock windows (cumsum, running
+    min) express it exactly.
+
+    Determinism: per-type mean/σ assemble from exact integer count
+    sums with one division and one √; z rounds to 6dp then enters
+    DECIMAL, so both window accumulations are exact — no float folds.
+
+    Scale shape: the shuffle collapses events to the (type, day)
+    panel via partial aggregation; both windows run over that
+    CALENDAR-BOUNDED panel (rows = days × types, independent of event
+    volume), so the per-type partitions stay small at any corpus
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast("decimal(20,0)")).alias("sc"),
+        F.sum(F.col("c").cast("decimal(20,0)") * F.col("c")).alias("sc2"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n_days")
+    std = F.sqrt(
+        (
+            F.col("sc2").cast("double")
+            - F.col("sc").cast("double")
+            * F.col("sc").cast("double")
+            / F.col("n_days")
+        )
+        / (F.col("n_days") - 1)
+    )
+    z = (
+        F.round((F.col("c") - mean) / F.nullif(std, F.lit(0.0)), 6)
+        .cast("decimal(20,6)")
+        .alias("z")
+    )
+    zd = daily.join(F.broadcast(st), "event_type").select(
+        "event_type", "day", "c", z
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.lit(CUSUM_K).cast("decimal(20,6)")
+    p = zd.select(
+        "event_type",
+        "day",
+        "c",
+        "z",
+        F.sum(F.col("z") - k).over(w).alias("p_pos"),
+        F.sum(-F.col("z") - k).over(w).alias("p_neg"),
+    )
+    zero = F.lit("0").cast("decimal(38,6)")
+    s_pos = F.col("p_pos") - F.least(zero, F.min("p_pos").over(w))
+    s_neg = F.col("p_neg") - F.least(zero, F.min("p_neg").over(w))
+    h = F.lit(CUSUM_H).cast("decimal(20,6)")
+    return p.select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        F.col("z").cast("double").alias("z_day"),
+        F.round(s_pos.cast("double"), 6).alias("cusum_pos"),
+        F.round(s_neg.cast("double"), 6).alias("cusum_neg"),
+        ((s_pos > h) | (s_neg > h)).alias("drift_alarm"),
+    )
