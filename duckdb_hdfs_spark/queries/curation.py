@@ -637,9 +637,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM joins run against it — prefix counts derive FROM the bigram
     vocab (sum over first words), never a second corpus pass.  Same
     decimal log-sum discipline as the unigram op."""
+    return _doc_bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _doc_bigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob) under the corpus's own bigram
+    LM — the text_bigram_logprob body, shared with the perplexity
+    bucketing (corpus_perplexity_buckets)."""
     from duckdb_hdfs_spark.functions.hashing import word_kgrams
 
-    docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     # word_kgrams pads short docs with '' tails; drop any bigram
     # touching an empty token (mirrors the oracle's LIKE filters)
@@ -1335,5 +1341,105 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("dsir_logratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+#: CCNet-style perplexity bucket labels, ordered best-fluency first.
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def _ppl_buckets_oracle() -> str:
+    return f"""
+WITH {_BIGRAMS_SQL},
+lp AS (
+    SELECT doc_id,
+           round(CAST(sum(
+               CAST(n_b AS DECIMAL(20, 8))
+               * CAST(round(ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE)), 6)
+                      AS DECIMAL(20, 8))
+           ) AS DOUBLE) / sum(n_b), 4) AS mean_logprob
+    FROM bgf
+    JOIN bvocab USING (bigram)
+    JOIN uvocab ON split_part(bigram, ' ', 1) = uvocab.w1
+    GROUP BY doc_id
+),
+panel AS (
+    SELECT d.lang, lp.mean_logprob,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY lp.mean_logprob DESC, lp.doc_id) AS rk,
+           count(*) OVER (PARTITION BY d.lang) AS n
+    FROM lp JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE least(2, (3 * (rk - 1)) // n)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(mean_logprob AS DECIMAL(20,4))) AS DOUBLE)
+             / count(*), 4) AS avg_logprob,
+       min(mean_logprob) AS min_logprob,
+       max(mean_logprob) AS max_logprob
+FROM panel GROUP BY lang, bucket
+"""
+
+
+@query("corpus_perplexity_buckets", oracle=_ppl_buckets_oracle())
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail fluency bucketing (Wenzek et al.
+    2020): rank every document by its bigram-LM mean log-probability
+    WITHIN ITS LANGUAGE (per-language terciles — the step that keeps
+    low-resource languages from being judged by the high-resource
+    model's scale) and summarize each bucket.  Corpus pipelines keep
+    head+middle and drop or down-weight tail.
+
+    Determinism: the per-doc score is text_bigram_logprob's exact
+    recipe (shared helper); ranks order by (score DESC, doc_id); the
+    tercile index least(2, 3·(rk−1) div n) is pure integer math; the
+    bucket average sums 4dp scores in DECIMAL.
+
+    Scale shape: the LM panel inherits the bigram op's shape (bounded
+    vocab checkpoint, partial-agged shuffles); the per-language rank
+    runs through operators/ranks.grouped_cumsum (range-bucketed —
+    never one task per language, even with 5 languages over 10⁹
+    docs); output is ≤ 3·|langs| rows."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = _doc_bigram_logprob(docs).select("doc_id", "mean_logprob")
+    panel = lp.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "one", F.lit(1)
+    )
+    ranked = grouped_cumsum(
+        panel,
+        ["lang"],
+        [("mean_logprob", "desc"), ("doc_id", "asc")],
+        val="one",
+        out="rk",
+    )
+    n = panel.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    bucket_ix = F.least(
+        F.lit(2), F.expr("(3 * (rk - 1)) div n")
+    )
+    bucket = (
+        F.when(bucket_ix == 0, PPL_BUCKETS[0])
+        .when(bucket_ix == 1, PPL_BUCKETS[1])
+        .otherwise(PPL_BUCKETS[2])
+    )
+    return (
+        ranked.join(F.broadcast(n), "lang")
+        .select("lang", bucket.alias("bucket"), "mean_logprob")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("mean_logprob").cast("decimal(20,4)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+            F.min("mean_logprob").alias("min_logprob"),
+            F.max("mean_logprob").alias("max_logprob"),
         )
     )

@@ -67,3 +67,81 @@ def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("max_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+def _hilbert_oracle() -> str:
+    from duckdb_hdfs_spark.operators.layout import (
+        hilbert_decode_sql,
+        hilbert_key_sql,
+    )
+
+    keyed = hilbert_key_sql("user_id & 255", "CAST(floor(value) AS BIGINT) & 255", 8, "events")
+    tiles = f"""
+SELECT (hkey >> 8) AS tile,
+       count(*) AS n_events,
+       min(hx) AS min_a, max(hx) AS max_a,
+       min(hy) AS min_b, max(hy) AS max_b
+FROM ({keyed}) GROUP BY tile
+"""
+    decoded = hilbert_decode_sql("tile", 4, f"({tiles})")
+    return f"""
+SELECT tile, hdx AS tile_x, hdy AS tile_y, n_events,
+       min_a, max_a, min_b, max_b,
+       min_a >= hdx * 16 AND max_a < hdx * 16 + 16
+       AND min_b >= hdy * 16 AND max_b < hdy * 16 + 16 AS bounds_ok
+FROM ({decoded})
+"""
+
+
+@query("layout_hilbert_tiles", oracle=_hilbert_oracle())
+def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-tile audit of the events table — the locality upgrade
+    of layout_zorder_tiles: the same (user_id, floor(value)) 8-bit
+    grid keyed by the Hilbert curve (operators/layout.hilbert_key —
+    the 4-state quadrant automaton as pure arithmetic + 16-element
+    array lookups, whole-stage-codegen friendly), aggregated per
+    256-position tile.  Each tile is an axis-aligned 16×16 square
+    (bounds_ok pins it via the INVERSE automaton's decoded tile
+    coords), and unlike Morton tiles, consecutive Hilbert tiles are
+    always edge-adjacent — range reads over the curve touch
+    contiguous regions, the property that cuts seek gaps when a
+    clustered table is range-scanned on both dimensions.
+
+    Scale: one map-side key computation + one partial-aggregated
+    group-by on a 256-value key; the decode runs on the 256-row tile
+    panel — no joins, no windows, one scan."""
+    from duckdb_hdfs_spark.operators.layout import hilbert_decode, hilbert_key
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id").bitwiseAND(F.lit(255))
+    b = F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(255))
+    keyed = ev.select(
+        a.alias("hx"),
+        b.alias("hy"),
+        hilbert_key(a, b, bits=8).alias("hkey"),
+    )
+    tiles = keyed.groupBy(F.shiftright(F.col("hkey"), 8).alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("hx").alias("min_a"),
+        F.max("hx").alias("max_a"),
+        F.min("hy").alias("min_b"),
+        F.max("hy").alias("max_b"),
+    )
+    tx, ty = hilbert_decode(F.col("tile"), 4)
+    return tiles.select(
+        "tile",
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        "n_events",
+        "min_a",
+        "max_a",
+        "min_b",
+        "max_b",
+        (
+            (F.col("min_a") >= tx * 16)
+            & (F.col("max_a") < tx * 16 + 16)
+            & (F.col("min_b") >= ty * 16)
+            & (F.col("max_b") < ty * 16 + 16)
+        ).alias("bounds_ok"),
+    )

@@ -144,3 +144,134 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
         zorder_key_sql([f"c{i}" for i in range(8)], bits=8)
     # 8 dims at 7 bits (56 positions) is fine
     zorder_key(cols, bits=7)
+
+
+# --------------------------------------------------------------------------
+def _hilbert_ref(order: int, x: int, y: int) -> int:
+    """Classic rotation-based xy2d (the published reference algorithm)
+    — the ground truth the quadrant-automaton tables are pinned to."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_tables_match_reference_exhaustively():
+    """Walk the 4-state automaton tables in pure Python over EVERY
+    cell of the 2^8 grid (65,536 points) and every smaller order:
+    forward == the rotation algorithm, decode(forward) round-trips.
+    The Spark and DuckDB implementations both read these tables, so
+    this pins the curve itself; oracle parity pins the engines."""
+    from duckdb_hdfs_spark.operators.layout import (
+        HILBERT_DIGIT,
+        HILBERT_INV_BX,
+        HILBERT_INV_BY,
+        HILBERT_INV_NEXT,
+        HILBERT_NEXT,
+    )
+
+    def walk(order, x, y):
+        st = d = 0
+        for i in range(order):
+            sh = order - 1 - i
+            q = ((x >> sh) & 1) * 2 + ((y >> sh) & 1)
+            idx = st * 4 + q
+            d = d * 4 + HILBERT_DIGIT[idx]
+            st = HILBERT_NEXT[idx]
+        return d
+
+    def unwalk(order, d):
+        st = x = y = 0
+        for i in range(order):
+            dig = (d >> (2 * (order - 1 - i))) & 3
+            idx = st * 4 + dig
+            x = x * 2 + HILBERT_INV_BX[idx]
+            y = y * 2 + HILBERT_INV_BY[idx]
+            st = HILBERT_INV_NEXT[idx]
+        return x, y
+
+    for order in (1, 2, 4, 8):
+        n = 1 << order
+        for x in range(n):
+            for y in range(n):
+                d = walk(order, x, y)
+                assert d == _hilbert_ref(order, x, y), (order, x, y)
+                assert unwalk(order, d) == (x, y), (order, x, y)
+
+
+def test_hilbert_spark_key_matches_tables(spark):
+    """The Spark column expression must equal the pure-Python table
+    walk on a full 32×32 grid (and the decode must round-trip)."""
+    from duckdb_hdfs_spark.operators.layout import (
+        HILBERT_DIGIT,
+        HILBERT_NEXT,
+        hilbert_decode,
+        hilbert_key,
+    )
+
+    def walk(order, x, y):
+        st = d = 0
+        for i in range(order):
+            sh = order - 1 - i
+            q = ((x >> sh) & 1) * 2 + ((y >> sh) & 1)
+            idx = st * 4 + q
+            d = d * 4 + HILBERT_DIGIT[idx]
+            st = HILBERT_NEXT[idx]
+        return d
+
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    dx, dy = hilbert_decode(hilbert_key(F.col("x"), F.col("y"), bits=5), 5)
+    rows = grid.select(
+        "x",
+        "y",
+        hilbert_key(F.col("x"), F.col("y"), bits=5).alias("d"),
+        dx.alias("rx"),
+        dy.alias("ry"),
+    ).collect()
+    assert len(rows) == 1024
+    for r in rows:
+        assert r["d"] == walk(5, r["x"], r["y"]), (r["x"], r["y"])
+        assert (r["rx"], r["ry"]) == (r["x"], r["y"])
+
+
+def test_hilbert_adjacency_beats_morton(spark):
+    """The claim the operator exists for: consecutive Hilbert
+    positions are ALWAYS edge-adjacent cells (total step distance ==
+    n-1 over the full 16×16 traversal), while Morton order jumps
+    (strictly larger total Chebyshev travel)."""
+    from duckdb_hdfs_spark.operators.layout import hilbert_decode
+
+    n = 256
+    d = spark.range(n).select(F.col("id").alias("d"))
+    hx, hy = hilbert_decode(F.col("d"), 4)
+    pts = {r["d"]: (r["x"], r["y"]) for r in d.select("d", hx.alias("x"), hy.alias("y")).collect()}
+    h_travel = sum(
+        max(abs(pts[i + 1][0] - pts[i][0]), abs(pts[i + 1][1] - pts[i][1]))
+        for i in range(n - 1)
+    )
+
+    def morton_decode(z):
+        x = y = 0
+        for i in range(4):
+            x |= ((z >> (2 * i + 1)) & 1) << i
+            y |= ((z >> (2 * i)) & 1) << i
+        return x, y
+
+    m = {z: morton_decode(z) for z in range(n)}
+    m_travel = sum(
+        max(abs(m[i + 1][0] - m[i][0]), abs(m[i + 1][1] - m[i][1]))
+        for i in range(n - 1)
+    )
+    assert h_travel == n - 1, h_travel
+    assert m_travel > h_travel, (m_travel, h_travel)
