@@ -71,92 +71,80 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-8 allocation (VERDICT r6
-# "Next round" #1 + #8, executed on schedule): the 18 keys that have
-# NEVER had a driver CORRECTNESS row after round 7's 50/50-green window
-# (CORRECTNESS_r07.json), PLUS the 8 keys added this round — together
-# they close the "EVERY operator has a green driver row" clause at
-# 275/275 in THIS round — followed by 24 stale re-verifies ranked
-# staleness × round-7 code churn: first the 16 dedup/sim keys whose
-# implementation changed in the round-7 graded-rebalance /
-# bucket_cells refactor (operators/rebalance.py, operators/dedup.py)
-# and whose latest driver row predates it (r3), then 8 of the
-# untouched r3-stale set, oldest coverage first.  (All 26 never-
-# driver-checked keys are green in this session's full sf0.01 local
-# oracle sweep, including a shuffle.partitions=7 determinism probe.)
+# Keep this list at exactly ≤50 names.  Round-9 allocation: round 8
+# closed cumulative driver coverage at 275/275 (zero failures ever),
+# so the window becomes (a) the 8 operators ADDED this round — every
+# new key earns its driver row the round it lands — and (b) 42 stale
+# re-verifies on fresh testdata, oldest driver coverage first: all 25
+# keys whose latest row is round 3, then the 17 oldest round-4 keys
+# (tpch micro-set, cdc, sketches, the llmextra text/dedup wave).
+# All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 18-key remainder: never driver-checked (closes 267/267) ---
-    "text_code_detection",
-    "text_tokenizer_fertility",
-    "text_pii_prevalence",
-    "emb_dim_variance",
-    "orders_pareto_deciles",
-    "asof_left_view_purchase",
-    "stats_welch_ttest",
-    "orders_cohort_revenue",
-    "ev_first_touch_attribution",
-    "orders_repeat_intervals",
-    "orders_market_basket",
-    "orders_priority_drift",
-    "orders_abc_class",
-    "orders_monthly_growth",
-    "orders_segment_migration",
-    "supplier_concentration_hhi",
-    "orders_seasonality_index",
-    "stats_linear_regression",
-    # --- r3-stale keys whose code changed in round 7 (rebalance /
-    # --- bucket_cells refactor): re-verify on fresh testdata (16) ---
-    "dedup_minhash_lsh",
-    "dedup_minhash_pairs",
-    "dedup_minhash_est",
-    "dedup_simhash",
-    "dedup_cc_clusters",
-    "dedup_embedding_cos",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "sim_bruteforce_topk",
-    "sim_knn_join",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "sim_recall_eval",
-    "sim_embedding_norms",
-    # --- untouched r3-stale keys, oldest driver coverage first (16) ---
-    "text_token_stats",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_ngram_freq",
-    "text_chunk_windows",
-    "text_scrub_pii",
-    # --- the 8 round-8 additions: never driver-checked; including
-    # --- them here closes the 275/275 bar THIS round ---
-    "dedup_semdedup",
-    "text_dsir_weights",
-    "stats_chi2_independence",
-    "stats_mann_whitney",
-    "stats_ks_test",
-    "orders_forecast_holt",
-    "sql_qualify",
-    "sim_ivf_pq_topk",
+    # --- the 8 round-9 additions: never driver-checked ---
+    "sketch_kmv_distinct",
+    "text_gopher_rules",
+    "stats_bootstrap_ci",
+    "ev_cusum_changepoint",
+    "stats_kruskal_wallis",
+    "stats_theil_sen_slope",
+    "corpus_perplexity_buckets",
+    "layout_hilbert_tiles",
+    # --- all 25 r3-stale keys (latest driver row: round 3) ---
+    "asof_purchase_last_view",
+    "corpus_mix_sample",
+    "distinct_users_approx",
+    "ev_value_histogram",
+    "fs_describe_tables",
+    "fs_read_parquet",
+    "fs_sql_path",
+    "fs_write_parquet",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "pack_context_windows",
+    "range_join_view_purchases",
+    "sample_hash_split",
+    "sql_array_funcs",
+    "sql_conditional_funcs",
+    "sql_date_funcs",
+    "sql_set_ops",
+    "sql_string_funcs",
+    "stats_moments",
+    "stats_quantiles",
+    "streaming_windowed_counts",
+    "text_levenshtein_pairs",
+    "unpivot_event_metrics",
+    # --- 17 oldest r4-stale keys ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_lateness",
+    "q14_promo_revenue",
+    "cdc_merge_orders",
+    "cdc_scd2_priority_history",
+    "sketch_hll_distinct",
+    "sketch_heavy_hitters",
+    "sketch_quantiles_approx",
+    "text_tfidf_topk",
+    "text_repetition",
+    "text_contamination",
+    "dedup_prefix_groups",
+    "sim_ann_filtered",
+    "pipeline_quality_filter",
 )
 
-# Round-9+ rotation pool — after the round-8 window above goes green,
-# EVERY registry key has a driver row and the rotation becomes pure
-# stale re-verification, oldest coverage first.  Round-9 window =
-# the 8 untouched r3-stale keys displaced from the round-8 window
-# (asof_purchase_last_view, range_join_view_purchases,
-# sample_hash_split, stats_quantiles, stats_moments,
-# pack_context_windows, corpus_mix_sample, streaming_windowed_counts)
-# + the last 17 r3-stale keys (sqlfuncs string/date/conditional/set/
-# array classes, mm_binary_meta / mm_decode_features / mm_resize /
-# mm_frame_sample, fs_read_parquet / fs_write_parquet / fs_sql_path /
-# fs_describe_tables, ev_value_histogram, distinct_users_approx,
-# dedup_cc_clusters'-family leftovers), then the oldest of the 50
-# r4-stale keys (tpch q1/q3/q5/q6/q12/q14, llmextra wave, events r4
-# wave, cdc, sketches, streaming r4 wave), then r5.
+# Round-10+ rotation pool — coverage stays total (every key has a
+# driver row; r9 re-verified all r3 stragglers), so future windows =
+# any keys added that round, then stale re-verification oldest-first:
+# the 33 remaining r4 keys (events r4 wave, streaming r4 wave, fs
+# csv/orc/gzip/prune family, win_moving_avg / win_running_total /
+# win_time_range_frame, emb/llmextra leftovers: bpe_pair_counts,
+# emb_gram_matrix, emb_int8_quantize, emb_kmeans_update,
+# emb_pca_project, sample_stratified_topk, skew_salted_event_stats,
+# text_span_dedup, time_decay_engagement, layout_zorder_tiles,
+# ev_* r4 wave), then the r5 set.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

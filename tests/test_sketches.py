@@ -54,3 +54,27 @@ def test_mg_exact_when_under_capacity():
     est, mass = _run_mg(values, capacity=8)
     assert est == {1: 10, 2: 5, 3: 1}
     assert mass == 16
+
+
+# --------------------------------------------------------------------------
+def test_kmv_sketches_are_mergeable():
+    """The property the KMV op exists for: merge-and-truncate of two
+    shards' bottom-k sets == the bottom-k of the union, and the
+    estimator from the merged sketch tracks the union's distinct
+    count — verified in pure Python on the same md5 hash the
+    engines use."""
+    import hashlib
+
+    def h(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    k = 256
+    shard_a = {h(str(i)) for i in range(4000)}
+    shard_b = {h(str(i)) for i in range(2000, 7000)}  # overlapping
+    bk = lambda s: sorted(s)[:k]
+    merged = bk(set(bk(shard_a)) | set(bk(shard_b)))
+    union_bk = bk(shard_a | shard_b)
+    assert merged == union_bk
+    est = (k - 1) * float(1 << 60) / union_bk[-1]
+    true = len(shard_a | shard_b)
+    assert abs(est - true) / true < 0.25  # 4 standard errors at k=256

@@ -189,3 +189,87 @@ def test_holt_matches_python_fold(spark, sf_dir):
     assert abs(float(row["level"]) - l) < 1e-2
     assert abs(float(row["trend"]) - b) < 1e-2
     assert abs(float(row["forecast_next"]) - (l + b)) < 2e-2
+
+
+# --------------------------------------------------------------------------
+def test_cusum_matches_recursive_fold(spark, sf_dir):
+    """The cumsum-minus-running-min formulation must equal the
+    textbook recursion Sₜ = max(0, Sₜ₋₁ + zₜ − k) on both sides —
+    the identity that let the operator use two stock windows."""
+    out = (
+        REG["ev_cusum_changepoint"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for _, g in out.groupby("event_type"):
+        sp = sn = 0.0
+        for _, row in g.iterrows():
+            z = row["z_day"]
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn + (-z) - 0.5)
+            assert abs(sp - row["cusum_pos"]) < 1e-6, row
+            assert abs(sn - row["cusum_neg"]) < 1e-6, row
+            assert bool(row["drift_alarm"]) == (sp > 4.0 or sn > 4.0)
+
+
+def test_kruskal_matches_scipy_formula(spark, sf_dir):
+    """H from the value-grain panel == H from explicit average ranks
+    (the pandas/scipy definition with tie correction)."""
+    out = REG["stats_kruskal_wallis"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    x = li["l_quantity"].astype(float)
+    ranks = x.rank(method="average")
+    n = len(x)
+    h = 0.0
+    for flag, idx in li.groupby("l_returnflag").groups.items():
+        r = ranks.loc[idx]
+        h += r.sum() ** 2 / len(r)
+        row = out[out["grp"] == flag].iloc[0]
+        assert abs(row["mean_rank"] - r.mean()) < 1e-3
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(x, return_counts=True)
+    tie = 1 - (counts**3 - counts).sum() / (n**3 - n)
+    assert abs(out["h_stat"].iloc[0] - h / tie) < 1e-3
+
+
+def test_theil_sen_matches_numpy_median(spark, sf_dir):
+    """The distributed median-of-pairwise-slopes == the explicit
+    NumPy enumeration over the monthly panel."""
+    out = REG["stats_theil_sen_slope"].spark(spark, sf_dir).toPandas().iloc[0]
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    od["t"] = (od["o_orderdate"].dt.year - 1990) * 12 + od["o_orderdate"].dt.month
+    m = od.groupby("t")["o_totalprice"].sum().round(2)
+    t = m.index.to_numpy()
+    y = m.to_numpy()
+    slopes = np.round(
+        [
+            (y[j] - y[i]) / (t[j] - t[i])
+            for i in range(len(t))
+            for j in range(i + 1, len(t))
+        ],
+        6,
+    )
+    assert out["n_pairs"] == len(slopes)
+    slopes.sort()
+    lo = slopes[(len(slopes) + 1) // 2 - 1]
+    hi = slopes[len(slopes) // 2]
+    assert abs(out["ts_slope"] - (lo + hi) / 2) < 1e-4
+
+
+def test_bootstrap_weights_are_poisson_like(spark, sf_dir):
+    """Across orders × replicates the deterministic weight ladder must
+    look Poisson(1): mean ≈ 1, and the bootstrap SE must approximate
+    the classical SE = σ/√n within sampling slack — the property that
+    makes the CI meaningful, which engine parity alone cannot pin."""
+    out = REG["stats_bootstrap_ci"].spark(spark, sf_dir).toPandas().iloc[0]
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    classical = od["o_totalprice"].std(ddof=1) / np.sqrt(len(od))
+    assert 0.5 * classical < out["boot_se"] < 2.0 * classical
+    assert out["ci_lo"] < out["point_mean"] < out["ci_hi"]
+    width = out["ci_hi"] - out["ci_lo"]
+    assert 2.0 * out["boot_se"] < width < 8.0 * out["boot_se"]
