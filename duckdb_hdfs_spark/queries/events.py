@@ -1687,11 +1687,15 @@ st AS (
 ),
 z AS (
     SELECT d.event_type, d.day, d.c,
+           -- nullif on BOTH the dof and the sqrt: a single-day or
+           -- constant panel yields NULL z on both engines (no
+           -- inf/NaN divergence), and window sums skip NULLs
+           -- identically
            CAST(round((d.c - CAST(sc AS DOUBLE) / n_days)
                       / nullif(sqrt((CAST(sc2 AS DOUBLE)
                                      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
                                        / n_days)
-                                    / (n_days - 1)), 0), 6)
+                                    / nullif(n_days - 1, 0)), 0), 6)
                 AS DECIMAL(20,6)) AS z
     FROM daily d JOIN st USING (event_type)
 ),
@@ -1761,7 +1765,7 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("sc").cast("double")
             / F.col("n_days")
         )
-        / (F.col("n_days") - 1)
+        / F.nullif(F.col("n_days") - 1, F.lit(0))
     )
     z = (
         F.round((F.col("c") - mean) / F.nullif(std, F.lit(0.0)), 6)
