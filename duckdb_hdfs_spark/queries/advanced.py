@@ -2270,7 +2270,14 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("double").alias("x"),
     )
-    pvg = q.groupBy("x", "grp").agg(F.count(F.lit(1)).alias("c_g"))
+    # checkpoint the (value, group) panel: it feeds BOTH the total-count
+    # cumsum and the per-group rank sums — without the pin each branch
+    # re-executes the lineitem scan (2 scans measured)
+    pvg = (
+        q.groupBy("x", "grp")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+        .localCheckpoint(eager=True)
+    )
     pv = pvg.groupBy("x").agg(F.sum("c_g").alias("c")).withColumn(
         "__g", F.lit(1)
     )

@@ -640,21 +640,26 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-def _doc_bigram_logprob(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_bigrams, mean_logprob) under the corpus's own bigram
-    LM — the text_bigram_logprob body, shared with the perplexity
-    bucketing (corpus_perplexity_buckets)."""
+def _doc_bigram_logprob(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, n_bigrams, mean_logprob) under the corpus's
+    own bigram LM — the text_bigram_logprob body, shared with the
+    perplexity bucketing (corpus_perplexity_buckets).  ``carry``:
+    per-document-constant columns (e.g. lang) threaded through the
+    (doc, bigram) group-bys so callers need no second documents scan
+    to re-attach them."""
     from duckdb_hdfs_spark.functions.hashing import word_kgrams
 
     toks = tokens(F.col("text"))
     # word_kgrams pads short docs with '' tails; drop any bigram
     # touching an empty token (mirrors the oracle's LIKE filters)
     bg = docs.select(
-        "doc_id", F.explode(word_kgrams(toks, 2)).alias("bigram")
+        "doc_id", *carry, F.explode(word_kgrams(toks, 2)).alias("bigram")
     ).filter(
         ~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" ")
     )
-    bgf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n_b"))
+    bgf = bg.groupBy("doc_id", *carry, "bigram").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
     bvocab = (
         bgf.groupBy("bigram")
         .agg(F.sum("n_b").alias("cb"))
@@ -672,7 +677,7 @@ def _doc_bigram_logprob(docs: DataFrame) -> DataFrame:
             uvocab,
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.sum("n_b").alias("n_bigrams"),
             F.round(F.sum(term).cast("double") / F.sum("n_b"), 4).alias(
@@ -1406,9 +1411,12 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     docs = _t(spark, sf_dir, "documents")
-    lp = _doc_bigram_logprob(docs).select("doc_id", "mean_logprob")
-    panel = lp.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-        "one", F.lit(1)
+    # lang rides the helper's group-bys (free: constant per doc) —
+    # no second documents scan to re-attach it
+    panel = (
+        _doc_bigram_logprob(docs, carry=("lang",))
+        .select("doc_id", "lang", "mean_logprob")
+        .withColumn("one", F.lit(1))
     )
     ranked = grouped_cumsum(
         panel,

@@ -1749,9 +1749,14 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume), so the per-type partitions stay small at any corpus
     scale."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the calendar-bounded day panel: it feeds both the
+    # per-type moment fold and the z attach — without the pin each
+    # branch re-executes the events scan (2 scans measured)
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     st = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("c").cast("decimal(20,0)")).alias("sc"),

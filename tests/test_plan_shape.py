@@ -746,3 +746,60 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 8  # the ADC lookups
     assert plan.count("hashpartitioning(vec_id") == 0  # fused: no re-join
     assert plan.count("embeddings.parquet") <= 1  # one corpus scan
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        ("text_gopher_rules", 1),       # one token split feeds every rule
+        ("layout_hilbert_tiles", 1),    # map-side key + one tile group-by
+        ("stats_bootstrap_ci", 2),      # replicate arm + point-mean arm
+        ("ev_cusum_changepoint", 1),    # day panel checkpointed, 0 live scans
+        ("stats_kruskal_wallis", 1),    # (value, group) panel checkpointed
+        ("corpus_perplexity_buckets", 1),  # lang rides the bigram group-bys
+        ("sketch_kmv_distinct", 2),     # sketch arm + exact-audit arm
+    ],
+)
+def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
+    """Round-9 operators pin their corpus-scan counts: a query whose
+    branches silently re-execute the table scan is linear at sf0.001
+    and a 2× scan bill at 100 TB (checkpointed panels absorb their
+    scan, so counts can be below the branch count)."""
+    plan = (
+        REGISTRY[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Scan parquet")
+    assert n <= max_scans, f"{name}: {n} parquet scans (budget {max_scans})"
+
+
+def test_kmv_bottom_k_is_bounded_heap(spark, sf_dir):
+    """The KMV bottom-k must plan as TakeOrderedAndProject (k-element
+    per-partition heap + driver merge), never a global Sort."""
+    plan = (
+        REGISTRY["sketch_kmv_distinct"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_theil_sen_pairs_are_broadcast_nested_loop(spark, sf_dir):
+    """The calendar-bounded pairwise-slope self-join must ride a
+    BroadcastNestedLoopJoin of the tiny month panel (a shuffled range
+    join over the panel would be wasted machinery; a cartesian of
+    anything larger is caught by test_no_cartesian_product)."""
+    plan = (
+        REGISTRY["stats_theil_sen_slope"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
