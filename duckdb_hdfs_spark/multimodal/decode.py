@@ -974,3 +974,66 @@ def route_decode_batches(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(route, ROUTED_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("std_r", DoubleType()),
+        StructField("min_r", LongType()),
+        StructField("max_r", LongType()),
+        StructField("mean_g", DoubleType()),
+        StructField("std_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("std_b", DoubleType()),
+    ]
+)
+
+
+def channel_stats_batches(media: DataFrame) -> DataFrame:
+    """Per-image per-channel statistics over REAL decoded pixels — the
+    normalization pre-pass every vision training pipeline computes
+    (dataset channel means/stds feed the model's input transform).
+    Population std per image; means/stds are single divisions over
+    exact integer pixel sums, so they are bit-reproducible."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "mean_r", "std_r", "min_r",
+                "max_r", "mean_g", "std_g", "mean_b", "std_b",
+            )}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                w, h, rows = decode_image(bytes(payload))
+                n = w * h
+                chans = []
+                for c in range(3):
+                    vals = [p[c] for row in rows for p in row]
+                    s = sum(vals)  # exact int
+                    mean = s / n
+                    # deviations are exact dyadic rationals for the
+                    # synthetic gradients; ssd sums exactly in double
+                    ssd = sum((v - mean) ** 2 for v in vals)
+                    chans.append(
+                        (round(mean, 6), round(math.sqrt(ssd / n), 6),
+                         min(vals), max(vals))
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["mean_r"].append(chans[0][0])
+                out["std_r"].append(chans[0][1])
+                out["min_r"].append(chans[0][2])
+                out["max_r"].append(chans[0][3])
+                out["mean_g"].append(chans[1][0])
+                out["std_g"].append(chans[1][1])
+                out["mean_b"].append(chans[2][0])
+                out["std_b"].append(chans[2][1])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, CHANNEL_STATS_SCHEMA)

@@ -73,14 +73,14 @@ _QUERY_MODULES = (
 # everything else, so they land inside the driver's 50-entry window.
 # Keep this list at exactly ≤50 names.  Round-9 allocation: round 8
 # closed cumulative driver coverage at 275/275 (zero failures ever),
-# so the window becomes (a) the 8 operators ADDED this round — every
-# new key earns its driver row the round it lands — and (b) 42 stale
+# so the window becomes (a) the 12 operators ADDED this round — every
+# new key earns its driver row the round it lands — and (b) 38 stale
 # re-verifies on fresh testdata, oldest driver coverage first: all 25
-# keys whose latest row is round 3, then the 17 oldest round-4 keys
-# (tpch micro-set, cdc, sketches, the llmextra text/dedup wave).
+# keys whose latest row is round 3, then the 13 oldest round-4 keys
+# (tpch micro-set, cdc, sketches, tfidf + the quality filter).
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 8 round-9 additions: never driver-checked ---
+    # --- the 12 round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
     "stats_bootstrap_ci",
@@ -89,6 +89,10 @@ _DRIVER_PRIORITY = (
     "stats_theil_sen_slope",
     "corpus_perplexity_buckets",
     "layout_hilbert_tiles",
+    "fs_write_orc",
+    "mm_image_channel_stats",
+    "ev_abtest_srm",
+    "stats_anova_oneway",
     # --- all 25 r3-stale keys (latest driver row: round 3) ---
     "asof_purchase_last_view",
     "corpus_mix_sample",
@@ -115,7 +119,7 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- 17 oldest r4-stale keys ---
+    # --- 13 oldest r4-stale keys ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -128,17 +132,15 @@ _DRIVER_PRIORITY = (
     "sketch_heavy_hitters",
     "sketch_quantiles_approx",
     "text_tfidf_topk",
-    "text_repetition",
-    "text_contamination",
-    "dedup_prefix_groups",
-    "sim_ann_filtered",
     "pipeline_quality_filter",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a
 # driver row; r9 re-verified all r3 stragglers), so future windows =
 # any keys added that round, then stale re-verification oldest-first:
-# the 33 remaining r4 keys (events r4 wave, streaming r4 wave, fs
+# the 37 remaining r4 keys (text_repetition / text_contamination /
+# dedup_prefix_groups / sim_ann_filtered displaced by the round-9
+# second wave, events r4 wave, streaming r4 wave, fs
 # csv/orc/gzip/prune family, win_moving_avg / win_running_total /
 # win_time_range_frame, emb/llmextra leftovers: bpe_pair_counts,
 # emb_gram_matrix, emb_int8_quantize, emb_kmeans_update,

@@ -2476,3 +2476,108 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_slope").cast("double") - F.col("ols"), 6
         ).alias("robust_minus_ols"),
     )
+
+
+# --------------------------------------------------------------------------
+def _anova_oracle() -> str:
+    return f"""
+WITH g AS (
+    SELECT l_returnflag AS grp, count(*) AS n_j,
+           sum(CAST(l_quantity AS DECIMAL(20,2))) AS s_j,
+           sum(CAST(l_quantity AS DECIMAL(20,2)) * l_quantity) AS ss_j
+    FROM lineitem GROUP BY grp
+),
+t AS (
+    SELECT CAST(sum(n_j) AS DOUBLE) AS n,
+           CAST(sum(s_j) AS DOUBLE) AS s,
+           CAST(sum(ss_j) AS DOUBLE) AS ss,
+           count(*) AS k,
+           CAST(sum(CAST(round(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+                                / n_j, 4) AS DECIMAL(38,4))) AS DOUBLE)
+               AS sum_sq_over_n
+    FROM g
+),
+f AS (
+    SELECT k, n,
+           ((sum_sq_over_n - s * s / n) / (k - 1))
+           / nullif((ss - sum_sq_over_n) / (n - k), 0) AS f_stat
+    FROM t
+)
+SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
+       round(CAST(g.s_j AS DOUBLE) / g.n_j, 6) AS mean_j,
+       round(f.f_stat, 6) AS f_stat,
+       CAST(f.k - 1 AS BIGINT) AS df1,
+       CAST(f.n - f.k AS BIGINT) AS df2,
+       f.f_stat > {_kw_crit_sql("(f.k - 1)")} / (f.k - 1) AS significant_5pct
+FROM g CROSS JOIN f
+"""
+
+
+@query("stats_anova_oneway", oracle=_anova_oracle())
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test — the PARAMETRIC sibling of
+    stats_kruskal_wallis on the same panel (l_quantity by return
+    flag): between/within mean squares from exact decimal power sums
+    (the Welch-t recipe extended to k groups).  Significance gates on
+    F(k−1, ∞) = χ²(k−1)/(k−1) — exact to 3+ decimals at these n,
+    shared literal ladder with the KW test.
+
+    Determinism: per-group Σx and Σx² accumulate in DECIMAL; each
+    group's s²/n term rounds to 4dp then DECIMAL-sums (reducer-order-
+    free); the F assembly is one fixed-order double expression with a
+    nullif zero-variance guard on both engines.
+
+    Scale shape: ONE partial-aggregated shuffle to the 3-row group
+    panel; everything after is a 3-row fold with a broadcast 1-row
+    statistic — the cheapest possible distributed ANOVA."""
+    li = _t(spark, sf_dir, "lineitem")
+    # checkpoint the 3-row group panel: it feeds both the F fold and
+    # the output join — without the pin each branch re-executes the
+    # lineitem scan
+    g = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_j"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("s_j"),
+            F.sum(
+                F.col("l_quantity").cast("decimal(20,2)") * F.col("l_quantity")
+            ).alias("ss_j"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("n_j").cast("double").alias("n"),
+        F.sum("s_j").cast("double").alias("s"),
+        F.sum("ss_j").cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("s_j").cast("double")
+                * F.col("s_j").cast("double")
+                / F.col("n_j"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    f_stat = (
+        (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("k") - 1)
+    ) / F.nullif(
+        (F.col("ss") - F.col("sum_sq_over_n")) / (F.col("n") - F.col("k")),
+        F.lit(0.0),
+    )
+    ft = t.select("k", "n", f_stat.alias("f_stat"))
+    crit = F.lit(None).cast("double")
+    for d, c in KW_CHI2_CRIT.items():
+        crit = F.when(F.col("k") - 1 == d, F.lit(c)).otherwise(crit)
+    return g.join(F.broadcast(ft)).select(
+        "grp",
+        F.col("n_j").cast("bigint").alias("n_j"),
+        F.round(F.col("s_j").cast("double") / F.col("n_j"), 6).alias("mean_j"),
+        F.round("f_stat", 6).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        (F.col("f_stat") > crit / (F.col("k") - 1)).alias("significant_5pct"),
+    )

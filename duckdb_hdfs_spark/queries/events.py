@@ -1807,3 +1807,108 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s_neg.cast("double"), 6).alias("cusum_neg"),
         ((s_pos > h) | (s_neg > h)).alias("drift_alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+def _srm_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    b = f"{md5_int60_sql('CAST(user_id AS VARCHAR)')} % 2"
+    return f"""
+WITH assign AS (
+    SELECT user_id, CASE WHEN {b} = 0 THEN 'A' ELSE 'B' END AS arm,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+    FROM events GROUP BY user_id, arm
+),
+arms AS (
+    SELECT arm, count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+    FROM assign GROUP BY arm
+),
+tot AS (
+    SELECT sum(n_users) AS n,
+           sum(CASE WHEN arm = 'A' THEN n_users ELSE 0 END) AS na,
+           sum(CASE WHEN arm = 'B' THEN n_users ELSE 0 END) AS nb
+    FROM arms
+)
+SELECT arm, n_users, n_events, n_converted,
+       round(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate,
+       round(CAST((na - nb) * (na - nb) AS DOUBLE) / n, 6) AS srm_chi2,
+       CAST((na - nb) * (na - nb) AS DOUBLE) / n > 3.841 AS srm_alarm
+FROM arms CROSS JOIN tot
+"""
+
+
+@query("ev_abtest_srm", oracle=_srm_oracle())
+def ev_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment health panel with the sample-ratio-mismatch
+    check (Fabijan et al. 2019 — the diagnostic every experimentation
+    platform runs BEFORE reading a result): users hash-assign 50/50
+    via the same md5 split sample_hash_split uses, and the 1-dof
+    chi-square of the observed arm sizes, (n_A − n_B)²/n as exact
+    integer arithmetic, flags a broken assignment pipe at the 5%
+    level.  Per-arm user/event/conversion columns are the experiment
+    read that the SRM check gates.
+
+    Determinism: assignment is md5 (never RNG); the chi-square is an
+    integer expression with one final double division.
+
+    Scale shape: one partial-aggregated shuffle to user grain (the
+    assignment and per-user flags ride it), then a 2-row arm rollup
+    and a broadcast 1-row total — no windows, no joins of data."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy(
+        "user_id",
+        F.when(
+            md5_int60(F.col("user_id").cast("string")) % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        ),
+    )
+    # checkpoint the 2-row arm rollup: it feeds both the total fold and
+    # the output join — without the pin each branch re-executes the
+    # events scan
+    arms = (
+        assign.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = arms.agg(
+        F.sum("n_users").alias("n"),
+        F.sum(F.when(F.col("arm") == "A", F.col("n_users")).otherwise(0)).alias(
+            "na"
+        ),
+        F.sum(F.when(F.col("arm") == "B", F.col("n_users")).otherwise(0)).alias(
+            "nb"
+        ),
+    )
+    chi2 = ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))).cast(
+        "double"
+    ) / F.col("n")
+    return arms.join(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        "n_events",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )

@@ -953,3 +953,43 @@ def fs_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "fs_write_orc",
+    oracle="""
+SELECT s_nationkey, count(*) AS n,
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS bal_sum,
+       min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def fs_write_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO orc round-trip — the columnar-write sibling of
+    fs_write_roundtrip (reference COPY ... TO through the fs Write
+    hooks, hadoopfs.hpp:205-215; fs_read_orc covers the read side of
+    a foreign-written file, this covers OUR writer feeding OUR
+    reader).  Writes supplier to ORC, reads it back, aggregates per
+    nation — equality with the oracle's source aggregate proves the
+    typed round trip (bigint, double, varchar) is lossless.  DuckDB
+    cannot read ORC, so the oracle aggregates the SOURCE view — the
+    round trip is the Spark side under test.
+
+    Scale shape: parallel write (one file per task, no shuffle);
+    read-back aggregate partial-aggregates map-side; the only shuffle
+    carries per-nation partials."""
+    path = os.path.join(_SCRATCH, "supplier_copyto_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    sup = load_table(spark, sf_dir, "supplier")
+    sup.write.orc(path)
+    back = spark.read.schema(sup.schema).orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("bal_sum"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+    )

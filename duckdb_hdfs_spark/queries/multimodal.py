@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.multimodal.decode import (
+    channel_stats_batches,
     decode_batches,
     frame_sample_batches,
     real_decode_batches,
@@ -417,4 +418,74 @@ def mm_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("feature").cast("bigint").alias("feature_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_channel_stats",
+    # the synthetic gradient makes every per-image statistic analytic:
+    # R = r0+x (x∈0..5): mean r0+2.5, std sqrt(35/12), min r0, max r0+5;
+    # G = g0+y (y∈0..3): mean g0+1.5, std sqrt(5/4); B = b0 constant.
+    # 70/24 and 35.0/12 are the same correctly-rounded IEEE quotient,
+    # so the Python pixel fold and the SQL literal agree bit-exactly.
+    oracle="""
+SELECT media_type, count(*) AS n_items,
+       round(CAST(sum(CAST(r0 + 2.5 AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_mean_r,
+       round(sqrt(35.0 / 12), 6) AS std_r,
+       min(r0) AS min_r, max(r0 + 5) AS max_r,
+       round(CAST(sum(CAST(g0 + 1.5 AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_mean_g,
+       round(sqrt(5.0 / 4), 6) AS std_g,
+       round(CAST(sum(CAST(b0 AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_mean_b,
+       CAST(0.0 AS DOUBLE) AS std_b
+FROM (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS media_type,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 200
+               AS r0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT % 200
+               AS g0,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2))::BIGINT AS b0
+    FROM documents
+)
+GROUP BY media_type
+""",
+)
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset channel-normalization statistics over REAL decoded
+    pixels — the per-channel mean/std/min/max pre-pass vision training
+    publishes with every dataset card (the numbers that become the
+    model's input-normalization constants).  Per-image stats come off
+    the real BMP/PPM parse (multimodal/decode.channel_stats_batches);
+    the corpus rollup averages them per media type in DECIMAL.  The
+    oracle re-derives everything analytically from the md5-seeded
+    gradient parameters — a decoder that misreads strides, row order,
+    or channel order fails the hash.
+
+    Scale shape: one Arrow-batched mapInPandas decode stage (zero
+    shuffles, per-row map work), then one partial-aggregated group-by
+    on the 2-value media-type key."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = channel_stats_batches(synth_image_batches(docs))
+
+    def davg(col: str):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return stats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        davg("mean_r").alias("avg_mean_r"),
+        F.first("std_r").alias("std_r"),
+        F.min("min_r").alias("min_r"),
+        F.max("max_r").alias("max_r"),
+        davg("mean_g").alias("avg_mean_g"),
+        F.first("std_g").alias("std_g"),
+        davg("mean_b").alias("avg_mean_b"),
+        F.first("std_b").alias("std_b"),
     )

@@ -759,6 +759,10 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
         ("stats_kruskal_wallis", 1),    # (value, group) panel checkpointed
         ("corpus_perplexity_buckets", 1),  # lang rides the bigram group-bys
         ("sketch_kmv_distinct", 2),     # sketch arm + exact-audit arm
+        ("fs_write_orc", 1),            # one read-back scan (orc)
+        ("mm_image_channel_stats", 1),  # one decode pass, one rollup
+        ("ev_abtest_srm", 1),           # one user-grain shuffle
+        ("stats_anova_oneway", 1),      # one panel shuffle, 3-row fold
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):

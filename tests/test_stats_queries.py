@@ -273,3 +273,43 @@ def test_bootstrap_weights_are_poisson_like(spark, sf_dir):
     assert out["ci_lo"] < out["point_mean"] < out["ci_hi"]
     width = out["ci_hi"] - out["ci_lo"]
     assert 2.0 * out["boot_se"] < width < 8.0 * out["boot_se"]
+
+
+def test_anova_matches_textbook_formula(spark, sf_dir):
+    """F from the decimal power sums == F from the explicit
+    between/within decomposition on raw values."""
+    out = REG["stats_anova_oneway"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    x = li["l_quantity"].astype(float)
+    grand = x.mean()
+    ssb = ssw = 0.0
+    k = 0
+    for flag, idx in li.groupby("l_returnflag").groups.items():
+        xs = x.loc[idx]
+        ssb += len(xs) * (xs.mean() - grand) ** 2
+        ssw += ((xs - xs.mean()) ** 2).sum()
+        k += 1
+        row = out[out["grp"] == flag].iloc[0]
+        assert abs(row["mean_j"] - xs.mean()) < 1e-4
+    f = (ssb / (k - 1)) / (ssw / (len(x) - k))
+    assert abs(out["f_stat"].iloc[0] - f) < 1e-3
+
+
+def test_srm_detects_broken_assignment(spark, sf_dir):
+    """The SRM chi-square must fire on a deliberately skewed split and
+    stay quiet on the honest md5 split — the design intent engine
+    parity alone cannot pin."""
+    import numpy as np
+
+    out = REG["ev_abtest_srm"].spark(spark, sf_dir).toPandas()
+    na = int(out[out["arm"] == "A"]["n_users"].iloc[0])
+    nb = int(out[out["arm"] == "B"]["n_users"].iloc[0])
+    n = na + nb
+    assert not out["srm_alarm"].any(), (na, nb)  # honest split: quiet
+    # an 80/20 corruption of the same population must alarm (severe
+    # enough to clear the 3.84 bar even at the sf0.001 user count)
+    na_bad = int(round(0.8 * n))
+    chi2_bad = (na_bad - (n - na_bad)) ** 2 / n
+    assert chi2_bad > 3.841
