@@ -2581,3 +2581,98 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
         (F.col("f_stat") > crit / (F.col("k") - 1)).alias("significant_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _prop_ztest_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    b = f"{md5_int60_sql('CAST(user_id AS VARCHAR)')} % 2"
+    return f"""
+WITH assign AS (
+    SELECT user_id, CASE WHEN {b} = 0 THEN 'A' ELSE 'B' END AS arm,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id, arm
+),
+arms AS (
+    SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+           CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS DOUBLE)
+               AS c_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS DOUBLE)
+               AS c_b
+    FROM assign
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(c_a / n_a, 6) AS rate_a, round(c_b / n_b, 6) AS rate_b,
+       round(c_a / n_a - c_b / n_b, 6) AS rate_diff,
+       round((c_a / n_a - c_b / n_b)
+             / nullif(sqrt((c_a + c_b) / (n_a + n_b)
+                           * (1 - (c_a + c_b) / (n_a + n_b))
+                           * (1 / n_a + 1 / n_b)), 0), 6) AS z_stat,
+       abs((c_a / n_a - c_b / n_b)
+           / nullif(sqrt((c_a + c_b) / (n_a + n_b)
+                         * (1 - (c_a + c_b) / (n_a + n_b))
+                         * (1 / n_a + 1 / n_b)), 0)) > 1.96
+           AS significant_5pct
+FROM arms
+"""
+
+
+@query("stats_proportions_ztest", oracle=_prop_ztest_oracle())
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on the A/B conversion rates — the
+    experiment READ that ev_abtest_srm's health check gates: same md5
+    50/50 assignment, per-user conversion flags, pooled-variance z
+    with the 5% two-sided bar.  Completes the experimentation pair
+    (assignment health → effect significance).
+
+    Determinism: all counts are exact integers; the z assembles in
+    one fixed-order double expression with a single IEEE √ and a
+    nullif guard (degenerate all-convert / none-convert panels yield
+    NULL on both engines).
+
+    Scale shape: one partial-aggregated shuffle to user grain, then a
+    1-row fold — no joins, no windows."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy(
+        "user_id",
+        F.when(md5_int60(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("c_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    c_a, c_b = F.col("c_a"), F.col("c_b")
+    pooled = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / F.nullif(
+        F.sqrt(pooled * (1 - pooled) * (1 / n_a + 1 / n_b)), F.lit(0.0)
+    )
+    return arms.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(c_a / n_a, 6).alias("rate_a"),
+        F.round(c_b / n_b, 6).alias("rate_b"),
+        F.round(c_a / n_a - c_b / n_b, 6).alias("rate_diff"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )

@@ -152,3 +152,120 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         "pr",
     )
+
+
+# --------------------------------------------------------------------------
+#: k-core threshold and bounded peeling rounds.  Peeling is monotone
+#: (the alive set only shrinks), and BOTH engines run the identical
+#: fixed round count, so parity holds even before convergence; at the
+#: candidate graph's densities the set is stationary well within the
+#: bound (asserted by the convergence check in tests).
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    base = f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+alive0 AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM alive0 GROUP BY src)"""
+    arms = []
+    for r in range(_KCORE_ROUNDS):
+        arms.append(f""",
+keep{r} AS (
+    SELECT src AS node FROM alive{r} GROUP BY src
+    HAVING count(*) >= {_KCORE_K}
+),
+alive{r + 1} AS (
+    SELECT e.src, e.dst FROM alive{r} e
+    JOIN keep{r} a ON e.src = a.node
+    JOIN keep{r} b ON e.dst = b.node
+)""")
+    return (
+        base
+        + "".join(arms)
+        + f""",
+core AS (
+    SELECT src AS node FROM alive{_KCORE_ROUNDS} GROUP BY src
+    HAVING count(*) >= {_KCORE_K}
+)
+SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       c.node IS NOT NULL AS in_2core
+FROM deg d LEFT JOIN core c ON d.node = c.node
+"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership over the LSH near-dup candidate graph —
+    iterative degree peeling (remove degree<k nodes until stable):
+    a document OUTSIDE the 2-core pairs with at most one chain
+    neighbor (an incidental near-dup), while 2-core members sit in
+    densely cross-linked boilerplate families — the degeneracy signal
+    spam/template detectors rank on, complementing PageRank's
+    centrality and CC's reachability.
+
+    Determinism: pure integer set arithmetic — membership and degree
+    counts cannot drift across engines; both sides run the identical
+    FIXED peeling-round count (parity holds even before convergence;
+    convergence itself is asserted in tests).
+
+    Scale shape: the edge list is the bounded band-bucket candidate
+    set, checkpointed once; each peel is one partial-aggregated
+    degree count + two semi-join-shaped prunes, re-checkpointed so
+    lineage depth stays constant (the PageRank/CC pattern).  Rounds
+    are a fixed constant, not data-dependent."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    alive = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        alive.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    core = (
+        alive.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _KCORE_K)
+        .select(F.col("src").alias("cnode"))
+    )
+    return deg.join(core, deg["node"] == core["cnode"], "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("cnode").isNotNull().alias("in_2core"),
+    )

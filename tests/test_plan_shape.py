@@ -763,6 +763,7 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
         ("mm_image_channel_stats", 1),  # one decode pass, one rollup
         ("ev_abtest_srm", 1),           # one user-grain shuffle
         ("stats_anova_oneway", 1),      # one panel shuffle, 3-row fold
+        ("stats_proportions_ztest", 1), # one user-grain shuffle
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):

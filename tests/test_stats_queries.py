@@ -313,3 +313,32 @@ def test_srm_detects_broken_assignment(spark, sf_dir):
     na_bad = int(round(0.8 * n))
     chi2_bad = (na_bad - (n - na_bad)) ** 2 / n
     assert chi2_bad > 3.841
+
+
+def test_kcore_peeling_converges_and_is_sound(spark, sf_dir):
+    """The fixed peeling-round bound must reach the stationary 2-core
+    at test scale (one extra peel changes nothing), and every member
+    must have >= 2 neighbors INSIDE the core (the defining property)."""
+    out = REG["graph_kcore"].spark(spark, sf_dir).toPandas()
+    core = set(out[out["in_2core"]]["doc_id"])
+    # rebuild the candidate edge set the query used
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+    from duckdb_hdfs_spark.queries._helpers import _t
+
+    pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents")).toPandas()
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    # reference fixed-point peel (no round bound)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    assert core == alive, (len(core), len(alive))
+    for n in core:
+        assert len(adj[n] & core) >= 2
