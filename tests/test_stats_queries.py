@@ -1,11 +1,15 @@
-"""Analytic semantics for the round-8 statistics / selection keys.
+"""Analytic semantics for the round-8/9 statistics / selection keys.
 
 The DuckDB oracle proves ENGINE PARITY (both engines compute the same
 expression); these tests prove the expression computes the intended
-STATISTIC — U against pandas average ranks, chi-square against the
-textbook crosstab formula, SemDeDup against a NumPy re-derivation of
-the assignment + prune, QUALIFY against the per-group definition,
-DSIR against its design intent (target-domain docs score higher).
+STATISTIC — U against pandas average ranks, chi-square / ANOVA / KW
+against the textbook formulas, CUSUM against the recursion it
+de-recursed, Theil-Sen against the NumPy pairwise-slope median, the
+bootstrap SE against the classical sigma/sqrt(n), SRM against its
+alarm-on-skew design intent, k-core against an unbounded reference
+peel, SemDeDup against a NumPy re-derivation of the assignment +
+prune, QUALIFY against the per-group definition, DSIR against its
+design intent (target-domain docs score higher).
 """
 
 from __future__ import annotations
