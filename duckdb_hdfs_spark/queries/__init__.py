@@ -73,15 +73,14 @@ _QUERY_MODULES = (
 # everything else, so they land inside the driver's 50-entry window.
 # Keep this list at exactly ≤50 names.  Round-9 allocation: round 8
 # closed cumulative driver coverage at 275/275 (zero failures ever),
-# so the window becomes (a) the 14 operators ADDED this round — every
-# new key earns its driver row the round it lands — and (b) 36 stale
+# so the window becomes (a) the 15 operators ADDED this round — every
+# new key earns its driver row the round it lands — and (b) 35 stale
 # re-verifies on fresh testdata, oldest driver coverage first: all 25
-# keys whose latest row is round 3, then the 11 oldest round-4 keys
-# (tpch micro-set, cdc merge, hll/heavy-hitter sketches, tfidf + the
-# quality filter).
+# keys whose latest row is round 3, then the 10 oldest round-4 keys
+# (tpch micro-set, cdc merge, hll/heavy-hitter sketches, tfidf).
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 14 round-9 additions: never driver-checked ---
+    # --- the 15 round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
     "stats_bootstrap_ci",
@@ -96,6 +95,7 @@ _DRIVER_PRIORITY = (
     "stats_anova_oneway",
     "stats_proportions_ztest",
     "graph_kcore",
+    "dedup_substring_spans",
     # --- all 25 r3-stale keys (latest driver row: round 3) ---
     "asof_purchase_last_view",
     "corpus_mix_sample",
@@ -122,7 +122,7 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- 11 oldest r4-stale keys ---
+    # --- 10 oldest r4-stale keys ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -133,15 +133,15 @@ _DRIVER_PRIORITY = (
     "sketch_hll_distinct",
     "sketch_heavy_hitters",
     "text_tfidf_topk",
-    "pipeline_quality_filter",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a
 # driver row; r9 re-verified all r3 stragglers), so future windows =
 # any keys added that round, then stale re-verification oldest-first:
-# the 39 remaining r4 keys (text_repetition / text_contamination /
+# the 40 remaining r4 keys (text_repetition / text_contamination /
 # dedup_prefix_groups / sim_ann_filtered / cdc_scd2_priority_history /
-# sketch_quantiles_approx displaced by the round-9 later waves, events r4 wave, streaming r4 wave, fs
+# sketch_quantiles_approx / pipeline_quality_filter displaced by the
+# round-9 later waves, events r4 wave, streaming r4 wave, fs
 # csv/orc/gzip/prune family, win_moving_avg / win_running_total /
 # win_time_range_frame, emb/llmextra leftovers: bpe_pair_counts,
 # emb_gram_matrix, emb_int8_quantize, emb_kmeans_update,

@@ -1405,3 +1405,153 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+#: exact-substring span parameters: gram width (tokens per match
+#: unit), doc-frequency cap on a gram before it is dropped as
+#: boilerplate (bounds the position join's per-gram fan-out at
+#: MAXDF·(MAXDF−1)/2 pairs), and the minimum consecutive matched
+#: grams for a reported run (span length = grams + K − 1 tokens).
+SPAN_K = 8
+SPAN_MAXDF = 8
+SPAN_MIN_GRAMS = 3
+
+
+def _substring_spans_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import (
+        md5_int60_sql,
+        tokens_sql,
+    )
+
+    toks = tokens_sql("text")
+    k = SPAN_K
+    joined = " || ' ' || ".join(
+        [f"tk[i]"] + [f"coalesce(tk[i+{j}], '')" for j in range(1, k)]
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+pos AS (
+    SELECT doc_id, i, {md5_int60_sql(joined)} AS h
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1}))
+                 AS i
+          FROM tk WHERE len(tk) >= {k})
+),
+df AS (
+    SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h)
+    WHERE nd BETWEEN 2 AND {SPAN_MAXDF}
+),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.i AS ia, a.i - b.i AS diag
+    FROM pos a JOIN df USING (h) JOIN pos b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, diag,
+           ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                   ORDER BY ia) AS run_id,
+           ia
+    FROM m
+)
+SELECT doc_a, doc_b,
+       CAST(min(ia) AS BIGINT) AS start_a,
+       CAST(min(ia) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY doc_a, doc_b, diag, run_id
+HAVING count(*) >= {SPAN_MIN_GRAMS}
+"""
+
+
+@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplicated runs (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"
+    — the substring half of that paper beside its MinHash half): for
+    every document pair sharing a run of ≥ SPAN_MIN_GRAMS consecutive
+    {K}-gram matches, report the maximal run (start positions in both
+    docs + token length).  text_span_dedup profiles per-DOC span
+    duplication; this localizes per-PAIR maximal runs — the output a
+    span-removal pass consumes.  The suffix-array formulation of the
+    paper is replaced by the islands-and-gaps equivalent: matched
+    gram positions at constant diagonal (i−j) with consecutive i form
+    exactly the maximal shared substrings.
+
+    Determinism: pure integer positions and md5 gram hashes; the
+    only window orders by (pair, diag, position) — unique keys.
+
+    Scale shape: gram+position explode is map-side; the
+    doc-frequency filter (2 ≤ df ≤ SPAN_MAXDF) bounds the position
+    join's per-gram fan-out at df² — ultra-common boilerplate grams
+    are dropped EXACTLY as the paper's implementations cap posting
+    lists; the islands window partitions by (pair, diagonal), whose
+    groups are run-length bounded.  One gram-keyed shuffle for df,
+    one for the position join, one pair-keyed window."""
+    from duckdb_hdfs_spark.functions.hashing import (
+        md5_int60,
+        tokens,
+        word_kgrams,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    k = SPAN_K
+    # posexplode is 0-based; +1 matches the oracle's generate_series
+    pos = (
+        docs.select("doc_id", F.posexplode(word_kgrams(toks, k)))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("i"),
+            md5_int60(F.col("col")).alias("h"),
+        )
+    )
+    # word_kgrams pads the tail with '' joins for docs shorter than k
+    # — the oracle simply emits no position there; drop the padded
+    # tail rows (they end in the '' pad) and short docs entirely
+    n_toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("nt")
+    )
+    pos = (
+        pos.join(F.broadcast(n_toks), "doc_id")
+        .filter((F.col("nt") >= k) & (F.col("i") <= F.col("nt") - (k - 1)))
+        .select("doc_id", "i", "h")
+        .localCheckpoint(eager=True)
+    )
+    df_ok = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= SPAN_MAXDF))
+        .select("h")
+    )
+    a = pos.join(df_ok, "h").select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "h"
+    )
+    b = pos.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "h"
+    )
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "ia",
+            (F.col("ia") - F.col("ib")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = m.withColumn("run_id", F.col("ia") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(F.min("ia").alias("min_ia"), F.count(F.lit(1)).alias("ngrams"))
+        .filter(F.col("ngrams") >= SPAN_MIN_GRAMS)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("min_ia").cast("bigint").alias("start_a"),
+            (F.col("min_ia") - F.col("diag")).cast("bigint").alias("start_b"),
+            (F.col("ngrams") + (k - 1)).cast("bigint").alias("span_tokens"),
+        )
+    )

@@ -346,3 +346,22 @@ def test_kcore_peeling_converges_and_is_sound(spark, sf_dir):
     assert core == alive, (len(core), len(alive))
     for n in core:
         assert len(adj[n] & core) >= 2
+
+
+def test_substring_spans_are_true_and_maximal(spark, sf_dir):
+    """Every reported run must be a TRUE equal token span in both
+    documents, and MAXIMAL — extending one token left or right breaks
+    the equality (or leaves a document) — the defining property of
+    the Lee et al. substring dedup this key implements."""
+    out = REG["dedup_substring_spans"].spark(spark, sf_dir).toPandas()
+    assert len(out) > 0  # the planted near-dups must surface
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = {r.doc_id: r.text.lower().split() for r in docs.itertuples()}
+    for r in out.itertuples():
+        a, b = toks[r.doc_a], toks[r.doc_b]
+        sa, sb, n = r.start_a - 1, r.start_b - 1, r.span_tokens
+        assert a[sa : sa + n] == b[sb : sb + n], (r.doc_a, r.doc_b)
+        if sa > 0 and sb > 0:
+            assert a[sa - 1] != b[sb - 1], ("extendable left", r)
+        if sa + n < len(a) and sb + n < len(b):
+            assert a[sa + n] != b[sb + n], ("extendable right", r)
