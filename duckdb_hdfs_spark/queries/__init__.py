@@ -73,14 +73,19 @@ _QUERY_MODULES = (
 # everything else, so they land inside the driver's 50-entry window.
 # Keep this list at exactly ≤50 names.  Round-9 allocation: round 8
 # closed cumulative driver coverage at 275/275 (zero failures ever),
-# so the window becomes (a) the 15 operators ADDED this round — every
-# new key earns its driver row the round it lands — and (b) 35 stale
+# so the window becomes (a) the operators ADDED this round — every
+# new key earns its driver row the round it lands — and (b) stale
 # re-verifies on fresh testdata, oldest driver coverage first: all 25
-# keys whose latest row is round 3, then the 10 oldest round-4 keys
-# (tpch micro-set, cdc merge, hll/heavy-hitter sketches, tfidf).
+# keys whose latest row is round 3, then the oldest round-4 keys
+# (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 15 round-9 additions: never driver-checked ---
+    # --- round-9 additions (second wave of this session) ---
+    "stats_spearman_corr",
+    "ev_gini_concentration",
+    "text_zipf_slope",
+    "text_readability",
+    # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
     "stats_bootstrap_ci",
@@ -122,17 +127,15 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- 10 oldest r4-stale keys ---
+    # --- oldest r4-stale keys (q12/q14/hll/tfidf displaced to the
+    # round-10 pool by this session's four new keys: new keys always
+    # outrank stale re-verifies for window slots) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q12_priority_lateness",
-    "q14_promo_revenue",
     "cdc_merge_orders",
-    "sketch_hll_distinct",
     "sketch_heavy_hitters",
-    "text_tfidf_topk",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a

@@ -2676,3 +2676,128 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _spearman_oracle() -> str:
+    return """
+WITH r AS (
+    SELECT l_returnflag AS flag,
+           CAST(round(l_quantity, 0) AS BIGINT) AS x,
+           l_extendedprice AS y
+    FROM lineitem
+),
+rk AS (
+    SELECT flag,
+           2 * rank() OVER (PARTITION BY flag ORDER BY x)
+               + count(*) OVER (PARTITION BY flag, x) - 1 AS rx,
+           2 * rank() OVER (PARTITION BY flag ORDER BY y)
+               + count(*) OVER (PARTITION BY flag, y) - 1 AS ry
+    FROM r
+),
+s AS (
+    SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(rx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy,
+           CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+                AS DOUBLE) AS syy
+    FROM rk GROUP BY flag
+),
+g AS (
+    SELECT flag, n,
+           (n * sxy - sx * sy)
+           / nullif(sqrt(greatest(n * sxx - sx * sx, 0)
+                         * greatest(n * syy - sy * sy, 0)), 0) AS rho
+    FROM s
+)
+SELECT flag, CAST(n AS BIGINT) AS n_rows,
+       round(rho, 6) AS spearman_rho,
+       round(rho * sqrt((n - 2) / nullif(greatest(1 - rho * rho, 0), 0)), 6)
+           AS t_stat,
+       abs(rho * sqrt((n - 2) / nullif(greatest(1 - rho * rho, 0), 0))) > 1.96
+           AS significant_5pct
+FROM g
+"""
+
+
+@query("stats_spearman_corr", oracle=_spearman_oracle())
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation per return-flag panel
+    (quantity vs extended price) — the MONOTONE-association sibling of
+    stats_moments' Pearson: rank-transform both variables with
+    average ranks (the tie correction), then Pearson over the ranks.
+    Completes the robust-stats family (stats_mann_whitney = location,
+    stats_theil_sen_slope = robust trend, this = robust association).
+
+    Determinism: average ranks are half-integers, so DOUBLE ranks
+    (2x avg rank = 2*cum_before + tie_count + 1) are exact INTEGERS;
+    all five power sums accumulate in DECIMAL(19,0) products (exact,
+    order-independent; fits 38 digits to ~1e12 rows/group), and the
+    rho/t assembly is one fixed-order double expression with IEEE
+    sqrt only — bit-identical cross-engine.  Degenerate zero-variance
+    panels NULL out via mirrored greatest/nullif guards on BOTH
+    engines (guard-parity rule, round-8 advice).
+
+    Scale shape: NO per-flag window over row grain (3 flags would
+    funnel 1/3 of a 100 TB table through single window tasks).  Both
+    rank sides collapse to VALUE grain first (groupBy flag+value),
+    then rank via operators.ranks.grouped_cumsum — the two-phase
+    range-bucketed cumulative count — and join back at value grain:
+    the x side is domain-bounded (~50 distinct quantities), the y
+    side stays distributed through the range-bucketed cumsum, and the
+    row-grain joins shuffle on (flag, value) keys with full key
+    cardinality.  Final panel is one partial-aggregated fold."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity", 0).cast("bigint").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    vx = grouped_cumsum(
+        rows.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx")),
+        ["flag"], [("x", "asc")], "cx", "cumx",
+    ).select("flag", "x", (2 * F.col("cumx") - F.col("cx") + 1).alias("rx"))
+    vy = grouped_cumsum(
+        rows.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("cy")),
+        ["flag"], [("y", "asc")], "cy", "cumy",
+    ).select("flag", "y", (2 * F.col("cumy") - F.col("cy") + 1).alias("ry"))
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
+    s = (
+        rows.join(vx, ["flag", "x"])
+        .join(vy, ["flag", "y"])
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(rxd).cast("double").alias("sx"),
+            F.sum(ryd).cast("double").alias("sy"),
+            F.sum(rxd * ryd).cast("double").alias("sxy"),
+            F.sum(rxd * rxd).cast("double").alias("sxx"),
+            F.sum(ryd * ryd).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt(
+            F.greatest(n * sxx - sx * sx, F.lit(0.0))
+            * F.greatest(n * syy - sy * sy, F.lit(0.0))
+        ),
+        F.lit(0.0),
+    )
+    t = rho * F.sqrt(
+        (n - 2) / F.nullif(F.greatest(1 - rho * rho, F.lit(0.0)), F.lit(0.0))
+    )
+    return s.select(
+        "flag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(rho, 6).alias("spearman_rho"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant_5pct"),
+    )

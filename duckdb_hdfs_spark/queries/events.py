@@ -1912,3 +1912,86 @@ def ev_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("srm_chi2"),
         (chi2 > 3.841).alias("srm_alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+def _gini_oracle() -> str:
+    return """
+WITH c AS (
+    SELECT event_type, user_id, count(*) AS cnt
+    FROM events GROUP BY event_type, user_id
+),
+rk AS (
+    SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt, user_id) AS i
+    FROM c
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(cnt AS DECIMAL(19,0))) AS DOUBLE) AS tot,
+           CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+                AS DOUBLE) AS sic
+    FROM rk GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(tot AS BIGINT) AS n_events,
+       round(2 * sic / nullif(n * tot, 0) - (n + 1) / n, 6) AS gini
+FROM s
+"""
+
+
+@query("ev_gini_concentration", oracle=_gini_oracle())
+def ev_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity per event type — the
+    inequality summary of the engagement distribution (0 = everyone
+    equally active, ->1 = a few power users generate everything).
+    The one-number companion to ev_user_decile's full distribution
+    and ev_bot_score_panel's outlier flags: a rising Gini is the
+    canonical "bot ring / whale concentration" drift alarm.
+
+    Computed from the sorted-rank identity G = 2*sum(i*x_i)/(n*S)
+    - (n+1)/n over counts sorted ascending (deterministic (cnt,
+    user_id) tiebreak).  Ranks and counts are exact integers; both
+    moment sums accumulate in DECIMAL(19,0) products (exact,
+    order-independent), and the G assembly is one fixed-order double
+    expression — no transcendentals at all, bit-identical
+    cross-engine.
+
+    Scale shape: user-grain counts partial-aggregate before their
+    one shuffle; the per-type ascending rank is NOT a per-type window
+    (a 5-valued event_type would funnel 100 TB/5 through single
+    window tasks) but operators.ranks.grouped_cumsum of the constant
+    1 — the range-bucketed two-phase rank, distributed across value
+    buckets — followed by one partial-aggregated panel fold."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rk = grouped_cumsum(
+        c.withColumn("one", F.lit(1)),
+        ["event_type"],
+        [("cnt", "asc"), ("user_id", "asc")],
+        "one",
+        "i",
+    )
+    idec = F.col("i").cast("decimal(19,0)")
+    cdec = F.col("cnt").cast("decimal(19,0)")
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(cdec).cast("double").alias("tot"),
+        F.sum(idec * cdec).cast("double").alias("sic"),
+    )
+    n, tot, sic = F.col("n"), F.col("tot"), F.col("sic")
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        tot.cast("bigint").alias("n_events"),
+        F.round(
+            2 * sic / F.nullif(n * tot, F.lit(0.0)) - (n + 1) / n, 6
+        ).alias("gini"),
+    )

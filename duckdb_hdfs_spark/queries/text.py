@@ -641,3 +641,211 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Zipf fit: number of head ranks the log-log OLS line is fit over.
+#: 200 is deep enough that the slope is stable, shallow enough that
+#: the head is genuinely Zipfian (the tail flattens on any corpus).
+ZIPF_TOP_N = 200
+
+
+def _zipf_oracle() -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, count(*) AS c FROM tok WHERE tok != '' GROUP BY tok
+),
+head AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+    FROM freq
+    ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP_N}
+),
+pts AS (
+    SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(20,8)) AS lx,
+           CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20,8)) AS ly
+    FROM head
+),
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(lx) AS DOUBLE) AS sx,
+           CAST(sum(ly) AS DOUBLE) AS sy,
+           CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+           CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+           CAST(sum(ly * ly) AS DOUBLE) AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+           AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx)
+             / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+           AS r_squared
+FROM s
+"""
+
+
+@query("text_zipf_slope", oracle=_zipf_oracle())
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope
+    of ln(freq) on ln(rank) across the top ZIPF_TOP_N token ranks.
+    A natural-language corpus fits slope ~ -1 with high R^2; a slope
+    far from -1 or a poor fit flags template spam, log dumps, or
+    tokenizer damage — the corpus-level LANGUAGE-SHAPE audit that
+    complements per-document signals (text_quality, text_repetition).
+
+    Determinism: per-point logs round to 6 decimals THEN sum in
+    DECIMAL(20,8) (the text_unigram_logprob discipline — rounding
+    before accumulation makes the sums order-independent and
+    engine-exact); slope/intercept/R^2 assemble in fixed-order double
+    arithmetic with mirrored nullif guards.
+
+    Scale shape: one corpus tokenize -> partial-aggregated frequency
+    shuffle; the head selection is orderBy(...).limit(N) =
+    TakeOrderedAndProject, a bounded N-element heap per partition
+    merged once — never a global sort or a partition-less
+    row_number window; the OLS fold is over N rows."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = (
+        freq.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(ZIPF_TOP_N)
+        # both sides of the rank theta-join read the head: pin ONE
+        # evaluation or the corpus tokenize+freq scan runs twice
+        .localCheckpoint(eager=True)
+    )
+    # rank within the N-row head: zipWithIndex-free — re-sorting N
+    # rows in one task is exact and cheap; a window here would be
+    # partition-less, so derive rank by counting strictly-earlier
+    # rows via a broadcast theta-join over the N-row panel instead
+    other = head.select(
+        F.col("c").alias("c2"), F.col("tok").alias("tok2")
+    )
+    ranked = (
+        head.join(
+            F.broadcast(other),
+            (F.col("c2") > F.col("c"))
+            | ((F.col("c2") == F.col("c")) & (F.col("tok2") < F.col("tok"))),
+            "left",
+        )
+        .groupBy("tok", "c")
+        .agg((F.count("tok2") + 1).alias("rnk"))
+    )
+    lx = F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(20,8)")
+    ly = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(20,8)")
+    pts = ranked.select(lx.alias("lx"), ly.alias("ly"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _readability_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT source,
+           len(list_filter({_TOKS}, t -> t != '')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS v
+    FROM documents
+),
+agg AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS words,
+           CAST(sum(s) AS BIGINT) AS sentences,
+           CAST(sum(v) AS BIGINT) AS syllables_est
+    FROM d GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables_est,
+       round(CAST(words AS DOUBLE) / sentences, 6) AS words_per_sentence,
+       round(CAST(syllables_est AS DOUBLE) / nullif(words, 0), 6)
+           AS syllables_per_word,
+       round(206.835
+             - 1.015 * (CAST(words AS DOUBLE) / sentences)
+             - 84.6 * (CAST(syllables_est AS DOUBLE) / nullif(words, 0)), 6)
+           AS flesch_score
+FROM agg
+"""
+
+
+@query("text_readability", oracle=_readability_oracle())
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease panel per source: words/sentence and
+    vowel-group syllable estimate per word, assembled into the
+    classic 206.835 - 1.015*(W/S) - 84.6*(Syll/W) score.  The
+    audience-difficulty signal curation mixes want next to
+    text_quality's spam score: a kids-encyclopedia source and a
+    legal-contracts source separate by ~40 Flesch points.
+
+    Syllables use the standard vowel-GROUP heuristic ([aeiouy]+ runs,
+    the same first-order approximation CMUdict fallbacks use);
+    sentences are [.!?]+ runs floored at 1 per document so headline
+    fragments don't divide by zero.  All three signals are exact
+    integer counts summed per source (order-independent, bigint),
+    the score is one fixed-order double expression — bit-identical
+    cross-engine, no transcendentals.
+
+    Scale shape: map-only regex counting (JVM regexp_count — no
+    Python), one partial-aggregated shuffle at source grain."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "source",
+        F.size(F.filter(toks, lambda t: t != "")).alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).alias(
+            "v"
+        ),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("v").alias("syllables_est"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables_est").cast("double") / F.nullif(
+        F.col("words"), F.lit(0)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables_est",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_score"),
+    )
