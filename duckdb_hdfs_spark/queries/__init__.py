@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = (
     "ev_gini_concentration",
     "text_zipf_slope",
     "text_readability",
+    "sketch_kmv_jaccard",
+    "stats_bh_fdr",
     # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
@@ -127,15 +129,13 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- oldest r4-stale keys (q12/q14/hll/tfidf displaced to the
-    # round-10 pool by this session's four new keys: new keys always
-    # outrank stale re-verifies for window slots) ---
+    # --- oldest r4-stale keys (q12/q14/hll/tfidf/cdc-merge/heavy-
+    # hitters displaced to the round-10 pool by this session's six
+    # new keys: new keys always outrank stale re-verifies) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "cdc_merge_orders",
-    "sketch_heavy_hitters",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a

@@ -2801,3 +2801,161 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _bh_fdr_oracle() -> str:
+    return """
+WITH hp AS (
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s1d,
+           sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2d
+    FROM events GROUP BY 1
+),
+g AS (
+    SELECT CAST(sum(n) AS BIGINT) AS gn, sum(s1d) AS gs1d, sum(s2d) AS gs2d,
+           count(*) AS m
+    FROM hp
+),
+z AS (
+    SELECT hr, n,
+           round((CAST(s1d AS DOUBLE) / n
+                  - CAST(gs1d - s1d AS DOUBLE) / (gn - n))
+                 / nullif(sqrt(
+                       ((CAST(s2d AS DOUBLE)
+                         - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / n)
+                        / (n - 1)) / n
+                       + ((CAST(gs2d - s2d AS DOUBLE)
+                           - CAST(gs1d - s1d AS DOUBLE)
+                             * CAST(gs1d - s1d AS DOUBLE) / (gn - n))
+                          / (gn - n - 1)) / (gn - n)), 0), 6) AS zs,
+           round(CAST(s1d AS DOUBLE) / n, 6) AS mean_value,
+           m
+    FROM hp CROSS JOIN g
+),
+p AS (
+    SELECT hr, n, mean_value, zs, m,
+           CAST(round(2 / (1 + exp(1.702 * abs(zs))), 9)
+                AS DECIMAL(11,9)) AS pv
+    FROM z
+),
+rk AS (
+    SELECT hr, n, mean_value, zs, m, pv,
+           row_number() OVER (ORDER BY pv, hr) AS i
+    FROM p
+),
+adj AS (
+    SELECT *,
+           least(min(CAST(pv AS DOUBLE) * m / i)
+                     OVER (ORDER BY i
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING), 1.0) AS pa
+    FROM rk
+)
+SELECT hr, CAST(n AS BIGINT) AS n_events, mean_value,
+       zs AS z_stat,
+       CAST(pv AS DOUBLE) AS p_value,
+       CAST(i AS BIGINT) AS p_rank,
+       round(pa, 6) AS p_adj,
+       pa <= 0.05 AS rejected_fdr_5pct
+FROM adj
+"""
+
+
+@query("stats_bh_fdr", oracle=_bh_fdr_oracle())
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a 24-hypothesis panel
+    (does hour-of-day h shift mean event value vs the rest?) — the
+    MULTIPLE-TESTING layer the per-test family (welch/z/ANOVA/KW)
+    needs before anyone reads 24 p-values at once: at alpha=0.05,
+    ~1.2 raw rejections happen by chance alone; BH's step-up
+    adjusted p (min over j>=i of p_(j)*m/j, capped at 1) controls
+    the false-discovery rate.
+
+    Determinism: hour power sums are exact DECIMALs; the rest-of-
+    population terms subtract in the decimal domain BEFORE the one
+    double cast (summing 24 per-hour doubles would be association-
+    order-sensitive cross-engine); z rounds to 6dp; p = the logistic
+    normal-tail approximation 2/(1+exp(1.702|z|)) of the ROUNDED z,
+    itself rounded to a 9dp DECIMAL grain so ranking and the BH
+    min-fold see identical values on both engines.
+
+    Scale shape: one partial-aggregated shuffle to the 24-row hour
+    panel; global moments via one broadcast 1-row decimal fold (the
+    scalar-threshold crossJoin shape, exchange-reused); rank and the
+    step-up min are two broadcast theta-joins over the 24-row panel
+    — no partition-less windows anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,6)")
+    hp = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("s1d"),
+        F.sum(vd * vd).alias("s2d"),
+    )
+    g = hp.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("s1d").alias("gs1d"),
+        F.sum("s2d").alias("gs2d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    n, gn = F.col("n"), F.col("gn")
+    s1, s2 = F.col("s1d").cast("double"), F.col("s2d").cast("double")
+    r1 = (F.col("gs1d") - F.col("s1d")).cast("double")
+    r2 = (F.col("gs2d") - F.col("s2d")).cast("double")
+    var_h = (s2 - s1 * s1 / n) / (n - 1)
+    var_r = (r2 - r1 * r1 / (gn - n)) / (gn - n - 1)
+    zs = F.round(
+        (s1 / n - r1 / (gn - n))
+        / F.nullif(F.sqrt(var_h / n + var_r / (gn - n)), F.lit(0.0)),
+        6,
+    )
+    z = hp.join(F.broadcast(g)).select(
+        "hr",
+        "n",
+        zs.alias("zs"),
+        F.round(s1 / n, 6).alias("mean_value"),
+        "m",
+    )
+    pv = F.round(2 / (1 + F.exp(1.702 * F.abs(F.col("zs")))), 9).cast(
+        "decimal(11,9)"
+    )
+    # rank + step-up min over the 24-row panel: two broadcast
+    # theta-joins (the distributed-ranks offset pattern) — both
+    # consumers read ONE materialized panel
+    p = z.select("hr", "n", "mean_value", "zs", "m", pv.alias("pv"))
+    p = p.localCheckpoint(eager=True)
+    o1 = p.select(F.col("pv").alias("pv2"), F.col("hr").alias("hr2"))
+    rk = (
+        p.join(
+            F.broadcast(o1),
+            (F.col("pv2") < F.col("pv"))
+            | ((F.col("pv2") == F.col("pv")) & (F.col("hr2") < F.col("hr"))),
+            "left",
+        )
+        .groupBy("hr", "n", "mean_value", "zs", "m", "pv")
+        .agg((F.count("hr2") + 1).alias("i"))
+        .localCheckpoint(eager=True)
+    )
+    o2 = rk.select(
+        F.col("i").alias("j"),
+        (F.col("pv").cast("double") * F.col("m") / F.col("i")).alias("term"),
+    )
+    adj = (
+        rk.join(F.broadcast(o2), F.col("j") >= F.col("i"))
+        .groupBy("hr", "n", "mean_value", "zs", "m", "pv", "i")
+        .agg(F.least(F.min("term"), F.lit(1.0)).alias("pa"))
+    )
+    return adj.select(
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        "mean_value",
+        F.col("zs").alias("z_stat"),
+        F.col("pv").cast("double").alias("p_value"),
+        F.col("i").cast("bigint").alias("p_rank"),
+        F.round("pa", 6).alias("p_adj"),
+        (F.col("pa") <= 0.05).alias("rejected_fdr_5pct"),
+    )

@@ -33,7 +33,7 @@ the sf0.001/sf0.01 pytest sweep covers them every round regardless.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
@@ -888,4 +888,181 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.round(rel, 4).alias("rel_err"),
         (rel <= 0.25).alias("within_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _kmv_jaccard_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    h = md5_int60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH uh AS (
+    SELECT DISTINCT event_type, {h} AS h FROM events
+),
+nt AS (SELECT event_type, count(*) AS n FROM uh GROUP BY event_type),
+sig AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM uh
+    ) WHERE rn <= {KMV_K}
+),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, a.n AS n_a, b.n AS n_b
+    FROM nt a JOIN nt b ON a.event_type < b.event_type
+),
+inter AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS i
+    FROM uh a JOIN uh b ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+u AS (
+    SELECT p.ta, p.tb, s.h,
+           max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+           max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+    FROM pairs p JOIN sig s ON s.event_type IN (p.ta, p.tb)
+    GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT ta, tb, ia, ib FROM (
+        SELECT ta, tb, ia, ib,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM u
+    ) WHERE rn <= {KMV_K}
+),
+est AS (
+    SELECT ta, tb, count(*) AS k_used,
+           CAST(sum(ia * ib) AS BIGINT) AS it
+    FROM topk GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(p.n_a AS BIGINT) AS n_users_a,
+       CAST(p.n_b AS BIGINT) AS n_users_b,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS inter_exact,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (p.n_a + p.n_b - coalesce(i.i, 0)), 6) AS jaccard_exact,
+       round(CAST(e.it AS DOUBLE) / e.k_used, 6) AS kmv_jaccard_est,
+       round(abs(CAST(e.it AS DOUBLE) / e.k_used
+                 - CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (p.n_a + p.n_b - coalesce(i.i, 0))), 6) AS abs_err,
+       abs(CAST(e.it AS DOUBLE) / e.k_used
+           - CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (p.n_a + p.n_b - coalesce(i.i, 0))) <= 0.2 AS within_bound
+FROM pairs p
+LEFT JOIN inter i ON p.ta = i.ta AND p.tb = i.tb
+JOIN est e ON p.ta = e.ta AND p.tb = e.tb
+"""
+
+
+@query("sketch_kmv_jaccard", oracle=_kmv_jaccard_oracle())
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of per-event-type user sets via
+    KMV bottom-k signatures (Beyer et al. 2007: the k smallest
+    hashes of A ∪ B are a uniform sample of the union, so the
+    fraction of them present in BOTH sets estimates J(A,B)) — the
+    set-INTERSECTION capability HLL cannot provide, and the reason
+    sketch_kmv_distinct's order-statistics family earns its place:
+    per-segment user sketches roll up into overlap matrices without
+    rescanning raw events.  An exact-Jaccard arm audits the estimate
+    (the sketch_hll_distinct pattern: the bound boolean hashes).
+
+    Determinism: signatures are exact md5-order statistics; the
+    estimate is a ratio of exact integers — no float accumulation.
+
+    Scale shape: the distinct (type, user-hash) projection partial-
+    aggregates into ONE materialized pass reused by all three
+    branches (counts, exact-intersection self-join on the hash,
+    signatures).  Per-type bottom-k rides the InferWindowGroupLimit
+    rewrite (bounded k-heap per task BEFORE the shuffle — the
+    ev_top_users plan pin); everything downstream of the signatures
+    operates on ≤ types·k rows.  The exact arm's self-join shuffles
+    on the 60-bit hash (no hot keys: a hash value repeats at most
+    once per type)."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    uh = (
+        ev.select(
+            "event_type",
+            md5_int60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        # three consumers (counts, self-join, signatures): pin ONE
+        # evaluation of the distinct or the events scan runs thrice
+        .localCheckpoint(eager=True)
+    )
+    nt = uh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sig = (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    pairs = (
+        nt.alias("a")
+        .join(
+            nt.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+    inter = (
+        uh.alias("a")
+        .join(
+            uh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # union stream per pair: two broadcast equi-joins (never an
+    # OR-condition nested loop), grouped to presence flags
+    rep = sig.join(F.broadcast(pairs), sig.event_type == pairs.ta).union(
+        sig.join(F.broadcast(pairs), sig.event_type == pairs.tb)
+    )
+    u = rep.groupBy("ta", "tb", "h").agg(
+        F.max(
+            F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)
+        ).alias("ia"),
+        F.max(
+            F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)
+        ).alias("ib"),
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("it"),
+        )
+    )
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    j_exact = i0.cast("double") / (F.col("n_a") + F.col("n_b") - i0)
+    j_est = F.col("it").cast("double") / F.col("k_used")
+    return (
+        pairs.join(inter, ["ta", "tb"], "left")
+        .join(est, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("n_a").cast("bigint").alias("n_users_a"),
+            F.col("n_b").cast("bigint").alias("n_users_b"),
+            i0.cast("bigint").alias("inter_exact"),
+            F.round(j_exact, 6).alias("jaccard_exact"),
+            F.round(j_est, 6).alias("kmv_jaccard_est"),
+            F.round(F.abs(j_est - j_exact), 6).alias("abs_err"),
+            (F.abs(j_est - j_exact) <= 0.2).alias("within_bound"),
+        )
     )
