@@ -2687,24 +2687,35 @@ WITH r AS (
            l_extendedprice AS y
     FROM lineitem
 ),
+pg AS (SELECT flag, x, y, count(*) AS cnt FROM r GROUP BY 1, 2, 3),
 rk AS (
-    SELECT flag,
-           2 * rank() OVER (PARTITION BY flag ORDER BY x)
-               + count(*) OVER (PARTITION BY flag, x) - 1 AS rx,
-           2 * rank() OVER (PARTITION BY flag ORDER BY y)
-               + count(*) OVER (PARTITION BY flag, y) - 1 AS ry
-    FROM r
+    -- average-rank of a VALUE counting underlying ROWS: default
+    -- RANGE frame includes all peers, so cum_before = cum_incl -
+    -- ties; doubled avg rank = 2*cum_before + ties + 1 (integer)
+    SELECT flag, cnt,
+           2 * (sum(cnt) OVER (PARTITION BY flag ORDER BY x)
+                - sum(cnt) OVER (PARTITION BY flag, x))
+               + sum(cnt) OVER (PARTITION BY flag, x) + 1 AS rx,
+           2 * (sum(cnt) OVER (PARTITION BY flag ORDER BY y)
+                - sum(cnt) OVER (PARTITION BY flag, y))
+               + sum(cnt) OVER (PARTITION BY flag, y) + 1 AS ry
+    FROM pg
 ),
 s AS (
-    SELECT flag, CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(CAST(rx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS sy,
-           CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
-                AS DOUBLE) AS sxy,
-           CAST(sum(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
-                AS DOUBLE) AS sxx,
-           CAST(sum(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
-                AS DOUBLE) AS syy
+    SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n,
+           CAST(sum(CAST(cnt AS DECIMAL(10,0))
+                    * CAST(rx AS DECIMAL(14,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(cnt AS DECIMAL(10,0))
+                    * CAST(ry AS DECIMAL(14,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(cnt AS DECIMAL(10,0))
+                    * CAST(rx AS DECIMAL(14,0))
+                    * CAST(ry AS DECIMAL(14,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(cnt AS DECIMAL(10,0))
+                    * CAST(rx AS DECIMAL(14,0))
+                    * CAST(rx AS DECIMAL(14,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(cnt AS DECIMAL(10,0))
+                    * CAST(ry AS DECIMAL(14,0))
+                    * CAST(ry AS DECIMAL(14,0))) AS DOUBLE) AS syy
     FROM rk GROUP BY flag
 ),
 g AS (
@@ -2735,51 +2746,61 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: average ranks are half-integers, so DOUBLE ranks
     (2x avg rank = 2*cum_before + tie_count + 1) are exact INTEGERS;
-    all five power sums accumulate in DECIMAL(19,0) products (exact,
-    order-independent; fits 38 digits to ~1e12 rows/group), and the
-    rho/t assembly is one fixed-order double expression with IEEE
-    sqrt only — bit-identical cross-engine.  Degenerate zero-variance
-    panels NULL out via mirrored greatest/nullif guards on BOTH
-    engines (guard-parity rule, round-8 advice).
+    all five power sums accumulate as exact DECIMAL tie-weighted
+    products cnt*r (and cnt*r*r; order-independent, 38-digit-safe to
+    ~1e12 rows/group), and the rho/t assembly is one fixed-order
+    double expression with IEEE sqrt only — bit-identical
+    cross-engine.  Degenerate zero-variance panels NULL out via
+    mirrored greatest/nullif guards on BOTH engines (guard-parity
+    rule, round-8 advice).
 
-    Scale shape: NO per-flag window over row grain (3 flags would
-    funnel 1/3 of a 100 TB table through single window tasks).  Both
-    rank sides collapse to VALUE grain first (groupBy flag+value),
-    then rank via operators.ranks.grouped_cumsum — the two-phase
-    range-bucketed cumulative count — and join back at value grain:
-    the x side is domain-bounded (~50 distinct quantities), the y
-    side stays distributed through the range-bucketed cumsum, and the
-    row-grain joins shuffle on (flag, value) keys with full key
-    cardinality.  Final panel is one partial-aggregated fold."""
+    Scale shape: ONE lineitem scan, collapsed immediately to
+    (flag, x, y) pair grain (checkpointed — every downstream branch
+    reads the collapsed copy) with tie counts carried as weights; NO
+    per-flag window over row grain (3 flags would funnel 1/3 of a
+    100 TB table through single window tasks) — both rank sides
+    aggregate the pair grain to value grain and rank via
+    operators.ranks.grouped_cumsum, the two-phase range-bucketed
+    cumulative count, then join back at value grain (x is
+    domain-bounded ~50 quantities; y stays distributed).  Final
+    panel is one partial-aggregated weighted fold."""
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
-    rows = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.round("l_quantity", 0).cast("bigint").alias("x"),
-        F.col("l_extendedprice").alias("y"),
+    pg = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round("l_quantity", 0).cast("bigint").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+        .groupBy("flag", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # three consumers (x ranks, y ranks, the weighted fold): pin
+        # ONE evaluation so lineitem is scanned exactly once
+        .localCheckpoint(eager=True)
     )
     vx = grouped_cumsum(
-        rows.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx")),
+        pg.groupBy("flag", "x").agg(F.sum("cnt").alias("cx")),
         ["flag"], [("x", "asc")], "cx", "cumx",
     ).select("flag", "x", (2 * F.col("cumx") - F.col("cx") + 1).alias("rx"))
     vy = grouped_cumsum(
-        rows.groupBy("flag", "y").agg(F.count(F.lit(1)).alias("cy")),
+        pg.groupBy("flag", "y").agg(F.sum("cnt").alias("cy")),
         ["flag"], [("y", "asc")], "cy", "cumy",
     ).select("flag", "y", (2 * F.col("cumy") - F.col("cy") + 1).alias("ry"))
-    rxd = F.col("rx").cast("decimal(19,0)")
-    ryd = F.col("ry").cast("decimal(19,0)")
+    cd = F.col("cnt").cast("decimal(10,0)")
+    rxd = F.col("rx").cast("decimal(14,0)")
+    ryd = F.col("ry").cast("decimal(14,0)")
     s = (
-        rows.join(vx, ["flag", "x"])
+        pg.join(vx, ["flag", "x"])
         .join(vy, ["flag", "y"])
         .groupBy("flag")
         .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(rxd).cast("double").alias("sx"),
-            F.sum(ryd).cast("double").alias("sy"),
-            F.sum(rxd * ryd).cast("double").alias("sxy"),
-            F.sum(rxd * rxd).cast("double").alias("sxx"),
-            F.sum(ryd * ryd).cast("double").alias("syy"),
+            F.sum("cnt").cast("double").alias("n"),
+            F.sum(cd * rxd).cast("double").alias("sx"),
+            F.sum(cd * ryd).cast("double").alias("sy"),
+            F.sum(cd * rxd * ryd).cast("double").alias("sxy"),
+            F.sum(cd * rxd * rxd).cast("double").alias("sxx"),
+            F.sum(cd * ryd * ryd).cast("double").alias("syy"),
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")

@@ -1002,7 +1002,9 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         nt.alias("a")
         .join(
-            nt.alias("b"),
+            # broadcast the types-grain panel: a non-equi join of two
+            # unsized aggregates would otherwise plan a cartesian
+            F.broadcast(nt.alias("b")),
             F.col("a.event_type") < F.col("b.event_type"),
         )
         .select(
