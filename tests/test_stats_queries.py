@@ -365,3 +365,120 @@ def test_substring_spans_are_true_and_maximal(spark, sf_dir):
             assert a[sa - 1] != b[sb - 1], ("extendable left", r)
         if sa + n < len(a) and sb + n < len(b):
             assert a[sa + n] != b[sb + n], ("extendable right", r)
+
+
+# --------------------------------------------------------------------------
+def test_spearman_matches_pandas_rank_corr(spark, sf_dir):
+    """rho from the pair-grain weighted formulation == Pearson over
+    explicit per-row average ranks (pandas rank method='average') —
+    the identity the single-scan rewrite must preserve."""
+    out = REG["stats_spearman_corr"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        rx = grp["l_quantity"].round(0).rank(method="average").to_numpy()
+        ry = grp["l_extendedprice"].rank(method="average").to_numpy()
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        row = out[out["flag"] == flag].iloc[0]
+        assert int(row["n_rows"]) == len(grp)
+        assert abs(float(row["spearman_rho"]) - rho) < 1e-4, (flag, rho, row)
+
+
+def test_gini_matches_numpy_sorted_identity(spark, sf_dir):
+    """G from the distributed rank == the explicit sorted-array
+    identity over per-user counts."""
+    out = REG["ev_gini_concentration"].spark(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    for et, grp in ev.groupby("event_type"):
+        x = np.sort(grp.groupby("user_id").size().to_numpy().astype(float))
+        n, s = len(x), x.sum()
+        g = 2 * float((np.arange(1, n + 1) * x).sum()) / (n * s) - (n + 1) / n
+        row = out[out["event_type"] == et].iloc[0]
+        assert int(row["n_users"]) == n and int(row["n_events"]) == int(s)
+        assert abs(float(row["gini"]) - g) < 1e-4, (et, g, row)
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark, sf_dir):
+    """The decimal-summed OLS == NumPy polyfit over the explicitly
+    recomputed top-200 head (freq desc, token asc tiebreak)."""
+    from collections import Counter
+
+    from duckdb_hdfs_spark.queries.text import ZIPF_TOP_N
+
+    out = REG["text_zipf_slope"].spark(spark, sf_dir).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    import re as _re
+
+    for t in docs["text"]:
+        cnt.update(tok for tok in _re.split(r"\s+", t.lower()) if tok != "")
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_N]
+    lx = np.log(np.arange(1, len(head) + 1, dtype=float))
+    ly = np.log(np.array([c for _, c in head], dtype=float))
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert int(out["n_ranks"]) == len(head)
+    assert abs(float(out["zipf_slope"]) - slope) < 1e-3
+    assert abs(float(out["intercept"]) - intercept) < 1e-3
+    assert float(out["zipf_slope"]) < 0 and 0 <= float(out["r_squared"]) <= 1
+
+
+def test_readability_matches_python_recount(spark, sf_dir):
+    """Source-grain Flesch panel == an explicit python re recount."""
+    import re as _re
+
+    out = REG["text_readability"].spark(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    for src, grp in docs.groupby("source"):
+        w = sum(len([t for t in _re.split(r"\s+", t.lower()) if t]) for t in grp["text"])
+        s = sum(max(len(_re.findall(r"[.!?]+", t)), 1) for t in grp["text"])
+        v = sum(len(_re.findall(r"[aeiouy]+", t.lower())) for t in grp["text"])
+        row = out[out["source"] == src].iloc[0]
+        assert (int(row["words"]), int(row["sentences"]), int(row["syllables_est"])) == (w, s, v)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (v / w)
+        assert abs(float(row["flesch_score"]) - flesch) < 1e-4
+
+
+def test_bh_fdr_step_up_is_internally_consistent(spark, sf_dir):
+    """Given the panel's own p-values, the adjusted p must equal the
+    textbook BH step-up (cumulative min from the largest rank of
+    p*m/i, capped at 1) and the rejection flag must be p_adj <= q."""
+    out = (
+        REG["stats_bh_fdr"].spark(spark, sf_dir).toPandas().sort_values("p_rank")
+    )
+    m = len(out)
+    p = out["p_value"].to_numpy()
+    assert (np.diff(p) >= -1e-12).all()  # p sorted by rank
+    term = p * m / out["p_rank"].to_numpy()
+    adj = np.minimum(np.minimum.accumulate(term[::-1])[::-1], 1.0)
+    assert np.allclose(out["p_adj"].to_numpy(), np.round(adj, 6), atol=1e-9)
+    assert (out["rejected_fdr_5pct"].to_numpy() == (adj <= 0.05)).all()
+    assert set(out["p_rank"]) == set(range(1, m + 1))
+
+
+def test_kmv_jaccard_matches_python_sketch(spark, sf_dir):
+    """Exact arm == pandas set arithmetic; the KMV estimate == a pure
+    python recomputation of the bottom-k signature estimator."""
+    from duckdb_hdfs_spark.queries.sketches import KMV_K
+
+    out = REG["sketch_kmv_jaccard"].spark(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def h60(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    sets = {
+        et: {h60(u) for u in grp["user_id"].unique()}
+        for et, grp in ev.groupby("event_type")
+    }
+    sigs = {et: set(sorted(s)[:KMV_K]) for et, s in sets.items()}
+    for _, row in out.iterrows():
+        a, b = row["type_a"], row["type_b"]
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert int(row["inter_exact"]) == inter
+        assert abs(float(row["jaccard_exact"]) - inter / union) < 1e-6
+        topk = sorted(sigs[a] | sigs[b])[:KMV_K]
+        est = sum(1 for h in topk if h in sigs[a] and h in sigs[b]) / len(topk)
+        assert abs(float(row["kmv_jaccard_est"]) - est) < 1e-6
