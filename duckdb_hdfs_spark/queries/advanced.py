@@ -2791,7 +2791,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rxd = F.col("rx").cast("decimal(14,0)")
     ryd = F.col("ry").cast("decimal(14,0)")
     s = (
-        pg.join(vx, ["flag", "x"])
+        # x's value grain is domain-bounded (~50 distinct quantities
+        # per flag at ANY volume) — broadcast it; y's stays a keyed
+        # shuffle join (its grain follows the data)
+        pg.join(F.broadcast(vx), ["flag", "x"])
         .join(vy, ["flag", "y"])
         .groupBy("flag")
         .agg(

@@ -1054,8 +1054,10 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     j_exact = i0.cast("double") / (F.col("n_a") + F.col("n_b") - i0)
     j_est = F.col("it").cast("double") / F.col("k_used")
     return (
-        pairs.join(inter, ["ta", "tb"], "left")
-        .join(est, ["ta", "tb"])
+        # both panels are type-pair grain (≤ types² rows): broadcast
+        # them onto the pair spine instead of SMJ exchanges
+        pairs.join(F.broadcast(inter), ["ta", "tb"], "left")
+        .join(F.broadcast(est), ["ta", "tb"])
         .select(
             F.col("ta").alias("type_a"),
             F.col("tb").alias("type_b"),
