@@ -1037,3 +1037,54 @@ def channel_stats_batches(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, CHANNEL_STATS_SCHEMA)
+
+
+#: spectral tone-probe panel schema (exact-integer DFT bins)
+TONE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("dc_sum", LongType()),
+        StructField("nyquist_sum", LongType()),
+        StructField("quarter_real", LongType()),
+        StructField("quarter_imag", LongType()),
+    ]
+)
+
+
+def wav_tone_probe_batches(media: DataFrame) -> DataFrame:
+    """Exact-integer spectral probe over decoded samples: the DC,
+    Nyquist, and quarter-rate DFT bins of Σ s_i·e^(-2πi·k·t/N).  At
+    these three bins every twiddle factor is in {0, ±1}, so the bins
+    are INTEGER sums over the decoded stream — no float DSP — and an
+    analytic oracle can hash-match them.  The folds are generic
+    (they assume nothing about the waveform); only the ORACLE knows
+    the synth closed forms."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "dc_sum", "nyquist_sum",
+                "quarter_real", "quarter_imag",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_audio(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(s))
+                out["dc_sum"].append(sum(s))
+                out["nyquist_sum"].append(
+                    sum(v if i % 2 == 0 else -v for i, v in enumerate(s))
+                )
+                # k = N/4 twiddles cycle (1, -i, -1, +i): real part
+                # from i%4 in {0, 2}, imag part from i%4 in {1, 3}
+                out["quarter_real"].append(
+                    sum(s[i] for i in range(0, len(s), 4))
+                    - sum(s[i] for i in range(2, len(s), 4))
+                )
+                out["quarter_imag"].append(
+                    sum(s[i] for i in range(3, len(s), 4))
+                    - sum(s[i] for i in range(1, len(s), 4))
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(probe, TONE_SCHEMA)

@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = (
     "text_readability",
     "sketch_kmv_jaccard",
     "stats_bh_fdr",
+    "mm_audio_tone_probe",
+    "emb_cosine_diversity",
     # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
@@ -129,13 +131,11 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- oldest r4-stale keys (q12/q14/hll/tfidf/cdc-merge/heavy-
-    # hitters displaced to the round-10 pool by this session's six
-    # new keys: new keys always outrank stale re-verifies) ---
+    # --- oldest r4-stale keys (the rest of the r4 set displaced to
+    # the round-10 pool by this session's eight new keys: new keys
+    # always outrank stale re-verifies for window slots) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a

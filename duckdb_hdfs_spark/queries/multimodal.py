@@ -489,3 +489,54 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("mean_b").alias("avg_mean_b"),
         F.first("std_b").alias("std_b"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_tone_probe",
+    # analytic oracle: the synth wave is s_i = A·(−1)^i with
+    # A = 100 + 100·b0 and n = 64 + (b1 % 64) from md5(doc_id), so
+    # the integer DFT bins close over counts of i mod 4 below n:
+    # DC = A·(n%2); Nyquist = n·A; quarter bins = A·(cnt₀−cnt₂) and
+    # A·(cnt₁−cnt₃) with cntᵣ = floor((n+3−r)/4).
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           100 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+               * 100 AS amp,
+           64 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT
+               % 64 AS n
+    FROM documents
+)
+SELECT doc_id,
+       n AS n_samples,
+       amp * (n % 2) AS dc_sum,
+       n * amp AS nyquist_sum,
+       amp * ((n + 3) // 4 - (n + 1) // 4) AS quarter_real,
+       amp * ((n + 2) // 4 - n // 4) AS quarter_imag
+FROM p
+""",
+)
+def mm_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral tone probe over the REAL audio decode path: the DC,
+    Nyquist, and quarter-rate DFT bins computed as exact INTEGER
+    folds over the parsed sample stream (at those bins every twiddle
+    factor is 0/±1 — the Goertzel special cases).  The
+    silence/tone/hum detector a dataset card runs over an audio
+    corpus: DC ≈ 0 rules out offset clipping, a dominant Nyquist bin
+    flags synthetic/aliased content, the quarter bins catch
+    half-rate periodicity.  Every value crosses the real RIFF
+    encode → chunk-walk parse boundary; the oracle closes over the
+    md5-seeded synth params analytically (an endianness or
+    chunk-offset bug shifts every bin and fails the hash).
+
+    Scale shape: two chained Arrow-batched mapInPandas stages, zero
+    shuffles — per-row map work end to end (the mm_decode_wav
+    shape with a DSP fold instead of a stats fold)."""
+    from duckdb_hdfs_spark.multimodal.decode import (
+        synth_wav_batches,
+        wav_tone_probe_batches,
+    )
+
+    media = synth_wav_batches(_t(spark, sf_dir, "documents"))
+    return wav_tone_probe_batches(media)

@@ -1322,3 +1322,69 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cent_id")
     )
     return _adc_rank(joined, ptab)
+
+
+# --------------------------------------------------------------------------
+def _cos_diversity_oracle() -> str:
+    c = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id - 1 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 2 = 1),
+p AS (
+    SELECT round({c}, 6) AS cr
+    FROM a JOIN b USING (vec_id)
+)
+SELECT least(CAST(floor((cr + 1) * 10) AS BIGINT), 19) AS cos_bin,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(cr AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6)
+           AS mean_cos
+FROM p
+GROUP BY 1
+"""
+
+
+@query("emb_cosine_diversity", oracle=_cos_diversity_oracle())
+def emb_cosine_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity histogram: cosine similarity of a
+    deterministic DISJOINT pairing (vec 2k with vec 2k+1 — ids carry
+    no embedding-space meaning, so the pairing is an unbiased
+    similarity sample at exactly n/2 pairs), bucketed into 0.1-wide
+    bins over [-1, 1).  The SemDeDup-era diversity audit: a healthy
+    diverse corpus concentrates near 0; mass migrating into the
+    high-cos bins is the collapse signal that precedes dedup — the
+    DISTRIBUTION companion to dedup_semdedup's verdicts and
+    dedup_embedding_threshold_sweep's cutoff curve.
+
+    Determinism: the sequential-fold cosine is bit-identical
+    cross-engine (functions/vectors.py); it rounds to 6dp BEFORE
+    binning and DECIMAL-sums for the bin means, so bin membership
+    and means hash-match.
+
+    Scale shape: one equi-join shuffle on the derived pair key (no
+    self-join explosion — the pairing is 1:1 by construction), then
+    a 20-row partial-aggregated histogram fold."""
+    from duckdb_hdfs_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("eb"),
+    )
+    cr = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    p = a.join(b, "vec_id").select(cr.alias("cr"))
+    return p.groupBy(
+        F.least(F.floor((F.col("cr") + 1) * 10), F.lit(19))
+        .cast("bigint")
+        .alias("cos_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cr").cast("decimal(20,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+    )
