@@ -482,3 +482,48 @@ def test_kmv_jaccard_matches_python_sketch(spark, sf_dir):
         topk = sorted(sigs[a] | sigs[b])[:KMV_K]
         est = sum(1 for h in topk if h in sigs[a] and h in sigs[b]) / len(topk)
         assert abs(float(row["kmv_jaccard_est"]) - est) < 1e-6
+
+
+# --------------------------------------------------------------------------
+def test_tone_probe_matches_numpy_fft(spark, sf_dir):
+    """The integer DFT-bin folds over DECODED samples == numpy FFT
+    bins of the reconstructed synth wave: DC always, Nyquist bin for
+    even n, quarter bin for 4|n (the folds generalize to any n; the
+    FFT comparison applies where the bin frequency is integral)."""
+    from duckdb_hdfs_spark.multimodal.decode import _wav_params
+
+    out = REG["mm_audio_tone_probe"].spark(spark, sf_dir).toPandas()
+    for _, row in out.iterrows():
+        amp, n = _wav_params(int(row["doc_id"]))
+        assert int(row["n_samples"]) == n
+        s = np.array([amp if i % 2 == 0 else -amp for i in range(n)], dtype=float)
+        fft = np.fft.fft(s)
+        assert int(row["dc_sum"]) == int(round(fft[0].real))
+        if n % 2 == 0:
+            assert int(row["nyquist_sum"]) == int(round(fft[n // 2].real))
+        if n % 4 == 0:
+            assert int(row["quarter_real"]) == int(round(fft[n // 4].real))
+            assert int(row["quarter_imag"]) == int(round(fft[n // 4].imag))
+
+
+def test_cosine_diversity_matches_numpy(spark, sf_dir):
+    """The histogram == a numpy recomputation of the disjoint
+    pairing (2k with 2k+1), including bin edges on the rounded
+    cosine and the pair count identity."""
+    out = REG["emb_cosine_diversity"].spark(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+            for _, r in emb.iterrows()}
+    bins, count = {}, 0
+    for vid, va in vecs.items():
+        if vid % 2 == 0 and vid + 1 in vecs:
+            vb = vecs[vid + 1]
+            cr = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            b = min(int(np.floor((cr + 1) * 10)), 19)
+            bins.setdefault(b, []).append(cr)
+            count += 1
+    assert int(out["n_pairs"].sum()) == count
+    for b, vals in bins.items():
+        row = out[out["cos_bin"] == b].iloc[0]
+        assert int(row["n_pairs"]) == len(vals)
+        assert abs(float(row["mean_cos"]) - float(np.mean(vals))) < 1e-5
