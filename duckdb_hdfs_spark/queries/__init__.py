@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "stats_bh_fdr",
     "mm_audio_tone_probe",
     "emb_cosine_diversity",
+    "dq_psi_drift",
     # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
@@ -131,11 +132,10 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- oldest r4-stale keys (the rest of the r4 set displaced to
-    # the round-10 pool by this session's eight new keys: new keys
+    # --- oldest r4-stale key (the rest of the r4 set displaced to
+    # the round-10 pool by this session's nine new keys: new keys
     # always outrank stale re-verifies for window slots) ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a

@@ -173,3 +173,134 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(bad_f, "bad_returnflag"),
         cnt(any_bad, "any_violation"),
     )
+
+
+# --------------------------------------------------------------------------
+def _psi_oracle() -> str:
+    return """
+WITH base AS (
+    SELECT CASE WHEN o_orderdate < DATE '1995-01-01' THEN 'A' ELSE 'B' END
+               AS era,
+           CAST(least(CAST(floor(o_totalprice / 20000) AS BIGINT), 9)
+                AS VARCHAR) AS b_price,
+           o_orderpriority, o_orderstatus
+    FROM orders
+),
+stacked AS (
+    SELECT era, 'totalprice_band' AS col_name, b_price AS bin FROM base
+    UNION ALL SELECT era, 'orderpriority', o_orderpriority FROM base
+    UNION ALL SELECT era, 'orderstatus', o_orderstatus FROM base
+),
+pb AS (
+    SELECT col_name, bin,
+           sum(CASE WHEN era = 'A' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN era = 'B' THEN 1 ELSE 0 END) AS cb
+    FROM stacked GROUP BY 1, 2
+),
+nb AS (SELECT col_name, count(*) AS n_bins FROM pb GROUP BY 1),
+tot AS (
+    SELECT sum(CASE WHEN era = 'A' THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN era = 'B' THEN 1 ELSE 0 END) AS nb_
+    FROM base
+),
+terms AS (
+    SELECT pb.col_name, nb.n_bins,
+           (CAST(ca + 1 AS DOUBLE) / (na + n_bins)
+            - CAST(cb + 1 AS DOUBLE) / (nb_ + n_bins))
+           * round(ln((CAST(ca + 1 AS DOUBLE) / (na + n_bins))
+                      / (CAST(cb + 1 AS DOUBLE) / (nb_ + n_bins))), 9)
+               AS term
+    FROM pb JOIN nb USING (col_name) CROSS JOIN tot
+)
+SELECT col_name, CAST(n_bins AS BIGINT) AS n_bins,
+       round(CAST(sum(CAST(round(term, 12) AS DECIMAL(24,12))) AS DOUBLE), 6)
+           AS psi,
+       CAST(sum(CAST(round(term, 12) AS DECIMAL(24,12))) AS DOUBLE) > 0.1
+           AS drifted
+FROM terms GROUP BY 1, 2
+"""
+
+
+@query("dq_psi_drift", oracle=_psi_oracle())
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift audit between two eras of the
+    orders stream (the standard ML-monitoring drift metric: PSI =
+    sum over bins of (share_A - share_B) * ln(share_A / share_B),
+    alarm at the industry 0.1 threshold) across one numeric banding
+    and two categorical columns — the DISTRIBUTION check beside
+    dq_referential_audit's integrity and dq_rule_violations' bounds:
+    a partition can pass both and still have silently drifted.
+
+    Determinism: bin counts are exact integers; shares are
+    Laplace-smoothed ((c+1)/(n+bins) — no ln(0) on a bin one era
+    lacks); each bin's term rounds to 12dp then DECIMAL-sums, so the
+    fold is order-independent; ln follows the rounded-ln discipline.
+
+    Scale shape: ONE orders scan — the three audited columns stack
+    through a map-side explode into a single (column, bin, era)
+    partial-aggregated group-by (the dq-battery rule: one scan per
+    table, not per rule); era totals are a broadcast 1-row fold off
+    the stacked panel's price branch and the per-column bin
+    cardinalities a 3-row broadcast."""
+    od = _t(spark, sf_dir, "orders")
+    era = F.when(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), "A"
+    ).otherwise("B")
+    b_price = F.least(
+        F.floor(F.col("o_totalprice") / 20000).cast("bigint"), F.lit(9)
+    ).cast("string")
+    stacked = (
+        od.select(
+            era.alias("era"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("totalprice_band").alias("col_name"),
+                        b_price.alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("orderpriority").alias("col_name"),
+                        F.col("o_orderpriority").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("orderstatus").alias("col_name"),
+                        F.col("o_orderstatus").alias("bin"),
+                    ),
+                )
+            ).alias("cb"),
+        )
+        .select("era", "cb.col_name", "cb.bin")
+    )
+    pb = (
+        stacked.groupBy("col_name", "bin")
+        .agg(
+            F.sum(F.when(F.col("era") == "A", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("era") == "B", 1).otherwise(0)).alias("cb"),
+        )
+        # the ≤20-row bin panel feeds three consumers (terms, era
+        # totals, bin cardinalities): pin ONE evaluation so orders
+        # is scanned exactly once
+        .localCheckpoint(eager=True)
+    )
+    # every row emits every column once, so era totals = the bin-count
+    # sums of any single column's branch — folded off the
+    # materialized panel, never a second orders scan
+    tot = pb.filter(F.col("col_name") == "totalprice_band").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb_")
+    )
+    nb = pb.groupBy("col_name").agg(F.count(F.lit(1)).alias("n_bins"))
+    sa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("n_bins"))
+    sb = (F.col("cb") + 1).cast("double") / (F.col("nb_") + F.col("n_bins"))
+    term = (sa - sb) * F.round(F.log(sa / sb), 9)
+    terms = (
+        pb.join(F.broadcast(nb), "col_name")
+        .join(F.broadcast(tot))
+        .select("col_name", "n_bins", term.alias("term"))
+    )
+    tsum = F.sum(F.round(F.col("term"), 12).cast("decimal(24,12)")).cast(
+        "double"
+    )
+    return terms.groupBy("col_name", F.col("n_bins").cast("bigint").alias("n_bins")).agg(
+        F.round(tsum, 6).alias("psi"),
+        (tsum > 0.1).alias("drifted"),
+    )

@@ -217,3 +217,38 @@ def test_gini_boundary_distributions_match(spark, tmp_path):
     assert by.loc["solo", "gini"] == 0.0
     assert by.loc["equal", "gini"] == 0.0
     assert by.loc["whale", "gini"] > 0.7
+
+
+# --------------------------------------------------------------------------
+def test_psi_drift_fires_on_constructed_shift(spark, tmp_path):
+    """The sf orders stream is a global null (eras are statistically
+    identical, psi ~ 0) — construct a priority-mix shift so the
+    drifted flag actually fires, and a bin present in only one era
+    so the Laplace smoothing branch is exercised; panels must match
+    across engines."""
+    from duckdb_hdfs_spark.queries.dq import _psi_oracle
+
+    rows = []
+    for i in range(400):
+        era_a = i < 200
+        date = pd.Timestamp(1994, 1, 1) if era_a else pd.Timestamp(1996, 1, 1)
+        if era_a:
+            prio = "1-URGENT" if i % 10 < 8 else "5-LOW"
+        else:
+            prio = "5-LOW" if i % 10 < 8 else "3-MEDIUM"  # 3-MEDIUM: B-only bin
+        rows.append((i, date, prio, "O", 1000.0 + (i % 3) * 30000.0))
+    od = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority",
+                 "o_orderstatus", "o_totalprice"],
+    )
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    got, want = _both(
+        spark, tmp_path, "dq_psi_drift", _psi_oracle(),
+        {"orders": od}, ["col_name"],
+    )
+    assert got.astype(str).equals(want.astype(str)), (got, want)
+    by = got.set_index("col_name")
+    assert bool(by.loc["orderpriority", "drifted"])       # the shift fires
+    assert not bool(by.loc["orderstatus", "drifted"])     # constant column
+    assert int(by.loc["orderpriority", "n_bins"]) == 3    # one-era bin counted
