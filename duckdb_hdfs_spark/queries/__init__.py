@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = (
     "mm_audio_tone_probe",
     "emb_cosine_diversity",
     "dq_psi_drift",
+    "ev_time_weighted_value",
     # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
@@ -132,10 +133,9 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_counts",
     "text_levenshtein_pairs",
     "unpivot_event_metrics",
-    # --- oldest r4-stale key (the rest of the r4 set displaced to
-    # the round-10 pool by this session's nine new keys: new keys
-    # always outrank stale re-verifies for window slots) ---
-    "q1_pricing_summary",
+    # (the entire r4-stale set is displaced to the round-10 pool by
+    # this session's ten new keys: new keys always outrank stale
+    # re-verifies for window slots; r4 keys remain locally green)
 )
 
 # Round-10+ rotation pool — coverage stays total (every key has a

@@ -1995,3 +1995,89 @@ def ev_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * sic / F.nullif(n * tot, F.lit(0.0)) - (n + 1) / n, 6
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+def _twa_oracle() -> str:
+    return """
+WITH seg AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(value AS DECIMAL(18,6)) AS v,
+           epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+ud AS (
+    SELECT user_id, day,
+           CAST(sum(CASE WHEN nxt IS NULL THEN NULL ELSE v * (nxt - t) END)
+                AS DOUBLE) AS wsum,
+           max(t) - min(t) AS span
+    FROM seg GROUP BY 1, 2
+),
+twa AS (
+    SELECT day,
+           CAST(round(wsum / span, 6) AS DECIMAL(18,6)) AS twa
+    FROM ud WHERE span > 0
+)
+SELECT day,
+       count(*) AS n_user_days,
+       round(CAST(sum(twa) AS DOUBLE) / count(*), 6) AS mean_twa
+FROM twa GROUP BY day
+"""
+
+
+@query("ev_time_weighted_value", oracle=_twa_oracle())
+def ev_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user-day, rolled up to a
+    daily panel — the hypertable-style LOCF integral (each value
+    holds until the user's next event; the day's average weights
+    values by how long they were 'current', not by event count).
+    The read that separates 'briefly spiked' from 'stayed high' —
+    a per-event mean cannot; single-event user-days carry no span
+    and are excluded on both engines.
+
+    Determinism: timestamps are exact microsecond integers; each
+    LOCF segment weight v·(t_next − t) multiplies a DECIMAL value by
+    an integer gap (exact, order-independent sum); the per-user-day
+    TWA rounds to 6dp then DECIMAL-sums into the daily mean.  Equal
+    timestamps order by event_id — their segments weigh zero, so the
+    tiebreak only pins WHICH value owns the next nonzero segment,
+    identically in both engines.
+
+    Scale shape: one lead window partitioned at (user_id, day) grain
+    — full key cardinality, never a hot panel — feeding two
+    partial-aggregated group-bys (user-day, then day)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        "ts",
+        "event_id",
+    ).withColumn("nxt", F.lead(F.unix_micros("ts")).over(w))
+    ud = seg.groupBy("user_id", "day").agg(
+        F.sum(
+            F.when(F.col("nxt").isNull(), None).otherwise(
+                F.col("v") * (F.col("nxt") - F.col("t"))
+            )
+        )
+        .cast("double")
+        .alias("wsum"),
+        (F.max("t") - F.min("t")).alias("span"),
+    )
+    twa = ud.filter(F.col("span") > 0).select(
+        "day",
+        F.round(F.col("wsum") / F.col("span"), 6)
+        .cast("decimal(18,6)")
+        .alias("twa"),
+    )
+    return twa.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.round(F.sum("twa").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_twa"
+        ),
+    )
