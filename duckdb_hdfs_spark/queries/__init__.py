@@ -141,16 +141,20 @@ _DRIVER_PRIORITY = (
 # Round-10+ rotation pool — coverage stays total (every key has a
 # driver row; r9 re-verified all r3 stragglers), so future windows =
 # any keys added that round, then stale re-verification oldest-first:
-# the 40 remaining r4 keys (text_repetition / text_contamination /
-# dedup_prefix_groups / sim_ann_filtered / cdc_scd2_priority_history /
-# sketch_quantiles_approx / pipeline_quality_filter displaced by the
-# round-9 later waves, events r4 wave, streaming r4 wave, fs
-# csv/orc/gzip/prune family, win_moving_avg / win_running_total /
-# win_time_range_frame, emb/llmextra leftovers: bpe_pair_counts,
-# emb_gram_matrix, emb_int8_quantize, emb_kmeans_update,
-# emb_pca_project, sample_stratified_topk, skew_salted_event_stats,
-# text_span_dedup, time_decay_engagement, layout_zorder_tiles,
-# ev_* r4 wave), then the r5 set.
+# the ~50 r4-latest keys — including the 10 the round-9 waves
+# displaced from this window (q1_pricing_summary, q3_shipping
+# _priority, q5_local_supplier_volume, q6_forecast_revenue,
+# q12_priority_lateness, q14_promo_revenue, cdc_merge_orders,
+# sketch_hll_distinct, sketch_heavy_hitters, text_tfidf_topk) —
+# plus text_repetition / text_contamination / dedup_prefix_groups /
+# sim_ann_filtered / cdc_scd2_priority_history /
+# sketch_quantiles_approx / pipeline_quality_filter, the events and
+# streaming r4 waves, the fs csv/orc/gzip/prune family,
+# win_moving_avg / win_running_total / win_time_range_frame, and the
+# emb/llmextra leftovers (bpe_pair_counts, emb_gram_matrix,
+# emb_int8_quantize, emb_kmeans_update, emb_pca_project,
+# sample_stratified_topk, skew_salted_event_stats, text_span_dedup,
+# time_decay_engagement, layout_zorder_tiles); then the r5 set.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:
