@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = (
     "emb_cosine_diversity",
     "dq_psi_drift",
     "ev_time_weighted_value",
+    "layout_range_partition_stats",
+    "stats_cohens_d",
     # --- the 15 earlier round-9 additions: never driver-checked ---
     "sketch_kmv_distinct",
     "text_gopher_rules",
@@ -131,8 +133,9 @@ _DRIVER_PRIORITY = (
     "stats_moments",
     "stats_quantiles",
     "streaming_windowed_counts",
-    "text_levenshtein_pairs",
-    "unpivot_event_metrics",
+    # (text_levenshtein_pairs and unpivot_event_metrics — the two
+    # youngest r3-stale re-verifies — displaced to the round-10 pool
+    # by the final two new keys; locally green at sf0.001 + sf0.01)
     # (the entire r4-stale set is displaced to the round-10 pool by
     # this session's ten new keys: new keys always outrank stale
     # re-verifies for window slots; r4 keys remain locally green)

@@ -2983,3 +2983,121 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pa", 6).alias("p_adj"),
         (F.col("pa") <= 0.05).alias("rejected_fdr_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _cohens_d_oracle() -> str:
+    return """
+WITH q AS (
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS source,
+           CAST(round(l_quantity, 0) AS DOUBLE) AS x
+    FROM lineitem
+),
+s AS (
+    SELECT source, count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+                AS DOUBLE) AS s2
+    FROM q GROUP BY source
+),
+m AS (
+    SELECT source, n, s1 / n AS mean,
+           (s2 - s1 * s1 / n) / (n - 1) AS var
+    FROM s
+),
+d AS (
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.mean - b.mean AS diff,
+           (a.mean - b.mean)
+           / nullif(sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                         / (a.n + b.n - 2)), 0) AS cd
+    FROM m a JOIN m b ON a.source = 'A' AND b.source = 'B'
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(diff, 6) AS mean_diff,
+       round(cd, 6) AS cohens_d,
+       round(cd * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6) AS hedges_g,
+       round(cd - 1.96 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)
+                              + cd * cd / (2 * (n_a + n_b - 2))), 6)
+           AS ci95_lo,
+       round(cd + 1.96 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)
+                              + cd * cd / (2 * (n_a + n_b - 2))), 6)
+           AS ci95_hi,
+       CASE WHEN abs(cd) < 0.2 THEN 'negligible'
+            WHEN abs(cd) < 0.5 THEN 'small'
+            WHEN abs(cd) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+@query("stats_cohens_d", oracle=_cohens_d_oracle())
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size with Hedges' small-sample correction and
+    the 95% CI — the MAGNITUDE read the significance family omits:
+    stats_welch_ttest says whether the cohorts differ, this says by
+    how many pooled standard deviations (at 100 TB scale everything
+    is 'significant'; effect size is what decides if anyone should
+    care).  Same md5-free even/odd cohort split as the t-test so the
+    two panels read side by side; Cohen's conventional
+    negligible/small/medium/large bands label the magnitude.
+
+    Determinism: the same exact DECIMAL power sums as the Welch
+    panel; d, Hedges' g = d·(1 − 3/(4N−9)), and the CI assemble in
+    fixed-order double arithmetic with IEEE sqrt only and a mirrored
+    pooled-variance nullif guard.
+
+    Scale shape: one partial-aggregated pass to the 2-cohort power
+    sums, then a 2-row join — the Welch shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("source"),
+        F.round("l_quantity", 0).cast("double").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    m = s.select(
+        "source",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("source") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("m_a"), F.col("var").alias("v_a")
+    )
+    b = m.filter(F.col("source") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("m_b"), F.col("var").alias("v_b")
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    diff = F.col("m_a") - F.col("m_b")
+    cd = diff / F.nullif(
+        F.sqrt(
+            ((n_a - 1) * F.col("v_a") + (n_b - 1) * F.col("v_b"))
+            / (n_a + n_b - 2)
+        ),
+        F.lit(0.0),
+    )
+    se = F.sqrt(
+        (n_a + n_b).cast("double") / (n_a * n_b) + cd * cd / (2 * (n_a + n_b - 2))
+    )
+    return a.join(F.broadcast(b)).select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(cd, 6).alias("cohens_d"),
+        F.round(cd * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6).alias("hedges_g"),
+        F.round(cd - 1.96 * se, 6).alias("ci95_lo"),
+        F.round(cd + 1.96 * se, 6).alias("ci95_hi"),
+        F.when(F.abs(cd) < 0.2, "negligible")
+        .when(F.abs(cd) < 0.5, "small")
+        .when(F.abs(cd) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

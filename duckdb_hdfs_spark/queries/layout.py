@@ -145,3 +145,81 @@ def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_b") < ty * 16 + 16)
         ).alias("bounds_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+#: range-partition planning: target output partition count
+RANGE_PARTS = 16
+
+
+def _range_plan_oracle() -> str:
+    return f"""
+WITH t AS (
+    SELECT l_orderkey AS k, l_linenumber AS ln,
+           ntile({RANGE_PARTS}) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS tile
+    FROM lineitem
+),
+tot AS (SELECT count(*) AS n FROM t)
+SELECT tile AS range_id,
+       count(*) AS n_rows,
+       min(k) AS lo_key,
+       max(k) AS hi_key,
+       round(count(*) * CAST({RANGE_PARTS} AS DOUBLE) / n, 6) AS skew_ratio
+FROM t CROSS JOIN tot
+GROUP BY tile, n
+"""
+
+
+@query("layout_range_partition_stats", oracle=_range_plan_oracle())
+def layout_range_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition write planning: split the fact table into
+    RANGE_PARTS equal-row key ranges and report each range's key
+    bounds and skew ratio (rows x parts / total; 1.0 = perfectly
+    balanced).  The layout sibling of Z-order/Hilbert clustering:
+    those answer "which rows co-locate", this answers "where do the
+    range-partitioned writer's split points go and how balanced will
+    the output files be" — the planning read behind
+    repartitionByRange / sortWithinPartitions layouts.
+
+    Determinism: the two-phase distributed ntile reproduces SQL
+    ntile's exact row allocation over the total (key, linenumber)
+    order, so range ids, bounds, and counts hash-match the global
+    window oracle; the skew ratio is a ratio of exact integers.
+
+    Scale shape: no global window — operators/ranks.distributed_ntile
+    range-buckets on broadcast approximate-quantile bounds, ranks per
+    bucket, and composes broadcast prefix offsets (approximation only
+    moves bucket SIZES, never the resulting tile of any row); the
+    grand total rides the same materialized assignment as a 1-row
+    broadcast; one bounded 16-row rollup."""
+    from duckdb_hdfs_spark.operators.ranks import distributed_ntile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln")
+    )
+    tiled = distributed_ntile(
+        li, [("k", "asc"), ("ln", "asc")], "tile", n_buckets=RANGE_PARTS
+    )
+    # distributed_ntile eagerly checkpoints its bucket assignment, so
+    # the grand-total branch reuses the materialized frame — lineitem
+    # is scanned once
+    tot = tiled.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tiled.groupBy(F.col("tile").alias("range_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("lo_key"),
+            F.max("k").alias("hi_key"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "range_id",
+            "n_rows",
+            "lo_key",
+            "hi_key",
+            F.round(
+                F.col("n_rows") * float(RANGE_PARTS) / F.col("n"), 6
+            ).alias("skew_ratio"),
+        )
+    )
