@@ -527,3 +527,55 @@ def test_cosine_diversity_matches_numpy(spark, sf_dir):
         row = out[out["cos_bin"] == b].iloc[0]
         assert int(row["n_pairs"]) == len(vals)
         assert abs(float(row["mean_cos"]) - float(np.mean(vals))) < 1e-5
+
+
+# --------------------------------------------------------------------------
+def test_cohens_d_matches_textbook_formula(spark, sf_dir):
+    """d / Hedges' g / CI against the explicit pooled-SD formulas
+    over the same even/odd cohort split."""
+    out = REG["stats_cohens_d"].spark(spark, sf_dir).toPandas().iloc[0]
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    x = li["l_quantity"].round(0).astype(float)
+    a = x[(li["l_orderkey"] % 2 == 0).to_numpy()]
+    b = x[(li["l_orderkey"] % 2 == 1).to_numpy()]
+    na, nb = len(a), len(b)
+    sp = np.sqrt(((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)) / (na + nb - 2))
+    d = (a.mean() - b.mean()) / sp
+    assert (int(out["n_a"]), int(out["n_b"])) == (na, nb)
+    assert abs(float(out["cohens_d"]) - d) < 1e-4
+    assert abs(float(out["hedges_g"]) - d * (1 - 3 / (4 * (na + nb) - 9))) < 1e-4
+    se = np.sqrt((na + nb) / (na * nb) + d * d / (2 * (na + nb - 2)))
+    assert abs(float(out["ci95_lo"]) - (d - 1.96 * se)) < 1e-4
+    assert abs(float(out["ci95_hi"]) - (d + 1.96 * se)) < 1e-4
+    assert float(out["ci95_lo"]) <= float(out["cohens_d"]) <= float(out["ci95_hi"])
+
+
+def test_range_partition_stats_matches_pandas_qcut(spark, sf_dir):
+    """Tile bounds/counts against an explicit pandas ntile (the SQL
+    allocation: first n mod k tiles get one extra row) and the
+    invariants a range-partition plan must satisfy: tiles cover the
+    key space in order and the skew ratios average to 1."""
+    from duckdb_hdfs_spark.queries.layout import RANGE_PARTS
+
+    out = (
+        REG["layout_range_partition_stats"].spark(spark, sf_dir)
+        .toPandas().sort_values("range_id").reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    n = len(li)
+    base, extra = divmod(n, RANGE_PARTS)
+    sizes = [base + (1 if i < extra else 0) for i in range(RANGE_PARTS)]
+    assert out["n_rows"].tolist() == sizes
+    pos = 0
+    for i, sz in enumerate(sizes):
+        seg = li.iloc[pos : pos + sz]
+        assert int(out.loc[i, "lo_key"]) == int(seg["l_orderkey"].iloc[0])
+        assert int(out.loc[i, "hi_key"]) == int(seg["l_orderkey"].iloc[-1])
+        pos += sz
+    assert (out["lo_key"] <= out["hi_key"]).all()
+    assert (out["hi_key"].iloc[:-1].to_numpy() <= out["lo_key"].iloc[1:].to_numpy()).all()
+    assert abs(out["skew_ratio"].mean() - 1.0) < 1e-3
