@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_ntile", "grouped_cumsum", "halo_range_frame"]
+__all__ = ["distributed_ntile", "grouped_cumsum", "halo_range_frame", "panel_rank"]
 
 # NOTE (round 7): a hand-rolled grouped_topk (per-input-partition
 # collect_list → slice partial top-k) was implemented, measured, and
@@ -342,3 +342,49 @@ def grouped_cumsum(
         res = res.withColumn(o, F.col(f"__off{i}") + F.sum(v).over(w))
         drop.append(f"__off{i}")
     return res.drop(*drop)
+
+
+def panel_rank(
+    df: DataFrame,
+    order_cols: list[tuple[str, str]],
+    out: str,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` for a SMALL panel
+    (tens of rows) without a partition-less window: rank = 1 + the
+    count of strictly-earlier rows via a broadcast theta-join of the
+    panel against itself.  ``order_cols`` is ``[(col, "asc"|"desc"),
+    ...]``; it must define a total order (include a unique
+    tiebreaker) and must be NULL-FREE — a NULL order key makes the
+    theta predicate NULL (the row counts no predecessors), which
+    diverges from a window's NULLS-LAST placement; coalesce NULLs to
+    a sentinel before ranking (round-9 review finding: the BH-FDR
+    inline copy of this pattern diverged from its oracle on an
+    all-NULL degenerate panel).
+
+    The input is eagerly checkpointed (both join sides must read the
+    SAME materialized panel — with lineage reuse the panel's upstream
+    scan would re-execute per side).  Shared by the small-panel ranks
+    (Zipf head, BH-FDR step-up) — keep the strictly-earlier predicate
+    in ONE place."""
+    df = df.localCheckpoint(eager=True)
+    names = [c for c, _ in order_cols]
+    other = df.select(*[F.col(c).alias(f"__r_{c}") for c in names])
+    earlier = None
+    for i, (c, direction) in enumerate(order_cols):
+        eq_prefix = [
+            F.col(f"__r_{names[j]}") == F.col(names[j]) for j in range(i)
+        ]
+        lt = (
+            F.col(f"__r_{c}") > F.col(c)
+            if direction == "desc"
+            else F.col(f"__r_{c}") < F.col(c)
+        )
+        clause = lt
+        for e in eq_prefix:
+            clause = clause & e
+        earlier = clause if earlier is None else (earlier | clause)
+    return (
+        df.join(F.broadcast(other), earlier, "left")
+        .groupBy(*df.columns)
+        .agg((F.count(f"__r_{names[0]}") + 1).alias(out))
+    )

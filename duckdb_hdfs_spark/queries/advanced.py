@@ -2861,7 +2861,7 @@ z AS (
 ),
 p AS (
     SELECT hr, n, mean_value, zs, m,
-           CAST(round(2 / (1 + exp(1.702 * abs(zs))), 9)
+           CAST(coalesce(round(2 / (1 + exp(1.702 * abs(zs))), 9), 1.0)
                 AS DECIMAL(11,9)) AS pv
     FROM z
 ),
@@ -2911,6 +2911,8 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-threshold crossJoin shape, exchange-reused); rank and the
     step-up min are two broadcast theta-joins over the 24-row panel
     — no partition-less windows anywhere."""
+    from duckdb_hdfs_spark.operators.ranks import panel_rank
+
     ev = _t(spark, sf_dir, "events")
     vd = F.col("value").cast("decimal(18,6)")
     hp = ev.groupBy(
@@ -2944,25 +2946,21 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1 / n, 6).alias("mean_value"),
         "m",
     )
-    pv = F.round(2 / (1 + F.exp(1.702 * F.abs(F.col("zs")))), 9).cast(
-        "decimal(11,9)"
-    )
+    # a degenerate constant stream NULLs z (the mirrored nullif);
+    # p coalesces to 1.0 on BOTH engines — "no evidence" — so the BH
+    # rank stays total and NULL never reaches the ordering (round-9
+    # review: a NULL p ranked 1 under the theta-join but NULLS-LAST
+    # under the oracle's row_number)
+    pv = F.coalesce(
+        F.round(2 / (1 + F.exp(1.702 * F.abs(F.col("zs")))), 9),
+        F.lit(1.0),
+    ).cast("decimal(11,9)")
     # rank + step-up min over the 24-row panel: two broadcast
-    # theta-joins (the distributed-ranks offset pattern) — both
-    # consumers read ONE materialized panel
+    # theta-joins — shared small-panel rank (operators/ranks.
+    # panel_rank), then the min-fold over the materialized ranks
     p = z.select("hr", "n", "mean_value", "zs", "m", pv.alias("pv"))
-    p = p.localCheckpoint(eager=True)
-    o1 = p.select(F.col("pv").alias("pv2"), F.col("hr").alias("hr2"))
-    rk = (
-        p.join(
-            F.broadcast(o1),
-            (F.col("pv2") < F.col("pv"))
-            | ((F.col("pv2") == F.col("pv")) & (F.col("hr2") < F.col("hr"))),
-            "left",
-        )
-        .groupBy("hr", "n", "mean_value", "zs", "m", "pv")
-        .agg((F.count("hr2") + 1).alias("i"))
-        .localCheckpoint(eager=True)
+    rk = panel_rank(p, [("pv", "asc"), ("hr", "asc")], "i").localCheckpoint(
+        eager=True
     )
     o2 = rk.select(
         F.col("i").alias("j"),
@@ -3017,10 +3015,10 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(diff, 6) AS mean_diff,
        round(cd, 6) AS cohens_d,
        round(cd * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6) AS hedges_g,
-       round(cd - 1.96 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)
+       round(cd - 1.96 * sqrt(1.0 / n_a + 1.0 / n_b
                               + cd * cd / (2 * (n_a + n_b - 2))), 6)
            AS ci95_lo,
-       round(cd + 1.96 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)
+       round(cd + 1.96 * sqrt(1.0 / n_a + 1.0 / n_b
                               + cd * cd / (2 * (n_a + n_b - 2))), 6)
            AS ci95_hi,
        CASE WHEN abs(cd) < 0.2 THEN 'negligible'
@@ -3084,8 +3082,11 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0.0),
     )
+    # 1/n_a + 1/n_b, never (n_a+n_b)/(n_a*n_b): the bigint product
+    # wraps silently past ~3e9 rows per cohort (round-9 review) —
+    # the algebraically equal reciprocal form never overflows
     se = F.sqrt(
-        (n_a + n_b).cast("double") / (n_a * n_b) + cd * cd / (2 * (n_a + n_b - 2))
+        1.0 / n_a + 1.0 / n_b + cd * cd / (2 * (n_a + n_b - 2))
     )
     return a.join(F.broadcast(b)).select(
         n_a.cast("bigint").alias("n_a"),

@@ -708,7 +708,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the head selection is orderBy(...).limit(N) =
     TakeOrderedAndProject, a bounded N-element heap per partition
     merged once — never a global sort or a partition-less
-    row_number window; the OLS fold is over N rows."""
+    row_number window (rank via operators/ranks.panel_rank); the
+    OLS fold is over N rows."""
+    from duckdb_hdfs_spark.operators.ranks import panel_rank
+
     docs = _t(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -716,30 +719,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    head = (
-        freq.orderBy(F.col("c").desc(), F.col("tok").asc())
-        .limit(ZIPF_TOP_N)
-        # both sides of the rank theta-join read the head: pin ONE
-        # evaluation or the corpus tokenize+freq scan runs twice
-        .localCheckpoint(eager=True)
+    head = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        ZIPF_TOP_N
     )
-    # rank within the N-row head: zipWithIndex-free — re-sorting N
-    # rows in one task is exact and cheap; a window here would be
-    # partition-less, so derive rank by counting strictly-earlier
-    # rows via a broadcast theta-join over the N-row panel instead
-    other = head.select(
-        F.col("c").alias("c2"), F.col("tok").alias("tok2")
-    )
-    ranked = (
-        head.join(
-            F.broadcast(other),
-            (F.col("c2") > F.col("c"))
-            | ((F.col("c2") == F.col("c")) & (F.col("tok2") < F.col("tok"))),
-            "left",
-        )
-        .groupBy("tok", "c")
-        .agg((F.count("tok2") + 1).alias("rnk"))
-    )
+    # rank within the N-row head: a window here would be
+    # partition-less, so use the shared broadcast theta-join rank
+    # (operators/ranks.panel_rank checkpoints the head, pinning ONE
+    # evaluation of the corpus tokenize+freq scan)
+    ranked = panel_rank(head, [("c", "desc"), ("tok", "asc")], "rnk")
     lx = F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(20,8)")
     ly = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(20,8)")
     pts = ranked.select(lx.alias("lx"), ly.alias("ly"))

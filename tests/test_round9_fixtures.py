@@ -145,7 +145,11 @@ def test_readability_punctless_and_empty_docs_match(spark, tmp_path):
                 "the queue sees you aye oui",  # vowel-group stress
             ],
             "lang": ["en"] * 4,
-            "source": ["pf", "pf", "ok", "ok"],
+            # the empty doc gets its OWN source so the words=0 ->
+            # NULL syllables/word nullif branch actually fires
+            # (round-9 review: sharing a source with a worded doc
+            # left the guard untested)
+            "source": ["pf", "empty", "ok", "ok"],
             "n_chars": [0] * 4,
         }
     )
@@ -154,8 +158,10 @@ def test_readability_punctless_and_empty_docs_match(spark, tmp_path):
         {"documents": docs}, ["source"],
     )
     assert got.astype(str).equals(want.astype(str)), (got, want)
-    pf = got.set_index("source").loc["pf"]
-    assert pf["sentences"] == 2  # both punctless docs floored to 1
+    by = got.set_index("source")
+    assert by.loc["pf", "sentences"] == 1      # punctless doc floored to 1
+    assert by.loc["empty", "words"] == 0
+    assert np.isnan(by.loc["empty", "syllables_per_word"])  # guard fired
 
 
 # --------------------------------------------------------------------------
@@ -252,3 +258,30 @@ def test_psi_drift_fires_on_constructed_shift(spark, tmp_path):
     assert bool(by.loc["orderpriority", "drifted"])       # the shift fires
     assert not bool(by.loc["orderstatus", "drifted"])     # constant column
     assert int(by.loc["orderpriority", "n_bins"]) == 3    # one-era bin counted
+
+
+# --------------------------------------------------------------------------
+def test_bh_fdr_constant_stream_matches(spark, tmp_path):
+    """A globally CONSTANT value stream NULLs every z (the mirrored
+    nullif) — p must coalesce to 1.0 on both engines so the BH rank
+    stays total and nothing is rejected (round-9 review: the inline
+    theta-join rank gave every NULL-p row rank 1 while the oracle's
+    row_number ranked NULLS LAST — confirmed divergence, now pinned)."""
+    from duckdb_hdfs_spark.queries.advanced import _bh_fdr_oracle
+
+    rows, eid = [], 0
+    for day in range(1, 4):
+        for hr in range(4):
+            for i in range(5):
+                rows.append(
+                    (eid, pd.Timestamp(2024, 1, day, hr, i, 0), i, "e", 7.0, "{}")
+                )
+                eid += 1
+    got, want = _both(
+        spark, tmp_path, "stats_bh_fdr", _bh_fdr_oracle(),
+        {"events": _events_frame(rows)}, ["hr"],
+    )
+    assert got.astype(str).equals(want.astype(str)), (got, want)
+    assert (got["p_value"] == 1.0).all()
+    assert not got["rejected_fdr_5pct"].any()
+    assert sorted(got["p_rank"]) == [1, 2, 3, 4]
