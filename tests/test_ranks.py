@@ -367,3 +367,59 @@ def test_grouped_cumsum_keeps_null_group_rows(spark):
     out = grouped_cumsum(df, ["g"], [("k", "asc")], val="v", out="cum")
     got = {(r.g, r.k): r.cum for r in out.collect()}
     assert got == {("en", 1): 10, ("en", 2): 30, (None, 1): 5, (None, 3): 12}
+
+
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("n", [1, 2, 7, 24])
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_panel_rank_matches_global_row_number(spark, n, direction):
+    """panel_rank == row_number over the same total order, across
+    panel sizes, duplicate lead values, and both directions."""
+    from duckdb_hdfs_spark.operators.ranks import panel_rank
+
+    df = _frame(spark, n)
+    got = {
+        r["key"]: r["rk"]
+        for r in panel_rank(
+            df, [("metric", direction), ("key", "asc")], "rk"
+        ).collect()
+    }
+    order = [
+        F.col("metric").desc() if direction == "desc" else F.col("metric").asc(),
+        F.col("key").asc(),
+    ]
+    want = {
+        r["key"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_panel_rank_three_level_order(spark):
+    """Lexicographic strictly-earlier predicate composes correctly
+    past two levels (the eq-prefix chain)."""
+    from duckdb_hdfs_spark.operators.ranks import panel_rank
+
+    df = spark.range(24).select(
+        (F.col("id") % 2).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        F.col("id").alias("c"),
+    )
+    got = {
+        r["c"]: r["rk"]
+        for r in panel_rank(
+            df, [("a", "asc"), ("b", "desc"), ("c", "asc")], "rk"
+        ).collect()
+    }
+    want = {
+        r["c"]: r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("a").asc(), F.col("b").desc(), F.col("c").asc())
+            ),
+        ).collect()
+    }
+    assert got == want
