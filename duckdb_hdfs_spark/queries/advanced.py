@@ -3102,3 +3102,127 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# --------------------------------------------------------------------------
+def _kendall_tau_oracle() -> str:
+    return """
+WITH panel AS (
+    SELECT c.c_nationkey AS nk,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS x,
+           count(DISTINCT o.o_custkey) AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+),
+pairs AS (
+    SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+    FROM panel a JOIN panel b ON a.nk < b.nk
+),
+cnt AS (
+    SELECT count(*) AS n_pairs,
+           sum(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+               AS concordant,
+           sum(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+               AS discordant,
+           sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS ties_x,
+           sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS ties_y,
+           (SELECT count(*) FROM panel) AS n_groups
+    FROM pairs
+)
+SELECT CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       CAST(ties_x AS BIGINT) AS ties_x,
+       CAST(ties_y AS BIGINT) AS ties_y,
+       round(CAST(concordant - discordant AS DOUBLE)
+             / nullif(sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                           * CAST(n_pairs - ties_y AS DOUBLE)), 0), 6)
+           AS tau_b,
+       round(3.0 * (CAST(concordant - discordant AS DOUBLE) / nullif(
+                 sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                      * CAST(n_pairs - ties_y AS DOUBLE)), 0))
+             * sqrt(CAST(n_groups * (n_groups - 1) AS DOUBLE))
+             / sqrt(2.0 * (2 * n_groups + 5)), 6) AS z_stat
+FROM cnt
+"""
+
+
+@query("stats_kendall_tau", oracle=_kendall_tau_oracle())
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation (round 9) between per-nation
+    revenue and per-nation active-customer count — the robust
+    monotone-association read beside stats_spearman_corr: τ counts
+    concordant vs discordant PAIRS, so one whale nation cannot drag
+    the statistic the way it drags Pearson, and the tie-corrected
+    τ-b denominator √((n₀−t_x)(n₀−t_y)) stays honest when counts
+    collide.  z = 3τ√(n(n−1))/√(2(2n+5)) is the standard normal
+    approximation for the no-association null.
+
+    Determinism: x is an exact DECIMAL revenue sum and y an exact
+    distinct count, so every pairwise comparison is exact; C, D and
+    the tie counts are integers; τ-b and z assemble in fixed-order
+    double arithmetic with IEEE sqrt and a mirrored zero-variance
+    nullif guard.
+
+    Scale shape: the nation panel is ONE partial-aggregated shuffle
+    of the orders⋈customer join (customer side broadcast); the
+    pairwise stage is a 25×25 broadcast self-join of the checkpointed
+    panel — O(groups²) on a domain-bounded panel, never on rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    panel = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("x"),
+            F.countDistinct("o_custkey").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    other = panel.select(
+        F.col("nk").alias("nk_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    prod = (F.col("x") - F.col("xb")) * (F.col("y") - F.col("yb"))
+    cnt = (
+        panel.join(F.broadcast(other), F.col("nk") < F.col("nk_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("concordant"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("discordant"),
+            F.sum(F.when(F.col("x") == F.col("xb"), 1).otherwise(0)).alias(
+                "ties_x"
+            ),
+            F.sum(F.when(F.col("y") == F.col("yb"), 1).otherwise(0)).alias(
+                "ties_y"
+            ),
+        )
+    )
+    ng = panel.agg(F.count(F.lit(1)).alias("n_groups"))
+    j = cnt.join(F.broadcast(ng))
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.nullif(
+        F.sqrt(
+            (F.col("n_pairs") - F.col("ties_x")).cast("double")
+            * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    n = F.col("n_groups")
+    return j.select(
+        n.cast("bigint").alias("n_groups"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        F.col("ties_x").cast("bigint").alias("ties_x"),
+        F.col("ties_y").cast("bigint").alias("ties_y"),
+        F.round(tau, 6).alias("tau_b"),
+        F.round(
+            3.0
+            * tau
+            * F.sqrt((n * (n - 1)).cast("double"))
+            / F.sqrt(2.0 * (2 * n + 5)),
+            6,
+        ).alias("z_stat"),
+    )

@@ -304,3 +304,107 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tsum, 6).alias("psi"),
         (tsum > 0.1).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+def _benford_oracle() -> str:
+    return """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit
+    FROM orders
+),
+obs AS (
+    SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
+),
+tot AS (SELECT sum(n_orders) AS n_total FROM obs),
+p AS (
+    SELECT digit, n_orders,
+           round(CAST(n_orders AS DOUBLE) / n_total, 9) AS p_observed,
+           round(log10(1.0 + 1.0 / digit), 9) AS p_expected
+    FROM obs, tot
+),
+chi AS (
+    SELECT sum(CAST(round((p_observed - p_expected) * (p_observed - p_expected)
+                          / p_expected, 12) AS DECIMAL(24,12))) AS chi_sum,
+           sum(CAST(round(abs(p_observed - p_expected), 12)
+                    AS DECIMAL(24,12))) AS mad_sum,
+           count(*) AS n_digits
+    FROM p
+)
+SELECT CAST(p.digit AS BIGINT) AS digit,
+       CAST(p.n_orders AS BIGINT) AS n_orders,
+       p.p_observed, p.p_expected,
+       round(p.p_observed - p.p_expected, 9) AS deviation,
+       round(CAST(chi.chi_sum AS DOUBLE) * tot.n_total, 6) AS chi2_stat,
+       round(CAST(chi.mad_sum AS DOUBLE) / chi.n_digits, 9) AS mad,
+       (CAST(chi.chi_sum AS DOUBLE) * tot.n_total <= 15.507)
+           AS conforms_5pct
+FROM p, chi, tot
+"""
+
+
+@query("dq_benford_digits", oracle=_benford_oracle())
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals
+    (round 9; Nigrini's forensic-accounting screen): natural
+    multiplicative amounts follow P(d) = log10(1+1/d), and a
+    partition whose leading digits drift from that law signals
+    synthetic padding, price floors, or unit mix-ups upstream — the
+    distribution-shape complement to dq_rule_violations'
+    value-bound checks and dq_psi_drift's era drift.  Emits the
+    9-row digit panel with the χ² goodness-of-fit statistic
+    (8 dof; 15.507 = 5% critical value) and Nigrini's mean absolute
+    deviation.
+
+    Determinism: the leading digit comes from the DECIMAL(18,2)
+    string form (identical rendering on both engines — never the
+    raw double's shortest-repr), p's are one double division rounded
+    to 9 dp, and the χ²/MAD terms are rounded to 12 dp then summed
+    as DECIMAL(24,12) so the 9-term accumulation is order-free.
+
+    Scale shape: one partial-aggregated scan to a 9-row panel; the
+    χ² fold is a broadcast join of that panel against its own 1-row
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    obs = obs.localCheckpoint(eager=True)
+    tot = obs.agg(F.sum("n_orders").alias("n_total"))
+    p = obs.join(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / F.col("n_total"), 9).alias(
+            "p_observed"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("p_expected"),
+        "n_total",
+    )
+    p = p.localCheckpoint(eager=True)
+    dev = F.col("p_observed") - F.col("p_expected")
+    chi = p.agg(
+        F.sum(
+            F.round(dev * dev / F.col("p_expected"), 12).cast("decimal(24,12)")
+        ).alias("chi_sum"),
+        F.sum(F.round(F.abs(dev), 12).cast("decimal(24,12)")).alias("mad_sum"),
+        F.count(F.lit(1)).alias("n_digits"),
+    )
+    chi2 = F.col("chi_sum").cast("double") * F.col("n_total")
+    return p.join(F.broadcast(chi)).select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "p_observed",
+        "p_expected",
+        F.round(dev, 9).alias("deviation"),
+        F.round(chi2, 6).alias("chi2_stat"),
+        F.round(F.col("mad_sum").cast("double") / F.col("n_digits"), 9).alias(
+            "mad"
+        ),
+        (chi2 <= 15.507).alias("conforms_5pct"),
+    )

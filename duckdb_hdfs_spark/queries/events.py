@@ -2081,3 +2081,174 @@ def ev_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_twa"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+def _nelson_aalen_oracle() -> str:
+    return """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+v AS (
+    SELECT e.user_id, e.ts AS v_ts, mx.m
+    FROM events e, mx WHERE e.event_type = 'view'
+),
+fp AS (
+    SELECT v.v_ts, v.m, min(p.ts) AS fp_ts
+    FROM v LEFT JOIN events p
+      ON p.event_type = 'purchase' AND p.user_id = v.user_id
+     AND p.ts >= v.v_ts AND p.ts < v.v_ts + INTERVAL 24 HOUR
+    GROUP BY v.user_id, v.v_ts, v.m
+),
+subj AS (
+    SELECT CASE WHEN fp_ts IS NOT NULL
+                THEN epoch_us(fp_ts) - epoch_us(v_ts)
+                ELSE least(86400000000, epoch_us(m) - epoch_us(v_ts))
+           END AS obs_us,
+           (fp_ts IS NOT NULL) AS is_event
+    FROM fp
+),
+panel AS (
+    SELECT CAST(obs_us // 3600000000 AS BIGINT) AS hour_bucket,
+           sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS d_events,
+           sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS c_censored
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT hour_bucket, d_events, c_censored,
+           (SELECT sum(d_events + c_censored) FROM panel)
+           - coalesce(sum(d_events + c_censored) OVER
+                 (ORDER BY hour_bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+    FROM panel
+),
+hz AS (
+    SELECT hour_bucket, n_at_risk, d_events, c_censored,
+           CAST(round(CAST(d_events AS DOUBLE) / n_at_risk, 9)
+                AS DECIMAL(12,9)) AS hazard
+    FROM risk
+)
+SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(c_censored AS BIGINT) AS c_censored,
+       CAST(hazard AS DOUBLE) AS hazard,
+       CAST(sum(hazard) OVER (ORDER BY hour_bucket) AS DOUBLE)
+           AS cum_hazard,
+       round(exp(-CAST(sum(hazard) OVER (ORDER BY hour_bucket)
+                       AS DOUBLE)), 6) AS survival_est
+FROM hz
+"""
+
+
+@query("ev_nelson_aalen", oracle=_nelson_aalen_oracle())
+def ev_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for the view→purchase
+    delay with RIGHT CENSORING (round 9): every view is a subject,
+    the event is that user's first purchase within 24 h, and views
+    whose follow-up is cut short by the stream end are censored at
+    what was actually observed — the estimator ev_conversion_survival
+    deliberately sidesteps by excluding incomplete-follow-up views.
+    H(t) = Σ_{t_j ≤ t} d_j/n_j over hourly buckets; survival ≈
+    exp(−H) (the product-limit relation).  The censoring-honest
+    survival curve is what attribution-horizon and session-timeout
+    choices should be read against.
+
+    Determinism: d_j/n_j is one IEEE double division of exact
+    integers rounded to 9 dp and held as DECIMAL(12,9), so the
+    cumulative hazard is an EXACT decimal sum (order-free); the only
+    transcendental is the final exp on an identical double, rounded
+    to 6 dp on both engines.
+
+    Scale shape: the first-purchase lookup is the bounded 24 h
+    user-keyed interval join (same shape as ev_conversion_survival);
+    everything after is a ≤25-row hourly panel — at-risk counts and
+    the hazard cumsum are broadcast theta-joins over that panel
+    (panel_rank's pattern), never a partition-less window over data.
+    """
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(mx))
+        .select("user_id", F.col("ts").alias("v_ts"), "m")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts", "m")
+        .agg(F.min("p_ts").alias("fp_ts"))
+    )
+    obs_us = F.when(
+        F.col("fp_ts").isNotNull(),
+        F.unix_micros("fp_ts") - F.unix_micros("v_ts"),
+    ).otherwise(
+        F.least(
+            F.lit(86_400_000_000),
+            F.unix_micros("m") - F.unix_micros("v_ts"),
+        )
+    )
+    subj = firstp.select(
+        (obs_us / F.lit(3_600_000_000)).cast("bigint").alias("hour_bucket"),
+        F.col("fp_ts").isNotNull().alias("is_event"),
+    )
+    panel = (
+        subj.groupBy("hour_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_events"),
+            F.sum(F.when(F.col("is_event"), 0).otherwise(1)).alias(
+                "c_censored"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = panel.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
+    )
+    prior = panel.select(
+        F.col("hour_bucket").alias("j"),
+        (F.col("d_events") + F.col("c_censored")).alias("rem"),
+    )
+    risk = (
+        panel.join(F.broadcast(prior), F.col("j") < F.col("hour_bucket"), "left")
+        .groupBy("hour_bucket", "d_events", "c_censored")
+        .agg(F.coalesce(F.sum("rem"), F.lit(0)).alias("gone"))
+        .join(F.broadcast(tot))
+        .select(
+            "hour_bucket",
+            (F.col("n_total") - F.col("gone")).alias("n_at_risk"),
+            "d_events",
+            "c_censored",
+        )
+    )
+    hz = risk.select(
+        "hour_bucket",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.round(F.col("d_events").cast("double") / F.col("n_at_risk"), 9)
+        .cast("decimal(12,9)")
+        .alias("hazard"),
+    ).localCheckpoint(eager=True)
+    hzo = hz.select(F.col("hour_bucket").alias("j"), F.col("hazard").alias("h_j"))
+    cum = (
+        hz.join(F.broadcast(hzo), F.col("j") <= F.col("hour_bucket"))
+        .groupBy("hour_bucket", "n_at_risk", "d_events", "c_censored", "hazard")
+        .agg(F.sum("h_j").cast("double").alias("cum_hazard"))
+    )
+    return cum.select(
+        F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("c_censored").cast("bigint").alias("c_censored"),
+        F.col("hazard").cast("double").alias("hazard"),
+        "cum_hazard",
+        F.round(F.exp(-F.col("cum_hazard")), 6).alias("survival_est"),
+    )

@@ -223,3 +223,155 @@ def layout_range_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_ZM_PREDS = (
+    ("q2_1996", "1996-04-01", "1996-06-30"),
+    ("q3_1997", "1997-07-01", "1997-09-30"),
+    ("q1_1999", "1999-01-01", "1999-03-31"),
+    ("q4_2000", "2000-10-01", "2000-12-31"),
+)
+_ZM_ZONES = 64
+_ZM_DAYS_PER_ZONE = 40  # ~2500-day shipdate span / 64 zones
+_ZM_ANCHOR = "1995-01-01"
+
+
+def _zonemap_oracle() -> str:
+    preds = ",\n         ".join(
+        f"('{n}', date_diff('day', TIMESTAMP '{_ZM_ANCHOR} 00:00:00',"
+        f" TIMESTAMP '{lo} 00:00:00'),"
+        f" date_diff('day', TIMESTAMP '{_ZM_ANCHOR} 00:00:00',"
+        f" TIMESTAMP '{hi} 00:00:00'))"
+        for n, lo, hi in _ZM_PREDS
+    )
+    return f"""
+WITH wk AS (
+    SELECT CAST(ceil((max(l_orderkey) + 1) / {_ZM_ZONES}.0) AS BIGINT) AS w
+    FROM lineitem
+),
+rows_tagged AS (
+    SELECT date_diff('day', TIMESTAMP '{_ZM_ANCHOR} 00:00:00', l_shipdate)
+               AS day_no,
+           l_orderkey // (SELECT w FROM wk) AS zone_arrival,
+           date_diff('day', TIMESTAMP '{_ZM_ANCHOR} 00:00:00', l_shipdate)
+               // {_ZM_DAYS_PER_ZONE} AS zone_clustered
+    FROM lineitem
+),
+zones AS (
+    SELECT layout, zone, count(*) AS n_rows,
+           min(day_no) AS lo_day, max(day_no) AS hi_day
+    FROM (
+        SELECT 'arrival' AS layout, zone_arrival AS zone, day_no
+        FROM rows_tagged
+        UNION ALL
+        SELECT 'clustered' AS layout, zone_clustered AS zone, day_no
+        FROM rows_tagged
+    ) GROUP BY layout, zone
+),
+preds(pred, p_lo, p_hi) AS (
+    VALUES {preds}
+)
+SELECT preds.pred AS predicate, zones.layout,
+       CAST(count(*) AS BIGINT) AS zones_total,
+       CAST(sum(CASE WHEN hi_day < p_lo OR lo_day > p_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zones_skipped,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN hi_day < p_lo OR lo_day > p_hi
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       round(CAST(sum(CASE WHEN hi_day < p_lo OR lo_day > p_hi
+                           THEN n_rows ELSE 0 END) AS DOUBLE)
+             / sum(n_rows), 6) AS skip_ratio
+FROM zones, preds
+GROUP BY preds.pred, zones.layout
+"""
+
+
+@query("layout_zonemap_prune", oracle=_zonemap_oracle())
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit
+    (round 9): the measurement behind every clustering decision this
+    module's z-order/Hilbert/range-partition planners exist to serve.
+    lineitem is carved into 64 zones two ways — `arrival`
+    (contiguous orderkey ranges: how a fact lands from ingest) and
+    `clustered` (shipdate ranges: what a sort-on-write produces) —
+    and each zone keeps the (min,max) shipdate footer a parquet
+    row-group would.  For four quarter predicates the panel reports
+    how many zones (and rows) each layout lets the scanner SKIP:
+    arrival zones span the whole date range (skip ≈ 0), clustered
+    zones prune ~94% — the number that justifies paying the sort at
+    write time at 100 TB.
+
+    Determinism: zone ids and day numbers are exact integer
+    arithmetic off a fixed calendar anchor; counts are integers; the
+    one ratio is a single rounded double division.
+
+    Scale shape: ONE lineitem scan (the two layout tags ride the
+    same row through a 2-way explode), one partial-aggregated
+    shuffle to the ≤2×64-row zone panel, then a broadcast
+    cross of that panel with the 4-row literal predicate table."""
+    li = _t(spark, sf_dir, "lineitem")
+    wk = li.agg(
+        F.ceil((F.max("l_orderkey") + 1) / float(_ZM_ZONES))
+        .cast("bigint")
+        .alias("w")
+    )
+    day_no = F.datediff(F.col("l_shipdate"), F.lit(_ZM_ANCHOR).cast("date"))
+    tagged = li.join(F.broadcast(wk)).select(
+        day_no.alias("day_no"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("layout"),
+                    (F.col("l_orderkey") / F.col("w"))
+                    .cast("bigint")
+                    .alias("zone"),
+                ),
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.floor(day_no / _ZM_DAYS_PER_ZONE).alias("zone"),
+                ),
+            )
+        ).alias("lz"),
+    )
+    zones = (
+        tagged.select("day_no", "lz.layout", "lz.zone")
+        .groupBy("layout", "zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("day_no").alias("lo_day"),
+            F.max("day_no").alias("hi_day"),
+        )
+    )
+    anchor = F.lit(_ZM_ANCHOR).cast("date")
+    preds = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in _ZM_PREDS], "pred string, lo string, hi string"
+    ).select(
+        "pred",
+        F.datediff(F.col("lo").cast("date"), anchor).alias("p_lo"),
+        F.datediff(F.col("hi").cast("date"), anchor).alias("p_hi"),
+    )
+    skipped = (F.col("hi_day") < F.col("p_lo")) | (
+        F.col("lo_day") > F.col("p_hi")
+    )
+    return (
+        zones.join(F.broadcast(preds))
+        .groupBy(F.col("pred").alias("predicate"), "layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("zones_total"),
+            F.sum(F.when(skipped, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zones_skipped"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            F.round(
+                F.sum(F.when(skipped, F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_rows"),
+                6,
+            ).alias("skip_ratio"),
+        )
+    )
