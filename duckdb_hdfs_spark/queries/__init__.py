@@ -80,6 +80,11 @@ _QUERY_MODULES = (
 # (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
+    # --- round-9 additions (fourth wave of this session) ---
+    "ev_power_mde",
+    "stats_brown_forsythe",
+    "sketch_linear_counting",
+    "graph_degree_assortativity",
     # --- round-9 additions (third wave of this session) ---
     "ev_nelson_aalen",
     "stats_kendall_tau",
@@ -130,15 +135,12 @@ _DRIVER_PRIORITY = (
     "pack_context_windows",
     "range_join_view_purchases",
     "sample_hash_split",
-    "sql_array_funcs",
-    "sql_conditional_funcs",
-    "sql_date_funcs",
-    "sql_set_ops",
-    # (sql_string_funcs, stats_moments, stats_quantiles, streaming_
-    # windowed_counts and text_levenshtein_pairs / unpivot_event
-    # _metrics — the youngest r3-stale re-verifies — displaced to the
-    # round-10 pool by this session's new keys; all locally green at
-    # sf0.001 + sf0.01)
+    # (sql_array_funcs, sql_conditional_funcs, sql_date_funcs,
+    # sql_set_ops, sql_string_funcs, stats_moments, stats_quantiles,
+    # streaming_windowed_counts and text_levenshtein_pairs /
+    # unpivot_event_metrics — the youngest r3-stale re-verifies —
+    # displaced to the round-10 pool by this session's new keys;
+    # all locally green at sf0.001 + sf0.01)
     # (the entire r4-stale set is displaced to the round-10 pool by
     # this session's ten new keys: new keys always outrank stale
     # re-verifies for window slots; r4 keys remain locally green)

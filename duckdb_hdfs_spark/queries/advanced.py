@@ -3226,3 +3226,131 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+def _brown_forsythe_oracle() -> str:
+    return f"""
+WITH med AS (
+    SELECT l_returnflag AS grp, quantile_cont(l_quantity, 0.5) AS med
+    FROM lineitem GROUP BY grp
+),
+z AS (
+    SELECT li.l_returnflag AS grp,
+           round(abs(li.l_quantity - med.med), 4) AS z
+    FROM lineitem li JOIN med ON li.l_returnflag = med.grp
+),
+g AS (
+    SELECT grp, count(*) AS n_j,
+           sum(CAST(z AS DECIMAL(20,4))) AS s_j,
+           sum(CAST(z AS DECIMAL(20,4)) * z) AS ss_j
+    FROM z GROUP BY grp
+),
+t AS (
+    SELECT CAST(sum(n_j) AS DOUBLE) AS n,
+           CAST(sum(s_j) AS DOUBLE) AS s,
+           CAST(sum(ss_j) AS DOUBLE) AS ss,
+           count(*) AS k,
+           CAST(sum(CAST(round(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+                                / n_j, 4) AS DECIMAL(38,4))) AS DOUBLE)
+               AS sum_sq_over_n
+    FROM g
+),
+f AS (
+    SELECT k, n,
+           ((sum_sq_over_n - s * s / n) / (k - 1))
+           / nullif((ss - sum_sq_over_n) / (n - k), 0) AS w_stat
+    FROM t
+)
+SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
+       round(CAST(g.s_j AS DOUBLE) / g.n_j, 6) AS mean_abs_dev,
+       round(f.w_stat, 6) AS w_stat,
+       CAST(f.k - 1 AS BIGINT) AS df1,
+       CAST(f.n - f.k AS BIGINT) AS df2,
+       f.w_stat > {_kw_crit_sql("(f.k - 1)")} / (f.k - 1)
+           AS variances_differ_5pct
+FROM g CROSS JOIN f
+"""
+
+
+@query("stats_brown_forsythe", oracle=_brown_forsythe_oracle())
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (round 9; Levene's
+    test with MEDIAN centers) on the ANOVA panel (l_quantity by
+    return flag) — the PRECONDITION check the parametric family
+    quietly assumes: one-way ANOVA pools a common within-group
+    variance, and when spreads differ its F is anticonservative.
+    The statistic is ANOVA's own F applied to z = |x − median_g|
+    (median centers make it robust to the heavy tails that break
+    mean-centered Levene), so the two panels share machinery and
+    read side by side.
+
+    Determinism: group medians via percentile == quantile_cont
+    bit-parity (the ev_anomaly_mad probe); z rounds to 4 dp before
+    the exact DECIMAL power sums; the F assembly, 4 dp s²/n fold and
+    χ²(k−1)/(k−1) significance ladder are byte-shared with
+    stats_anova_oneway.
+
+    Scale shape: one partial-aggregated pass to the 3-row median
+    panel (broadcast back — the fact table never shuffles), one
+    partial-aggregated pass to the 3-row power-sum panel, then
+    3-row folds."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("med"))
+        .localCheckpoint(eager=True)
+    )
+    z = li.join(
+        F.broadcast(med), li.l_returnflag == med.grp
+    ).select("grp", F.round(F.abs(F.col("l_quantity") - F.col("med")), 4).alias("z"))
+    zd = F.col("z").cast("decimal(20,4)")
+    g = (
+        z.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_j"),
+            F.sum(zd).alias("s_j"),
+            F.sum(zd * F.col("z")).alias("ss_j"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("n_j").cast("double").alias("n"),
+        F.sum("s_j").cast("double").alias("s"),
+        F.sum("ss_j").cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("s_j").cast("double")
+                * F.col("s_j").cast("double")
+                / F.col("n_j"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sum_sq_over_n"),
+    )
+    w_stat = (
+        (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("k") - 1)
+    ) / F.nullif(
+        (F.col("ss") - F.col("sum_sq_over_n")) / (F.col("n") - F.col("k")),
+        F.lit(0.0),
+    )
+    ft = t.select("k", "n", w_stat.alias("w_stat"))
+    crit = F.lit(None).cast("double")
+    for d, c in KW_CHI2_CRIT.items():
+        crit = F.when(F.col("k") - 1 == d, F.lit(c)).otherwise(crit)
+    return g.join(F.broadcast(ft)).select(
+        "grp",
+        F.col("n_j").cast("bigint").alias("n_j"),
+        F.round(F.col("s_j").cast("double") / F.col("n_j"), 6).alias(
+            "mean_abs_dev"
+        ),
+        F.round("w_stat", 6).alias("w_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        (F.col("w_stat") > crit / (F.col("k") - 1)).alias(
+            "variances_differ_5pct"
+        ),
+    )

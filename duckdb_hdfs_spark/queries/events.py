@@ -2252,3 +2252,110 @@ def ev_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_hazard",
         F.round(F.exp(-F.col("cum_hazard")), 6).alias("survival_est"),
     )
+
+
+# --------------------------------------------------------------------------
+def _power_mde_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    b = f"{md5_int60_sql('CAST(user_id AS VARCHAR)')} % 2"
+    return f"""
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN {b} = 0 THEN 'A' ELSE 'B' END AS arm,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id, arm
+),
+arms AS (
+    SELECT arm, count(*) AS n_users, sum(converted) AS n_conv
+    FROM assign GROUP BY arm
+),
+w AS (
+    SELECT a.n_users AS n_a, b2.n_users AS n_b,
+           a.n_conv AS conv_a, b2.n_conv AS conv_b,
+           CAST(a.n_conv + b2.n_conv AS DOUBLE)
+               / (a.n_users + b2.n_users) AS p_pool,
+           CAST(least(a.n_users, b2.n_users) AS DOUBLE) AS n_min
+    FROM arms a JOIN arms b2 ON a.arm = 'A' AND b2.arm = 'B'
+)
+SELECT CAST(n_a AS BIGINT) AS n_users_a,
+       CAST(n_b AS BIGINT) AS n_users_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS conv_rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS conv_rate_b,
+       round(p_pool, 6) AS pooled_rate,
+       round(2.801585 * sqrt(2.0 * p_pool * (1.0 - p_pool) / n_min), 6)
+           AS mde_abs_80pct,
+       round(2.801585 * sqrt(2.0 * p_pool * (1.0 - p_pool) / n_min)
+             / nullif(p_pool, 0), 6) AS mde_rel_80pct,
+       (2.801585 * sqrt(2.0 * p_pool * (1.0 - p_pool) / n_min)
+        / nullif(p_pool, 0)) <= 0.10 AS powered_for_10pct_lift
+FROM w
+"""
+
+
+@query("ev_power_mde", oracle=_power_mde_oracle())
+def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha
+    for the running A/B assignment (round 9) — the design-honesty
+    panel that belongs NEXT TO ev_abtest_srm and
+    stats_proportions_ztest: before reading any significance test,
+    ask what lift the experiment could even see.  MDE_abs =
+    (z_{α/2}+z_β)·√(2p̄(1−p̄)/n) with z constants 1.959964+0.841621
+    folded to the literal 2.801585; an experiment whose relative MDE
+    exceeds the lift the team hopes for is undersized no matter what
+    the p-value says.
+
+    Determinism: the user-grain conversion flags and arm counts are
+    exact integers off the same md5 split as ev_abtest_srm; the MDE
+    assembles in one fixed-order double expression (one IEEE sqrt,
+    literal z-sum), with a mirrored nullif on the zero-conversion
+    degenerate.
+
+    Scale shape: one user-grain partial-aggregated shuffle to the
+    2-row arm panel, then a 2-row join — adding power columns costs
+    expressions, not passes."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy(
+        "user_id",
+        F.when(md5_int60(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    n_min = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    mde_abs = 2.801585 * F.sqrt(2.0 * p_pool * (1.0 - p_pool) / n_min)
+    mde_rel = mde_abs / F.nullif(p_pool, F.lit(0.0))
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_users_a"),
+        F.col("n_b").cast("bigint").alias("n_users_b"),
+        F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6).alias(
+            "conv_rate_a"
+        ),
+        F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6).alias(
+            "conv_rate_b"
+        ),
+        F.round(p_pool, 6).alias("pooled_rate"),
+        F.round(mde_abs, 6).alias("mde_abs_80pct"),
+        F.round(mde_rel, 6).alias("mde_rel_80pct"),
+        (mde_rel <= 0.10).alias("powered_for_10pct_lift"),
+    )

@@ -269,3 +269,132 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         F.col("cnode").isNotNull().alias("in_2core"),
     )
+
+
+# --------------------------------------------------------------------------
+def _assortativity_oracle() -> str:
+    return f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ed AS (
+    SELECT ds.deg AS x, dd.deg AS y
+    FROM edges e
+    JOIN deg ds ON e.src = ds.node
+    JOIN deg dd ON e.dst = dd.node
+),
+s AS (
+    SELECT count(*) AS m,
+           sum(CAST(x AS DECIMAL(38,0))) AS sx,
+           sum(CAST(y AS DECIMAL(38,0))) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+           sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           (SELECT count(*) FROM deg) AS n_nodes
+    FROM ed
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       round(CAST(sx AS DOUBLE) / m, 6) AS mean_degree,
+       round((CAST(sxy AS DOUBLE) / m
+              - (CAST(sx AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))
+             / nullif(sqrt((CAST(sxx AS DOUBLE) / m
+                            - (CAST(sx AS DOUBLE) / m)
+                              * (CAST(sx AS DOUBLE) / m))
+                           * (CAST(syy AS DOUBLE) / m
+                              - (CAST(sy AS DOUBLE) / m)
+                                * (CAST(sy AS DOUBLE) / m))), 0), 6)
+           AS assortativity
+FROM s
+"""
+
+
+@query("graph_degree_assortativity", oracle=_assortativity_oracle())
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the LSH near-dup candidate graph
+    (round 9; Newman 2002): the Pearson correlation of endpoint
+    degrees over all directed edge instances.  Positive ⇒ hub-hub
+    wiring (boilerplate families cross-linking into one mass — CC
+    components will be few and huge); negative ⇒ hub-leaf star
+    wiring (one template with many one-off copies — keep-best
+    collapses stars cheaply).  The single scalar that tells a dedup
+    pipeline which of its two failure shapes the candidate graph is
+    drifting toward, read beside graph_kcore's density and
+    PageRank's centrality.
+
+    Determinism: degrees and all five power sums are exact integers
+    in DECIMAL(38,0) accumulators; the correlation assembles in one
+    fixed-order double expression (IEEE sqrt, mirrored zero-variance
+    nullif).
+
+    Scale shape: the edge list is the bounded band-bucket candidate
+    set, checkpointed once; degrees are one partial-aggregated
+    count; attaching endpoint degrees is two node-keyed shuffle
+    joins (AQE-splittable — no single-reducer stage); the panel
+    collapses to ONE row via partial aggregation."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    j = s.join(F.broadcast(nn))
+    m = F.col("m")
+    mx = F.col("sx").cast("double") / m
+    my = F.col("sy").cast("double") / m
+    cov = F.col("sxy").cast("double") / m - mx * my
+    vx = F.col("sxx").cast("double") / m - mx * mx
+    vy = F.col("syy").cast("double") / m - my * my
+    return j.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        (m / 2).cast("bigint").alias("n_edges"),
+        F.round(mx, 6).alias("mean_degree"),
+        F.round(
+            cov / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )

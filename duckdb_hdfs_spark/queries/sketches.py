@@ -1070,3 +1070,84 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(j_est - j_exact) <= 0.2).alias("within_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: Linear-counting bitmap size.  LC is the SMALL-cardinality regime
+#: sketch (std err ≈ √(m(e^t−t−1))/n at load t=n/m): below ~0.1·m
+#: distinct values it beats HLL's ~1.04/√m noise, which is why
+#: production HLLs (and Spark's own) switch to linear counting under
+#: low fill.  2^16 buckets = an 8 KiB bitmap per group in a real
+#: bitmap-agg rollup.
+LC_M = 65536
+
+
+def _linear_counting_oracle() -> str:
+    from duckdb_hdfs_spark.functions.hashing import md5_int60_sql
+
+    b = f"{md5_int60_sql('CAST(user_id AS VARCHAR)')} % {LC_M}"
+    return f"""
+WITH g AS (
+    SELECT event_type,
+           count(DISTINCT {b}) AS occupied,
+           count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(occupied AS BIGINT) AS occupied_buckets,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round({LC_M} * ln(CAST({LC_M} AS DOUBLE)
+                         / nullif({LC_M} - occupied, 0)), 2) AS lc_est,
+       round(abs({LC_M} * ln(CAST({LC_M} AS DOUBLE)
+                             / nullif({LC_M} - occupied, 0)) - n_exact)
+             / n_exact, 4) AS rel_err,
+       abs({LC_M} * ln(CAST({LC_M} AS DOUBLE)
+                       / nullif({LC_M} - occupied, 0)) - n_exact)
+           / n_exact <= 0.05 AS within_bound
+FROM g
+"""
+
+
+@query("sketch_linear_counting", oracle=_linear_counting_oracle())
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (probabilistic) counting per event type (round 9;
+    Whang et al. 1990): hash each user into an LC_M-bucket bitmap and
+    estimate n̂ = −m·ln(V) from the empty fraction V — the
+    SMALL-cardinality regime estimator that completes the
+    distinct-count ladder (exact → HLL's 1.04/√m at scale → KMV's
+    order statistics → LC when the fill is low, exactly the regime
+    where production HLLs themselves switch to linear counting).
+    The exact arm shares the scan and audits the estimate.
+
+    Determinism: bucket occupancy is exact integer set arithmetic on
+    md5-derived buckets; the estimator is one ln of an identical
+    rational double, rounded on both engines; the saturated-bitmap
+    degenerate (V=0) NULLs through a mirrored nullif.
+
+    Scale shape: one partial-aggregated shuffle (each map task emits
+    its local distinct (type, bucket) pairs once — at most m per type
+    per task, the bitmap-union property that makes LC mergeable); a
+    production rollup would carry the 8 KiB bitmap itself via
+    bit_or aggregation, byte-identical semantics."""
+    from duckdb_hdfs_spark.functions.hashing import md5_int60
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct(
+            md5_int60(F.col("user_id").cast("string")) % LC_M
+        ).alias("occupied"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    est = F.lit(float(LC_M)) * F.log(
+        F.lit(float(LC_M))
+        / F.nullif((F.lit(LC_M) - F.col("occupied")).cast("double"), F.lit(0.0))
+    )
+    rel = F.abs(est - F.col("n_exact")) / F.col("n_exact")
+    return g.select(
+        "event_type",
+        F.col("occupied").cast("bigint").alias("occupied_buckets"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(est, 2).alias("lc_est"),
+        F.round(rel, 4).alias("rel_err"),
+        (rel <= 0.05).alias("within_bound"),
+    )
