@@ -764,6 +764,20 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
         ("ev_abtest_srm", 1),           # one user-grain shuffle
         ("stats_anova_oneway", 1),      # one panel shuffle, 3-row fold
         ("stats_proportions_ztest", 1), # one user-grain shuffle
+        ("ev_nelson_aalen", 0),         # hourly panel checkpointed; the
+                                        # theta-join folds read it, not the
+                                        # interval join
+        ("stats_kendall_tau", 0),       # 25-row panel checkpointed before
+                                        # the O(groups^2) pair join
+        ("dq_benford_digits", 0),       # 9-row digit panel checkpointed
+        ("layout_zonemap_prune", 2),    # width 1-row agg + the tagged scan
+        ("ev_power_mde", 2),            # arm filter branches share the
+                                        # user-grain rollup tree (2-row agg;
+                                        # cheaper than a checkpoint barrier)
+        ("stats_brown_forsythe", 0),    # median panel + power-sum panel
+                                        # both checkpointed
+        ("sketch_linear_counting", 1),  # one shuffle, both aggs one pass
+        ("graph_degree_assortativity", 0),  # edges + degrees checkpointed
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
