@@ -80,6 +80,11 @@ _QUERY_MODULES = (
 # (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
+    # --- round-9 additions (fifth wave of this session) ---
+    "stats_jarque_bera",
+    "stats_ljung_box",
+    "stats_runs_test",
+    "text_term_burstiness",
     # --- round-9 additions (fourth wave of this session) ---
     "ev_power_mde",
     "stats_brown_forsythe",
@@ -119,7 +124,7 @@ _DRIVER_PRIORITY = (
     "stats_proportions_ztest",
     "graph_kcore",
     "dedup_substring_spans",
-    # --- all 25 r3-stale keys (latest driver row: round 3) ---
+    # --- the oldest r3-stale keys (latest driver row: round 3) ---
     "asof_purchase_last_view",
     "corpus_mix_sample",
     "distinct_users_approx",
@@ -131,16 +136,14 @@ _DRIVER_PRIORITY = (
     "mm_binary_meta",
     "mm_decode_features",
     "mm_frame_sample",
-    "mm_resize",
-    "pack_context_windows",
-    "range_join_view_purchases",
-    "sample_hash_split",
-    # (sql_array_funcs, sql_conditional_funcs, sql_date_funcs,
-    # sql_set_ops, sql_string_funcs, stats_moments, stats_quantiles,
-    # streaming_windowed_counts and text_levenshtein_pairs /
-    # unpivot_event_metrics — the youngest r3-stale re-verifies —
-    # displaced to the round-10 pool by this session's new keys;
-    # all locally green at sf0.001 + sf0.01)
+    # (displaced stale re-verifies: mm_resize,
+    # pack_context_windows, range_join_view_purchases,
+    # sample_hash_split, sql_array_funcs, sql_conditional_funcs,
+    # sql_date_funcs, sql_set_ops, sql_string_funcs, stats_moments,
+    # stats_quantiles, streaming_windowed_counts and
+    # text_levenshtein_pairs / unpivot_event_metrics — the youngest
+    # r3-stale re-verifies — displaced to the round-10 pool by this
+    # session's new keys; all locally green at sf0.001 + sf0.01)
     # (the entire r4-stale set is displaced to the round-10 pool by
     # this session's ten new keys: new keys always outrank stale
     # re-verifies for window slots; r4 keys remain locally green)

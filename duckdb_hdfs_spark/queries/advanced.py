@@ -15,7 +15,7 @@ Cross-engine notes (verified by probe, tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import md5_int60, md5_int60_sql
@@ -3353,4 +3353,415 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w_stat") > crit / (F.col("k") - 1)).alias(
             "variances_differ_5pct"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily-revenue diagnostics trio (round 9): Jarque-Bera (are the
+# daily totals normal?), Ljung-Box (are they autocorrelated?), and
+# the Wald-Wolfowitz runs test (are the up/down moves random?).
+# All three read the same (day, revenue) panel: one partial-agged
+# shuffle of orders to ~2,500 rows, checkpointed, then panel-sized
+# arithmetic — the fact table never feeds a window.
+_DAILY_REV_SQL = """
+    SELECT date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               AS day_no,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("day_no")
+        )
+        .agg(_dsum(F.col("o_totalprice")).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _jarque_bera_oracle() -> str:
+    return f"""
+WITH d AS ({_DAILY_REV_SQL}),
+m AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(rev AS DECIMAL(24,2))) AS DOUBLE) / count(*)
+               AS mean
+    FROM d
+),
+c AS (
+    SELECT m.n, m.mean,
+           CAST(sum(CAST(round((rev - mean) * (rev - mean), 4)
+                         AS DECIMAL(38,4))) AS DOUBLE) / m.n AS m2,
+           CAST(sum(CAST(round((rev - mean) * (rev - mean) * (rev - mean),
+                               4) AS DECIMAL(38,4))) AS DOUBLE) / m.n AS m3,
+           CAST(sum(CAST(round((rev - mean) * (rev - mean) * (rev - mean)
+                               * (rev - mean), 4)
+                         AS DECIMAL(38,4))) AS DOUBLE) / m.n AS m4
+    FROM d, m GROUP BY m.n, m.mean
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(mean, 2) AS mean_rev,
+       round(sqrt(m2), 2) AS std_rev,
+       round(m3 / nullif(m2 * sqrt(m2), 0), 6) AS skewness,
+       round(m4 / nullif(m2 * m2, 0), 6) AS kurtosis,
+       round(n / 6.0 * ((m3 / nullif(m2 * sqrt(m2), 0))
+                        * (m3 / nullif(m2 * sqrt(m2), 0))
+                        + (m4 / nullif(m2 * m2, 0) - 3)
+                          * (m4 / nullif(m2 * m2, 0) - 3) / 4), 4)
+           AS jb_stat,
+       (n / 6.0 * ((m3 / nullif(m2 * sqrt(m2), 0))
+                   * (m3 / nullif(m2 * sqrt(m2), 0))
+                   + (m4 / nullif(m2 * m2, 0) - 3)
+                     * (m4 / nullif(m2 * m2, 0) - 3) / 4)) <= 5.991
+           AS normal_5pct
+FROM c
+"""
+
+
+@query("stats_jarque_bera", oracle=_jarque_bera_oracle())
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on daily revenue (round 9):
+    JB = n/6·(S² + (K−3)²/4) from the panel's skewness and excess
+    kurtosis, gated on χ²(2) = 5.991 — the assumption audit for
+    every Gaussian-flavored monitor downstream (z-score and EWMA
+    anomaly gates, CUSUM's N(0,1) increments, the t-family): if the
+    daily totals are skewed or fat-tailed, those thresholds don't
+    mean 5%.  First leg of the daily-revenue diagnostics trio
+    (normality / autocorrelation / randomness).
+
+    Determinism: the day panel is exact-DECIMAL revenue rounded to
+    2 dp; the mean is an exact-DECIMAL ratio; centered d², d³, d⁴
+    round to 4 dp then sum as DECIMAL(38,4) (order-free — deviations
+    ~10⁸ at a 100 TB sf keep 4 dp inside 38 digits); S, K and JB
+    assemble in fixed-order doubles with mirrored zero-variance
+    guards.
+
+    Scale shape: one partial-agged shuffle of orders to the
+    checkpointed ~2,500-row day panel; the mean and moment passes
+    are panel-sized folds with a broadcast 1-row join."""
+    d = _daily_rev(spark, sf_dir)
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("rev").cast("decimal(24,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    dev = F.col("rev") - F.col("mean")
+    c = (
+        d.join(F.broadcast(m))
+        .groupBy("n", "mean")
+        .agg(
+            (
+                F.sum(F.round(dev * dev, 4).cast("decimal(38,4)")).cast(
+                    "double"
+                )
+                / F.col("n")
+            ).alias("m2"),
+            (
+                F.sum(
+                    F.round(dev * dev * dev, 4).cast("decimal(38,4)")
+                ).cast("double")
+                / F.col("n")
+            ).alias("m3"),
+            (
+                F.sum(
+                    F.round(dev * dev * dev * dev, 4).cast("decimal(38,4)")
+                ).cast("double")
+                / F.col("n")
+            ).alias("m4"),
+        )
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    skew = m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))
+    kurt = m4 / F.nullif(m2 * m2, F.lit(0.0))
+    jb = F.col("n") / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+    return c.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("mean", 2).alias("mean_rev"),
+        F.round(F.sqrt(m2), 2).alias("std_rev"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb <= 5.991).alias("normal_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+LB_MAX_LAG = 7
+#: chi-square 5% critical value at LB_MAX_LAG dof.
+LB_CHI2_CRIT = 14.067
+
+
+def _ljung_box_oracle() -> str:
+    return f"""
+WITH d AS ({_DAILY_REV_SQL}),
+m AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(rev AS DECIMAL(24,2))) AS DOUBLE) / count(*)
+               AS mean
+    FROM d
+),
+den AS (
+    SELECT m.n, m.mean,
+           CAST(sum(CAST(round((rev - mean) * (rev - mean), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s0
+    FROM d, m GROUP BY m.n, m.mean
+),
+lags AS (SELECT unnest(generate_series(1, {LB_MAX_LAG})) AS lag),
+num AS (
+    SELECT l.lag,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(round((a.rev - den.mean) * (b.rev - den.mean), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sk
+    FROM lags l
+    JOIN d a ON TRUE
+    JOIN d b ON b.day_no = a.day_no + l.lag
+    CROSS JOIN den
+    GROUP BY l.lag
+),
+r AS (
+    SELECT num.lag, num.n_pairs,
+           round(num.sk / nullif(den.s0, 0), 9) AS r_k,
+           den.n
+    FROM num CROSS JOIN den
+),
+q AS (
+    SELECT CAST(sum(CAST(round(r_k * r_k / (n - lag), 12)
+                         AS DECIMAL(24,12))) AS DOUBLE)
+               * max(n) * (max(n) + 2) AS q_stat
+    FROM r
+)
+SELECT CAST(r.lag AS BIGINT) AS lag,
+       CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       r.r_k AS acf,
+       round(q.q_stat, 4) AS lb_q_stat,
+       q.q_stat <= {LB_CHI2_CRIT!r} AS white_noise_5pct
+FROM r CROSS JOIN q
+"""
+
+
+@query("stats_ljung_box", oracle=_ljung_box_oracle())
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test on daily revenue
+    (round 9): calendar-lag ACF at lags 1..7 plus
+    Q = n(n+2)·Σ r_k²/(n−k), gated on χ²(7) = 14.067 — the
+    independence audit of the diagnostics trio (a revenue stream
+    with weekly autocorrelation invalidates every iid-based
+    control-limit downstream, and lag-7 is where retail seasonality
+    shows).  ACF here is the calendar-lag form: products are taken
+    over day pairs (t, t+k) where BOTH calendar days exist — gap
+    semantics identical on both engines by construction.
+
+    Determinism: the mean and Σ(x−x̄)² come from exact DECIMAL folds;
+    every lagged product rounds to 6 dp then DECIMAL-sums
+    (order-free); r_k rounds to 9 dp; the Q fold re-rounds each
+    r_k²/(n−k) term to 12 dp into DECIMAL before the final double
+    assembly.
+
+    Scale shape: the checkpointed day panel self-joins through a
+    broadcast (7-row lag spine × panel) — the fact table shuffles
+    once to day grain and never again; at 100 TB the panel is still
+    just one row per calendar day."""
+    d = _daily_rev(spark, sf_dir)
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("rev").cast("decimal(24,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    dev = F.col("rev") - F.col("mean")
+    den = (
+        d.join(F.broadcast(m))
+        .groupBy("n", "mean")
+        .agg(
+            F.sum(F.round(dev * dev, 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s0")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = d.select(F.col("day_no").alias("day_b"), F.col("rev").alias("rev_b"))
+    num = (
+        d.join(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day_no") + F.col("lag"))
+        .join(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(
+                    (F.col("rev") - F.col("mean"))
+                    * (F.col("rev_b") - F.col("mean")),
+                    6,
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("sk"),
+        )
+    )
+    r = (
+        num.join(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("sk") / F.nullif(F.col("s0"), F.lit(0.0)), 9
+            ).alias("acf"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = r.agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("acf") * F.col("acf") / (F.col("n") - F.col("lag")),
+                    12,
+                ).cast("decimal(24,12)")
+            ).cast("double")
+            * F.max("n")
+            * (F.max("n") + 2)
+        ).alias("q_stat")
+    )
+    return r.join(F.broadcast(q)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "acf",
+        F.round("q_stat", 4).alias("lb_q_stat"),
+        (F.col("q_stat") <= LB_CHI2_CRIT).alias("white_noise_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _runs_test_oracle() -> str:
+    return f"""
+WITH d AS ({_DAILY_REV_SQL}),
+y AS (
+    SELECT day_no, rev,
+           1995 + CAST(floor(day_no / 365.25) AS INTEGER) AS yr
+    FROM d
+),
+med AS (SELECT yr, quantile_cont(rev, 0.5) AS med FROM y GROUP BY yr),
+s AS (
+    SELECT y.yr, y.day_no,
+           CASE WHEN y.rev > med.med THEN 1 ELSE 0 END AS above
+    FROM y JOIN med ON y.yr = med.yr
+    WHERE y.rev <> med.med
+),
+flips AS (
+    SELECT yr, day_no, above,
+           CASE WHEN lag(above) OVER (PARTITION BY yr ORDER BY day_no)
+                     IS DISTINCT FROM above THEN 1 ELSE 0 END AS new_run
+    FROM s
+),
+g AS (
+    SELECT yr, count(*) AS n,
+           sum(above) AS n1,
+           count(*) - sum(above) AS n2,
+           sum(new_run) AS runs
+    FROM flips GROUP BY yr
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS runs,
+       round(2.0 * n1 * n2 / n + 1, 6) AS expected_runs,
+       round((runs - (2.0 * n1 * n2 / n + 1))
+             / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                           / (CAST(n AS DOUBLE) * n * (n - 1))), 0), 6)
+           AS z_stat,
+       abs((runs - (2.0 * n1 * n2 / n + 1))
+           / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                         / (CAST(n AS DOUBLE) * n * (n - 1))), 0)) > 1.96
+           AS nonrandom_5pct
+FROM g
+"""
+
+
+@query("stats_runs_test", oracle=_runs_test_oracle())
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per year on daily revenue (round 9):
+    dichotomize each year's days around that year's median, count
+    maximal runs of above/below, and compare to the exact null
+    E[R] = 2n₁n₂/n + 1 with its variance — too FEW runs means
+    clustering (regimes, level shifts), too MANY means oscillation
+    (negative autocorrelation).  The randomness leg of the
+    diagnostics trio: Ljung-Box sees linear autocorrelation; runs
+    see any monotone departure, distribution-free.  Per-year
+    framing keeps the test window-partitioned AND is the honest
+    grain — pooling years would let the trend masquerade as
+    clustering.
+
+    Determinism: medians via the percentile ↔ quantile_cont
+    bit-parity probe; exactly-median days are excluded on both
+    engines (the classical treatment); run counting is integer lag
+    comparison; E[R], Var[R] and z assemble in fixed-order doubles
+    with a mirrored degenerate guard (a year entirely on one side
+    NULLs its z).
+
+    Scale shape: one partial-agged shuffle of orders to the day
+    panel; the lag window partitions by YEAR (bounded rows per
+    partition, never partition-less); per-year medians broadcast
+    back onto the panel."""
+    d = _daily_rev(spark, sf_dir)
+    y = d.select(
+        "day_no",
+        "rev",
+        (1995 + F.floor(F.col("day_no") / 365.25)).cast("int").alias("yr"),
+    )
+    med = (
+        y.groupBy("yr")
+        .agg(F.expr("percentile(rev, 0.5)").alias("med"))
+        .localCheckpoint(eager=True)
+    )
+    s = (
+        y.join(F.broadcast(med), "yr")
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "yr",
+            "day_no",
+            F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("above"),
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("day_no")
+    flips = s.select(
+        "yr",
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = flips.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("above").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    e_runs = 2.0 * n1 * n2 / n + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (
+        n.cast("double") * n * (n - 1)
+    )
+    z = (F.col("runs") - e_runs) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return g.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        n.cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.round(e_runs, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("nonrandom_5pct"),
     )

@@ -836,3 +836,99 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(spw, 6).alias("syllables_per_word"),
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_score"),
     )
+
+
+# --------------------------------------------------------------------------
+BURST_MIN_DF = 5
+BURST_TOP_K = 20
+
+
+def _burstiness_oracle() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+),
+td AS (
+    SELECT term, doc_id, count(*) AS c FROM tok
+    WHERE term <> '' GROUP BY term, doc_id
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+st AS (
+    SELECT term, count(*) AS df,
+           sum(CAST(c AS DECIMAL(20,0))) AS s1,
+           sum(CAST(c AS DECIMAL(20,0)) * c) AS s2
+    FROM td GROUP BY term HAVING count(*) >= {BURST_MIN_DF}
+),
+f AS (
+    SELECT term, df,
+           CAST(s1 AS BIGINT) AS total_tf,
+           round((CAST(s2 AS DOUBLE) / n_docs
+                  - (CAST(s1 AS DOUBLE) / n_docs)
+                    * (CAST(s1 AS DOUBLE) / n_docs))
+                 / nullif(CAST(s1 AS DOUBLE) / n_docs, 0), 6) AS fano
+    FROM st CROSS JOIN nd
+)
+SELECT term, CAST(df AS BIGINT) AS df, total_tf, fano
+FROM f
+ORDER BY fano DESC, term
+LIMIT {BURST_TOP_K}
+"""
+
+
+@query("text_term_burstiness", oracle=_burstiness_oracle())
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: top-20 terms by Fano factor (round 9;
+    Church & Gale's burstiness, index-of-dispersion form): over ALL
+    docs (zeros included), Fano = Var[c]/E[c] — ≈1 for Poisson
+    'background' words, ≫1 for terms that cluster into few documents
+    (topical/boilerplate markers).  The dispersion complement to
+    TF-IDF's rarity and token-entropy's within-doc diversity: two
+    terms with identical document frequency can differ 100× in
+    burstiness, and bursty high-df terms are the template phrases
+    dedup cares about.
+
+    Determinism: per-(term, doc) counts are integers; zeros enter
+    through the algebra (Σc, Σc² over present docs + the N_docs
+    1-row broadcast), never materialized; the Fano assembles in one
+    fixed-order double expression rounded to 6 dp with a mirrored
+    zero-mean guard; the top-k orders on (fano DESC, term) — a total
+    order, so the cut is engine-stable.
+
+    Scale shape: one explode → partial-agged (term, doc) count →
+    partial-agged term rollup (two shuffles, both key-spread); the
+    df≥{5} filter prunes the hapax tail before ranking; top-k is
+    TakeOrderedAndProject (bounded per-partition heap, never a
+    global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cd = F.col("c").cast("decimal(20,0)")
+    st = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * F.col("c")).alias("s2"),
+    ).filter(F.col("df") >= BURST_MIN_DF)
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    fano = F.round(
+        (F.col("s2").cast("double") / F.col("n_docs") - mean * mean)
+        / F.nullif(mean, F.lit(0.0)),
+        6,
+    )
+    return (
+        st.join(F.broadcast(nd))
+        .select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("s1").cast("bigint").alias("total_tf"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.col("fano").desc(), "term")
+        .limit(BURST_TOP_K)
+    )

@@ -778,6 +778,12 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
                                         # both checkpointed
         ("sketch_linear_counting", 1),  # one shuffle, both aggs one pass
         ("graph_degree_assortativity", 0),  # edges + degrees checkpointed
+        ("stats_jarque_bera", 0),       # day panel checkpointed; mean +
+                                        # moment passes read the checkpoint
+        ("stats_ljung_box", 0),         # day panel + den + r checkpointed
+        ("stats_runs_test", 0),         # day panel + medians checkpointed
+        ("text_term_burstiness", 2),    # (term,doc) explode + the N_docs
+                                        # 1-row metadata count
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
