@@ -80,6 +80,11 @@ _QUERY_MODULES = (
 # (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
+    # --- round-9 additions (sixth wave of this session) ---
+    "sim_hubness_koccurrence",
+    "dq_iqr_outliers",
+    "stats_cramers_v",
+    "text_langid_metrics",
     # --- round-9 additions (fifth wave of this session) ---
     "stats_jarque_bera",
     "stats_ljung_box",
@@ -132,11 +137,8 @@ _DRIVER_PRIORITY = (
     "fs_describe_tables",
     "fs_read_parquet",
     "fs_sql_path",
-    "fs_write_parquet",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_frame_sample",
-    # (displaced stale re-verifies: mm_resize,
+    # (displaced stale re-verifies: fs_write_parquet, mm_binary_meta,
+    # mm_decode_features, mm_frame_sample, mm_resize,
     # pack_context_windows, range_join_view_purchases,
     # sample_hash_split, sql_array_funcs, sql_conditional_funcs,
     # sql_date_funcs, sql_set_ops, sql_string_funcs, stats_moments,

@@ -3765,3 +3765,160 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("nonrandom_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _cramers_v_oracle() -> str:
+    return """
+WITH obs0 AS (
+    SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+           count(*) AS observed
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+rt AS (SELECT segment, sum(observed) AS row_n FROM obs0 GROUP BY segment),
+ct AS (SELECT priority, sum(observed) AS col_n FROM obs0 GROUP BY priority),
+tot AS (SELECT sum(observed) AS n FROM obs0),
+obs AS (
+    SELECT rt.segment, ct.priority, coalesce(o.observed, 0) AS observed
+    FROM rt CROSS JOIN ct
+    LEFT JOIN obs0 o ON o.segment = rt.segment AND o.priority = ct.priority
+),
+cell AS (
+    SELECT observed,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e
+    FROM obs JOIN rt USING (segment) JOIN ct USING (priority) CROSS JOIN tot
+),
+chi AS (
+    SELECT CAST(sum(CAST(round((observed - e) * (observed - e) / e, 6)
+                         AS DECIMAL(24,6))) AS DOUBLE) AS chi2
+    FROM cell
+),
+dims AS (
+    SELECT (SELECT count(*) FROM rt) AS r,
+           (SELECT count(*) FROM ct) AS c,
+           (SELECT n FROM tot) AS n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_rows_cat,
+       CAST(c AS BIGINT) AS n_cols_cat,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+       round(sqrt(greatest(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE)
+                           / (n - 1), 0)
+                  / nullif(least(r - CAST((r - 1) * (r - 1) AS DOUBLE)
+                                 / (n - 1),
+                                 c - CAST((c - 1) * (c - 1) AS DOUBLE)
+                                 / (n - 1)) - 1, 0)), 6)
+           AS cramers_v_corrected,
+       CASE WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.1
+                 THEN 'negligible'
+            WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.3 THEN 'weak'
+            WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.5
+                 THEN 'moderate'
+            ELSE 'strong' END AS association
+FROM chi CROSS JOIN dims
+"""
+
+
+@query("stats_cramers_v", oracle=_cramers_v_oracle())
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment × priority table
+    (round 9) — the MAGNITUDE read for stats_chi2_independence,
+    exactly as stats_cohens_d is for the t-test: at 100 TB the χ²
+    statistic rejects independence for associations no one should
+    act on; V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1] says how strong the
+    dependence actually is.  Emits both the classical V and the
+    Bergsma bias-corrected variant (the correction matters exactly
+    in the large-n/weak-effect regime this op exists for), plus the
+    conventional strength band.
+
+    Determinism: the χ² fold reuses the independence test's recipe
+    byte-for-byte (full marginal grid incl. zero cells, per-cell
+    contributions rounded to 6 dp then DECIMAL-summed); V and its
+    correction assemble in fixed-order doubles with mirrored
+    greatest/nullif guards.
+
+    Scale shape: identical to stats_chi2_independence — one fact
+    group-by to the 25-cell panel (checkpointed), then
+    marginal/statistic folds over panel-sized broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    obs0 = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=True)
+    )
+    rt = obs0.groupBy("segment").agg(F.sum("observed").alias("row_n"))
+    ct = obs0.groupBy("priority").agg(F.sum("observed").alias("col_n"))
+    tot = obs0.agg(F.sum("observed").alias("n"))
+    obs = (
+        rt.select("segment")
+        .crossJoin(F.broadcast(ct.select("priority")))
+        .join(F.broadcast(obs0), ["segment", "priority"], "left")
+        .select(
+            "segment",
+            "priority",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+        )
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    chi = (
+        obs.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "priority")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+                ).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("chi2")
+        )
+    )
+    r_ = rt.agg(F.count(F.lit(1)).alias("r"))
+    c_ = ct.agg(F.count(F.lit(1)).alias("c"))
+    j = chi.join(F.broadcast(r_)).join(F.broadcast(c_)).join(F.broadcast(tot))
+    n, r, c = (
+        F.col("n").cast("double"),
+        F.col("r").cast("double"),
+        F.col("c").cast("double"),
+    )
+    v = F.sqrt(F.col("chi2") / (n * F.least(r - 1, c - 1)))
+    phi2c = F.greatest(
+        F.col("chi2") / n - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+    )
+    vc = F.sqrt(
+        phi2c
+        / F.nullif(
+            F.least(r - (r - 1) * (r - 1) / (n - 1), c - (c - 1) * (c - 1) / (n - 1))
+            - 1,
+            F.lit(0.0),
+        )
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_rows_cat"),
+        F.col("c").cast("bigint").alias("n_cols_cat"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round(vc, 6).alias("cramers_v_corrected"),
+        F.when(v < 0.1, "negligible")
+        .when(v < 0.3, "weak")
+        .when(v < 0.5, "moderate")
+        .otherwise("strong")
+        .alias("association"),
+    )

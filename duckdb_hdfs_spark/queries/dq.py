@@ -408,3 +408,109 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (chi2 <= 15.507).alias("conforms_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+def _iqr_oracle() -> str:
+    return """
+WITH q AS (
+    SELECT o_orderpriority AS priority,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders GROUP BY 1
+),
+f AS (
+    SELECT priority, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo_fence,
+           q3 + 1.5 * (q3 - q1) AS hi_fence
+    FROM q
+),
+c AS (
+    SELECT f.priority, f.q1, f.q3, f.lo_fence, f.hi_fence,
+           count(*) AS n_orders,
+           sum(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END)
+               AS n_low,
+           sum(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END)
+               AS n_high
+    FROM orders o JOIN f ON o.o_orderpriority = f.priority
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT priority, CAST(n_orders AS BIGINT) AS n_orders,
+       round(q1, 4) AS q1, round(q3, 4) AS q3,
+       round(hi_fence, 4) AS hi_fence,
+       CAST(n_low AS BIGINT) AS n_low,
+       CAST(n_high AS BIGINT) AS n_high,
+       round(CAST(n_low + n_high AS DOUBLE) / n_orders, 6)
+           AS outlier_share
+FROM c
+"""
+
+
+@query("dq_iqr_outliers", oracle=_iqr_oracle())
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit per order priority (round 9;
+    the boxplot rule): values beyond q1−1.5·IQR / q3+1.5·IQR are
+    flagged and counted per group — the nonparametric value-shape
+    check between dq_rule_violations' FIXED bounds (which must be
+    chosen) and ev_anomaly_mad's median/MAD z (which scores rows):
+    the fences ADAPT to each group's own spread, so a priority class
+    whose price tail suddenly fattens raises its share with no
+    threshold to maintain.
+
+    Determinism: quartiles via the percentile ↔ quantile_cont
+    bit-parity probe; fences assemble in fixed-order doubles; flag
+    comparisons are exact; counts are integers and the share is one
+    rounded division.
+
+    Scale shape: two partial-aggregated passes (the quantile pass to
+    the 5-row fence panel — broadcast back — then the conditional
+    count); the fact table never feeds a window or a shuffle join."""
+    o = _t(spark, sf_dir, "orders")
+    q = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    f = q.select(
+        "priority",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    c = (
+        o.join(
+            F.broadcast(f), o.o_orderpriority == f.priority
+        )
+        .groupBy("priority", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo_fence"), 1).otherwise(
+                    0
+                )
+            ).alias("n_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi_fence"), 1).otherwise(
+                    0
+                )
+            ).alias("n_high"),
+        )
+    )
+    return c.select(
+        "priority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("q1", 4).alias("q1"),
+        F.round("q3", 4).alias("q3"),
+        F.round("hi_fence", 4).alias("hi_fence"),
+        F.col("n_low").cast("bigint").alias("n_low"),
+        F.col("n_high").cast("bigint").alias("n_high"),
+        F.round(
+            (F.col("n_low") + F.col("n_high")).cast("double")
+            / F.col("n_orders"),
+            6,
+        ).alias("outlier_share"),
+    )

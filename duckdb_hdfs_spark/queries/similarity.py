@@ -1388,3 +1388,142 @@ def emb_cosine_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+#: Hubness probe stride (denser than the top-k demo probes: the
+#: k-occurrence distribution needs enough queries to populate its
+#: tail) and the kNN depth it counts occurrences at.
+HUB_STRIDE = 10
+HUB_K = 5
+
+
+def _hubness_oracle() -> str:
+    return f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE vec_id % {HUB_STRIDE} = 0),
+scored AS (
+    SELECT p.probe_id, c.vec_id,
+           {cosine_sql('p.pe', 'c.embedding')} AS cos_raw
+    FROM embeddings c, p
+    WHERE c.vec_id <> p.probe_id
+),
+top AS (
+    SELECT vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rk
+        FROM scored
+    ) t WHERE rk <= {HUB_K}
+),
+occ AS (SELECT vec_id, count(*) AS n_k FROM top GROUP BY vec_id),
+nc AS (SELECT count(*) AS n_corpus FROM embeddings),
+np AS (SELECT count(*) AS n_probes FROM embeddings
+       WHERE vec_id % {HUB_STRIDE} = 0),
+mom AS (
+    SELECT CAST(sum(CAST(n_k AS DECIMAL(20,0))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(n_k AS DECIMAL(20,0)) * n_k) AS DOUBLE) AS s2,
+           CAST(sum(CAST(n_k AS DECIMAL(20,0)) * n_k * n_k) AS DOUBLE)
+               AS s3,
+           count(*) AS n_hit
+    FROM occ
+),
+sk AS (
+    SELECT round(
+        (s3 / n_corpus
+         - 3 * (s1 / n_corpus) * (s2 / n_corpus)
+         + 2 * (s1 / n_corpus) * (s1 / n_corpus) * (s1 / n_corpus))
+        / nullif((s2 / n_corpus - (s1 / n_corpus) * (s1 / n_corpus))
+                 * sqrt(s2 / n_corpus
+                        - (s1 / n_corpus) * (s1 / n_corpus)), 0), 6)
+            AS skew,
+        n_hit
+    FROM mom, nc
+),
+hist AS (
+    SELECT n_k AS k_occurrence, count(*) AS n_vectors FROM occ GROUP BY n_k
+    UNION ALL
+    SELECT 0 AS k_occurrence, nc.n_corpus - sk.n_hit AS n_vectors
+    FROM nc, sk WHERE nc.n_corpus > sk.n_hit
+)
+SELECT CAST(h.k_occurrence AS BIGINT) AS k_occurrence,
+       CAST(h.n_vectors AS BIGINT) AS n_vectors,
+       CAST(np.n_probes AS BIGINT) AS n_probes,
+       sk.skew AS occurrence_skewness
+FROM hist h CROSS JOIN np CROSS JOIN sk
+"""
+
+
+@query("sim_hubness_koccurrence", oracle=_hubness_oracle())
+def sim_hubness_koccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness audit (round 9; Radovanović et al. 2010):
+    how many probes' top-5 lists each corpus vector appears in.  In
+    high dimension the N_k distribution skews right — a few 'hub'
+    vectors show up in everyone's neighbor list while antihubs are
+    never retrieved — which silently corrupts kNN labels, recall
+    evals, and embedding-dedup thresholds.  Emits the N_k histogram
+    (zeros included) and its skewness: the single drift number to
+    alarm on before trusting any of this module's neighbor ops.
+
+    Determinism: occurrence counts are exact integers; the zero
+    bucket and the three moment sums enter through the algebra
+    (Σc, Σc², Σc³ over hit vectors + the corpus count — zeros never
+    materialize); skewness assembles in fixed-order doubles with a
+    mirrored zero-variance guard.
+
+    Scale shape: the kNN pass is brute_topk's shape (probes
+    broadcast, corpus never shuffled, WindowGroupLimit bounded
+    heap); the occurrence rollup is one partial-agged shuffle of
+    probes×k rows; the histogram and moments are panel-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % HUB_STRIDE == 0)
+    top = brute_topk(probes, emb, k=HUB_K)
+    occ = (
+        top.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+        .localCheckpoint(eager=True)
+    )
+    nc = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    np_ = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    cd = F.col("n_k").cast("decimal(20,0)")
+    mom = occ.agg(
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * F.col("n_k")).cast("double").alias("s2"),
+        F.sum(cd * F.col("n_k") * F.col("n_k")).cast("double").alias("s3"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    n = F.col("n_corpus").cast("double")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * m1 * m1 * m1
+    sk = (
+        mom.join(F.broadcast(nc))
+        .select(
+            F.round(
+                m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0)), 6
+            ).alias("skew"),
+            "n_hit",
+            "n_corpus",
+        )
+        .localCheckpoint(eager=True)
+    )
+    hist = (
+        occ.groupBy(F.col("n_k").alias("k_occurrence"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .unionByName(
+            sk.filter(F.col("n_corpus") > F.col("n_hit")).select(
+                F.lit(0).alias("k_occurrence"),
+                (F.col("n_corpus") - F.col("n_hit")).alias("n_vectors"),
+            )
+        )
+    )
+    return (
+        hist.join(F.broadcast(np_))
+        .join(F.broadcast(sk.select("skew")))
+        .select(
+            F.col("k_occurrence").cast("bigint").alias("k_occurrence"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("skew").alias("occurrence_skewness"),
+        )
+    )

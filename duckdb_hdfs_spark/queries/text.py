@@ -932,3 +932,123 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fano").desc(), "term")
         .limit(BURST_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+def _langid_metrics_oracle() -> str:
+    return f"""
+WITH conf AS (
+    SELECT {lang_id_sql(_TOKS)} AS pred_lang, lang AS actual_lang,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT actual_lang AS lang FROM conf),
+per AS (
+    SELECT l.lang,
+           coalesce((SELECT sum(n) FROM conf
+                     WHERE actual_lang = l.lang), 0) AS support,
+           coalesce((SELECT sum(n) FROM conf
+                     WHERE pred_lang = l.lang
+                       AND actual_lang = l.lang), 0) AS tp,
+           coalesce((SELECT sum(n) FROM conf
+                     WHERE pred_lang = l.lang), 0) AS pred_n
+    FROM langs l
+),
+acc AS (
+    SELECT CAST(sum(CASE WHEN pred_lang = actual_lang THEN n ELSE 0 END)
+                AS DOUBLE) / sum(n) AS accuracy
+    FROM conf
+)
+SELECT per.lang,
+       CAST(per.support AS BIGINT) AS support,
+       CAST(per.tp AS BIGINT) AS tp,
+       round(CAST(per.tp AS DOUBLE) / nullif(per.pred_n, 0), 6)
+           AS precision_,
+       round(CAST(per.tp AS DOUBLE) / nullif(per.support, 0), 6)
+           AS recall_,
+       round(2.0 * per.tp / nullif(per.pred_n + per.support, 0), 6)
+           AS f1,
+       round(acc.accuracy, 6) AS overall_accuracy
+FROM per CROSS JOIN acc
+"""
+
+
+@query("text_langid_metrics", oracle=_langid_metrics_oracle())
+def text_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 for the stopword
+    language-ID heuristic against the labelled lang column (round 9)
+    — the classifier-evaluation layer over text_langid's raw
+    confusion counts: a corpus router needs to know WHICH languages
+    the heuristic under-recalls (those documents leak into the wrong
+    pipeline) before trusting per-language stats downstream.  F1 is
+    computed in its tp-only form 2·tp/(pred+support) — identical to
+    2PR/(P+R) but with one fewer division to keep rounding exact.
+
+    Determinism: all counts are exact integers from one confusion
+    group-by (checkpointed); every ratio is a single rounded double
+    division with mirrored zero-support/zero-prediction nullif
+    guards.
+
+    Scale shape: one partial-aggregated shuffle of documents to the
+    ≤|langs|² confusion panel; marginals and the accuracy fold are
+    panel-sized broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    conf = (
+        docs.select(
+            lang_id(tokens(F.col("text"))).alias("pred_lang"),
+            F.col("lang").alias("actual_lang"),
+        )
+        .groupBy("pred_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    sup = conf.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.sum("n").alias("support")
+    )
+    pred = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    tp = (
+        conf.filter(F.col("pred_lang") == F.col("actual_lang"))
+        .groupBy(F.col("actual_lang").alias("lang"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    acc = conf.agg(
+        (
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("actual_lang"), F.col("n"))
+                .otherwise(0)
+            ).cast("double")
+            / F.sum("n")
+        ).alias("accuracy")
+    )
+    per = (
+        sup.join(F.broadcast(pred), "lang", "left")
+        .join(F.broadcast(tp), "lang", "left")
+        .select(
+            "lang",
+            "support",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
+        )
+    )
+    return per.join(F.broadcast(acc)).select(
+        "lang",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("pred_n"), F.lit(0)),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("support"), F.lit(0)),
+            6,
+        ).alias("recall_"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(F.col("pred_n") + F.col("support"), F.lit(0)),
+            6,
+        ).alias("f1"),
+        F.round("accuracy", 6).alias("overall_accuracy"),
+    )

@@ -784,6 +784,12 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
         ("stats_runs_test", 0),         # day panel + medians checkpointed
         ("text_term_burstiness", 2),    # (term,doc) explode + the N_docs
                                         # 1-row metadata count
+        ("sim_hubness_koccurrence", 1), # occ + moments checkpointed; the
+                                        # probe-count metadata scan remains
+        ("dq_iqr_outliers", 1),         # fence panel checkpointed; one
+                                        # live conditional-count pass
+        ("stats_cramers_v", 0),         # 25-cell panel checkpointed
+        ("text_langid_metrics", 0),     # confusion panel checkpointed
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
