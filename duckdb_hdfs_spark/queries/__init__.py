@@ -80,6 +80,11 @@ _QUERY_MODULES = (
 # (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
+    # --- round-9 additions (seventh wave of this session) ---
+    "sql_regexp_funcs",
+    "sample_neyman_allocation",
+    "pack_efficiency_audit",
+    "ev_anomaly_dow_adjusted",
     # --- round-9 additions (sixth wave of this session) ---
     "sim_hubness_koccurrence",
     "dq_iqr_outliers",
@@ -133,11 +138,9 @@ _DRIVER_PRIORITY = (
     "asof_purchase_last_view",
     "corpus_mix_sample",
     "distinct_users_approx",
-    "ev_value_histogram",
-    "fs_describe_tables",
-    "fs_read_parquet",
-    "fs_sql_path",
-    # (displaced stale re-verifies: fs_write_parquet, mm_binary_meta,
+    # (displaced stale re-verifies: ev_value_histogram,
+    # fs_describe_tables, fs_read_parquet, fs_sql_path,
+    # fs_write_parquet, mm_binary_meta,
     # mm_decode_features, mm_frame_sample, mm_resize,
     # pack_context_windows, range_join_view_purchases,
     # sample_hash_split, sql_array_funcs, sql_conditional_funcs,

@@ -3922,3 +3922,119 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("strong")
         .alias("association"),
     )
+
+
+# --------------------------------------------------------------------------
+def _pack_efficiency_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT lang, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS c
+    FROM toks
+),
+binned AS (
+    SELECT lang, n_tokens, (c - n_tokens) // {PACK_BUDGET} AS bin_id
+    FROM cum
+),
+bins AS (
+    SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    FROM binned GROUP BY lang, bin_id
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS bins_used,
+       CAST(sum(b.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(b.bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(CAST(sum(b.bin_tokens) AS DOUBLE) / {PACK_BUDGET})
+            AS BIGINT) AS bin_lower_bound,
+       CAST(max(b.bin_tokens) AS BIGINT) AS max_bin_tokens,
+       CAST(sum(CASE WHEN b.bin_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS bins_over_budget,
+       round(CAST(sum(b.bin_tokens) AS DOUBLE)
+             / (count(*) * {PACK_BUDGET}), 6) AS utilization,
+       CAST((SELECT count(*) FROM toks t
+             WHERE t.lang = b.lang AND t.n_tokens > {PACK_BUDGET})
+            AS BIGINT) AS oversize_docs
+FROM bins b GROUP BY b.lang
+"""
+
+
+@query("pack_efficiency_audit", oracle=_pack_efficiency_oracle())
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per language shard (round 9): the
+    summary a data-loader team reads before shipping
+    pack_context_windows' bins — bins used vs the ceil(Σtokens/B)
+    lower bound, utilization of the paid B-token slots, how many
+    bins straddle past the budget (the sequential packer lets a doc
+    start in the bin its prefix lands in), and how many single docs
+    exceed the budget outright (those need truncation or chunking
+    BEFORE packing, text_chunk_windows' job).  Uses the exact
+    binning pack_context_windows emits, so the audit can never
+    disagree with the packer.
+
+    Determinism: token counts, bin ids and every column but
+    utilization are exact integers off the same grouped_cumsum; the
+    one ratio is a single rounded division.
+
+    Scale shape: the grouped_cumsum shape (range-bucketed local
+    cumsums + broadcast shard offsets — no per-lang window
+    serialization), then two partial-aggregated rollups (bin grain →
+    lang grain) plus a lang-grain oversize count that shares the
+    token projection."""
+    from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    cum = grouped_cumsum(
+        toks, ["lang"], [("doc_id", "asc")], "n_tokens", "cum_tokens"
+    )
+    binned = cum.withColumn(
+        "bin_id", F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET}")
+    )
+    bins = binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    osz = toks.filter(F.col("n_tokens") > PACK_BUDGET).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("oversize_docs")
+    )
+    agg = bins.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bins_used"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(
+            F.sum("bin_tokens").cast("double") / PACK_BUDGET
+        )
+        .cast("bigint")
+        .alias("bin_lower_bound"),
+        F.max("bin_tokens").cast("bigint").alias("max_bin_tokens"),
+        F.sum(F.when(F.col("bin_tokens") > PACK_BUDGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bins_over_budget"),
+        F.round(
+            F.sum("bin_tokens").cast("double")
+            / (F.count(F.lit(1)) * PACK_BUDGET),
+            6,
+        ).alias("utilization"),
+    )
+    return agg.join(F.broadcast(osz), "lang", "left").select(
+        "lang",
+        "bins_used",
+        "n_docs",
+        "total_tokens",
+        "bin_lower_bound",
+        "max_bin_tokens",
+        "bins_over_budget",
+        "utilization",
+        F.coalesce(F.col("oversize_docs"), F.lit(0))
+        .cast("bigint")
+        .alias("oversize_docs"),
+    )

@@ -1451,3 +1451,109 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean_logprob").alias("max_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+#: Total evaluation/annotation budget the Neyman allocator divides.
+NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    return f"""
+WITH s AS (
+    SELECT source, count(*) AS n_h,
+           sum(CAST(n_chars AS DECIMAL(20,0))) AS s1,
+           sum(CAST(n_chars AS DECIMAL(20,0)) * n_chars) AS s2
+    FROM documents GROUP BY source
+),
+v AS (
+    SELECT source, n_h,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / n_h) / nullif(n_h - 1, 0)) AS s_h
+    FROM s
+),
+w AS (
+    SELECT source, n_h, s_h,
+           CAST(round(n_h * s_h, 6) AS DECIMAL(28,6)) AS w_h
+    FROM v
+),
+t AS (SELECT CAST(sum(w_h) AS DOUBLE) AS w_tot, sum(n_h) AS n_tot FROM w)
+SELECT w.source,
+       CAST(w.n_h AS BIGINT) AS stratum_size,
+       round(w.s_h, 4) AS stratum_std,
+       CAST(round({NEYMAN_BUDGET} * CAST(w.w_h AS DOUBLE) / t.w_tot, 0)
+            AS BIGINT) AS neyman_n,
+       CAST(round({NEYMAN_BUDGET} * CAST(w.n_h AS DOUBLE) / t.n_tot, 0)
+            AS BIGINT) AS proportional_n,
+       round({NEYMAN_BUDGET} * CAST(w.w_h AS DOUBLE) / t.w_tot / w.n_h, 6)
+           AS sampling_fraction
+FROM w CROSS JOIN t
+"""
+
+
+@query("sample_neyman_allocation", oracle=_neyman_oracle())
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation per source
+    (round 9; Neyman 1934): split a fixed annotation/eval budget of
+    1000 across source strata proportional to N_h·S_h —
+    high-variance strata earn more than their share of rows, which
+    minimizes the estimator variance at fixed cost.  The DESIGN
+    layer the sampling family was missing: sample_hash_split draws,
+    sample_stratified_topk ranks within strata, this op says how
+    MANY to draw from each; the proportional column quantifies what
+    Neyman buys over naive allocation.
+
+    Determinism: per-stratum power sums are exact DECIMAL; S_h is
+    one IEEE sqrt of a fixed-order expression (mirrored n=1 guard);
+    the weights round to 6 dp into DECIMAL before the total, so the
+    allocation divisions see identical inputs.
+
+    Scale shape: ONE partial-aggregated scan of documents to the
+    per-source panel; everything after is panel-sized with a 1-row
+    broadcast total."""
+    docs = _t(spark, sf_dir, "documents")
+    cd = F.col("n_chars").cast("decimal(20,0)")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * F.col("n_chars")).alias("s2"),
+    )
+    s_h = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_h")
+        )
+        / F.nullif(F.col("n_h") - 1, F.lit(0))
+    )
+    w = s.select(
+        "source",
+        "n_h",
+        s_h.alias("s_h"),
+        F.round(F.col("n_h") * s_h, 6).cast("decimal(28,6)").alias("w_h"),
+    ).localCheckpoint(eager=True)
+    t = w.agg(
+        F.sum("w_h").cast("double").alias("w_tot"),
+        F.sum("n_h").alias("n_tot"),
+    )
+    return w.join(F.broadcast(t)).select(
+        "source",
+        F.col("n_h").cast("bigint").alias("stratum_size"),
+        F.round("s_h", 4).alias("stratum_std"),
+        F.round(
+            NEYMAN_BUDGET * F.col("w_h").cast("double") / F.col("w_tot"), 0
+        )
+        .cast("bigint")
+        .alias("neyman_n"),
+        F.round(
+            NEYMAN_BUDGET * F.col("n_h").cast("double") / F.col("n_tot"), 0
+        )
+        .cast("bigint")
+        .alias("proportional_n"),
+        F.round(
+            NEYMAN_BUDGET
+            * F.col("w_h").cast("double")
+            / F.col("w_tot")
+            / F.col("n_h"),
+            6,
+        ).alias("sampling_fraction"),
+    )

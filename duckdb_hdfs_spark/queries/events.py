@@ -2359,3 +2359,101 @@ def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde_rel, 6).alias("mde_rel_80pct"),
         (mde_rel <= 0.10).alias("powered_for_10pct_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+def _dow_adjusted_oracle() -> str:
+    return """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           dayofweek(CAST(ts AS DATE)) AS dow, count(*) AS c
+    FROM events GROUP BY 1, 2, 3
+),
+prof AS (
+    SELECT event_type, dow,
+           CAST(sum(CAST(c AS DECIMAL(20,0))) AS DOUBLE) / count(*)
+               AS dow_mean
+    FROM daily GROUP BY event_type, dow
+),
+resid AS (
+    SELECT d.event_type, d.day, d.c, p.dow_mean,
+           d.c - p.dow_mean AS r
+    FROM daily d JOIN prof p
+      ON d.event_type = p.event_type AND d.dow = p.dow
+),
+st AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(r * r, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS srr
+    FROM resid GROUP BY event_type
+)
+SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
+       CAST(r.c AS BIGINT) AS n_events,
+       round(r.dow_mean, 6) AS dow_mean,
+       round(r.r / nullif(sqrt(st.srr / nullif(st.n - 1, 0)), 0), 6)
+           AS resid_z,
+       abs(r.r / nullif(sqrt(st.srr / nullif(st.n - 1, 0)), 0)) > 3.0
+           AS is_anomaly
+FROM resid r JOIN st ON r.event_type = st.event_type
+"""
+
+
+@query("ev_anomaly_dow_adjusted", oracle=_dow_adjusted_oracle())
+def ev_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted anomaly flags (round 9): subtract each
+    (type, weekday)'s own mean before scoring — the adjustment every
+    production alert needs because Mondays ALWAYS spike: a plain
+    z-score (ev_anomaly_zscore) either alarms weekly or, tuned not
+    to, goes blind to a genuine Tuesday burst hiding under the
+    weekly swing.  Scores each day's residual against the
+    residual-pool standard deviation at 3σ — the seasonal member of
+    the anomaly family (z / MAD / EWMA / CUSUM / this).
+
+    Determinism: daily and weekday-profile counts are exact
+    integers/DECIMAL ratios; residual squares round to 6 dp then
+    DECIMAL-sum; the z assembles in fixed-order doubles with
+    mirrored zero-variance/single-row guards.
+
+    Scale shape: one partial-agged shuffle to (type, day) grain
+    (checkpointed), then two panel-sized rollups (≤7 weekday rows,
+    1 stat row per type) broadcast back onto the day panel — the
+    event stream shuffles exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    prof = daily.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.col("c").cast("decimal(20,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dow_mean")
+    )
+    resid = daily.join(F.broadcast(prof), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "c",
+        "dow_mean",
+        (F.col("c") - F.col("dow_mean")).alias("r"),
+    ).localCheckpoint(eager=True)
+    st = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("r") * F.col("r"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    sd = F.sqrt(F.col("srr") / F.nullif(F.col("n") - 1, F.lit(0)))
+    z = F.col("r") / F.nullif(sd, F.lit(0.0))
+    return resid.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round("dow_mean", 6).alias("dow_mean"),
+        F.round(z, 6).alias("resid_z"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )

@@ -1069,3 +1069,53 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "above_nation_avg",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_regexp_funcs",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_extract(p_type, '([A-Z]+)\s+([A-Z]+)', 2) AS second_type_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g'))
+            AS BIGINT) AS vowel_count,
+       CAST(len(regexp_split_to_array(p_type, '\s+')) AS BIGINT)
+           AS type_words,
+       regexp_matches(p_brand, '^Brand#[0-9]{2}$') AS std_brand,
+       regexp_extract(p_brand, '(\d+)$', 1) AS brand_digits
+FROM part
+""",
+)
+def sql_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function class (round 9): capture-group
+    extraction (first and Nth group), global replacement,
+    occurrence counting via the length-difference identity (portable
+    where a native regexp_count is not), regex splitting, anchored
+    full-match booleans, and trailing-digit capture — the surface ETL
+    string-normalization jobs lean on beyond sql_pattern_match's
+    LIKE/boolean layer.  regexp_replace is global-by-default in
+    Spark and needs the explicit 'g' flag in DuckDB — this class
+    pins that the two lowerings agree.  Map-only; the whole row
+    stays inside one WholeStageCodegen span."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract(
+            F.col("p_type"), r"([A-Z]+)\s+([A-Z]+)", 2
+        ).alias("second_type_word"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devoweled"),
+        (
+            F.length("p_name")
+            - F.length(F.regexp_replace(F.col("p_name"), r"[aeiou]", ""))
+        )
+        .cast("bigint")
+        .alias("vowel_count"),
+        F.size(F.split(F.col("p_type"), r"\s+"))
+        .cast("bigint")
+        .alias("type_words"),
+        F.col("p_brand").rlike(r"^Brand#[0-9]{2}$").alias("std_brand"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)$", 1).alias("brand_digits"),
+    )

@@ -790,6 +790,12 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
                                         # live conditional-count pass
         ("stats_cramers_v", 0),         # 25-cell panel checkpointed
         ("text_langid_metrics", 0),     # confusion panel checkpointed
+        ("sql_regexp_funcs", 1),        # map-only, one part scan
+        ("sample_neyman_allocation", 0),  # per-source panel checkpointed
+        ("pack_efficiency_audit", 0),   # token projection checkpointed;
+                                        # bins + oversize share it
+        ("ev_anomaly_dow_adjusted", 0), # (type, day) panel + residuals
+                                        # checkpointed
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
