@@ -80,6 +80,10 @@ _QUERY_MODULES = (
 # (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
 # All 50 verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
+    # --- round-9 additions (eighth wave of this session) ---
+    "dq_monotonic_id_audit",
+    "graph_clustering_coeff",
+    "ev_conversion_latency_quantiles",
     # --- round-9 additions (seventh wave of this session) ---
     "sql_regexp_funcs",
     "sample_neyman_allocation",
@@ -134,11 +138,10 @@ _DRIVER_PRIORITY = (
     "stats_proportions_ztest",
     "graph_kcore",
     "dedup_substring_spans",
-    # --- the oldest r3-stale keys (latest driver row: round 3) ---
-    "asof_purchase_last_view",
-    "corpus_mix_sample",
-    "distinct_users_approx",
-    # (displaced stale re-verifies: ev_value_histogram,
+    # (the window is now ENTIRELY never-driver-checked keys: this
+    # session's 23 additions + the 27 prior-session round-9 keys.
+    # Displaced stale re-verifies: asof_purchase_last_view,
+    # corpus_mix_sample, distinct_users_approx, ev_value_histogram,
     # fs_describe_tables, fs_read_parquet, fs_sql_path,
     # fs_write_parquet, mm_binary_meta,
     # mm_decode_features, mm_frame_sample, mm_resize,

@@ -514,3 +514,68 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("outlier_share"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dq_monotonic_id_audit",
+    oracle="""
+WITH s AS (
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           min(o_orderkey) AS min_id,
+           max(o_orderkey) AS max_id
+    FROM orders
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_rows - n_distinct AS BIGINT) AS n_duplicates,
+       CAST(min_id AS BIGINT) AS min_id,
+       CAST(max_id AS BIGINT) AS max_id,
+       CAST(max_id - min_id + 1 AS BIGINT) AS id_span,
+       CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_gaps,
+       round(CAST(n_distinct AS DOUBLE) / (max_id - min_id + 1), 6)
+           AS density,
+       (n_rows = n_distinct) AS ids_unique,
+       (max_id - min_id + 1 = n_distinct) AS ids_contiguous
+FROM s
+""",
+)
+def dq_monotonic_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key health audit on the order key (round 9): row vs
+    distinct counts (duplicate detection), min/max span vs distinct
+    (gap counting), and the uniqueness/contiguity verdicts — the
+    primary-key invariants an ingest pipeline silently breaks under
+    at-least-once replay (duplicates) or dropped batches (gaps).
+    Beside dq_referential_audit's cross-table checks, this is the
+    single-table identity check, and the gap COUNT (not just a
+    boolean) sizes how much of a backfill is missing.
+
+    Determinism: every column is exact integer arithmetic off one
+    aggregate; the one ratio is a single rounded division.
+
+    Scale shape: ONE partial-aggregated scan — count, distinct-count
+    partial aggregation, min/max all ride the same pass; no joins,
+    no windows, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+        F.min("o_orderkey").alias("min_id"),
+        F.max("o_orderkey").alias("max_id"),
+    )
+    span = F.col("max_id") - F.col("min_id") + 1
+    return s.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias(
+            "n_duplicates"
+        ),
+        F.col("min_id").cast("bigint").alias("min_id"),
+        F.col("max_id").cast("bigint").alias("max_id"),
+        span.cast("bigint").alias("id_span"),
+        (span - F.col("n_distinct")).cast("bigint").alias("n_gaps"),
+        F.round(F.col("n_distinct").cast("double") / span, 6).alias("density"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("ids_unique"),
+        (span == F.col("n_distinct")).alias("ids_contiguous"),
+    )

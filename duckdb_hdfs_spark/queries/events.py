@@ -2457,3 +2457,90 @@ def ev_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("resid_z"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+def _conv_latency_oracle() -> str:
+    return """
+WITH v AS (
+    SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+fp AS (
+    SELECT v.user_id, v.v_ts, min(p.ts) AS fp_ts
+    FROM v JOIN events p
+      ON p.event_type = 'purchase' AND p.user_id = v.user_id
+     AND p.ts >= v.v_ts AND p.ts < v.v_ts + INTERVAL 24 HOUR
+    GROUP BY v.user_id, v.v_ts
+),
+d AS (
+    SELECT CAST(epoch_us(fp_ts) - epoch_us(v_ts) AS DOUBLE) / 1000000
+        AS delay_s
+    FROM fp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       round(quantile_cont(delay_s, 0.25), 3) AS p25_s,
+       round(quantile_cont(delay_s, 0.50), 3) AS p50_s,
+       round(quantile_cont(delay_s, 0.90), 3) AS p90_s,
+       round(quantile_cont(delay_s, 0.99), 3) AS p99_s,
+       round(quantile_cont(delay_s, 0.99) / nullif(
+             quantile_cont(delay_s, 0.50), 0), 4) AS p99_to_p50
+FROM d
+"""
+
+
+@query("ev_conversion_latency_quantiles", oracle=_conv_latency_oracle())
+def ev_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """View→purchase conversion-latency quantile ladder (round 9):
+    p25/p50/p90/p99 of the delay between a view and that user's
+    first purchase within 24 h, plus the p99/p50 tail ratio — the
+    DISTRIBUTIONAL companion to ev_conversion_survival's cumulative
+    incidence (which answers 'how many convert by t'; this answers
+    'how long does a typical vs a tail conversion take', the numbers
+    attribution windows and session timeouts are tuned against).
+
+    Determinism: delays are exact integer microseconds scaled by one
+    division; quantiles via the percentile ↔ quantile_cont
+    bit-parity probe; rounding is output-only and the tail ratio
+    guards the degenerate all-instant case with a mirrored nullif.
+
+    Scale shape: the bounded 24 h user-keyed interval join
+    (ev_conversion_survival's shape) collapsed by min() per view,
+    then ONE aggregate — exact percentiles at test scale, with the
+    GK sketch as the documented swap-in at extreme row counts."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("fp_ts"))
+    )
+    d = fp.select(
+        (
+            (F.unix_micros("fp_ts") - F.unix_micros("v_ts")).cast("double")
+            / 1_000_000
+        ).alias("delay_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.expr("percentile(delay_s, 0.25)"), 3).alias("p25_s"),
+        F.round(F.expr("percentile(delay_s, 0.50)"), 3).alias("p50_s"),
+        F.round(F.expr("percentile(delay_s, 0.90)"), 3).alias("p90_s"),
+        F.round(F.expr("percentile(delay_s, 0.99)"), 3).alias("p99_s"),
+        F.round(
+            F.expr("percentile(delay_s, 0.99)")
+            / F.nullif(F.expr("percentile(delay_s, 0.50)"), F.lit(0.0)),
+            4,
+        ).alias("p99_to_p50"),
+    )

@@ -398,3 +398,103 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+def _clustering_oracle() -> str:
+    return f"""
+WITH {_BANDED_SQL},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.doc_b = e2.doc_a
+    JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+),
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b AS node FROM pairs
+    ) GROUP BY node
+),
+wed AS (
+    SELECT sum(CAST(d AS DECIMAL(38,0)) * (d - 1) / 2) AS n_wedges,
+           count(*) AS n_nodes,
+           sum(CAST(d AS DECIMAL(38,0))) / 2 AS n_edges
+    FROM deg
+)
+SELECT CAST(wed.n_nodes AS BIGINT) AS n_nodes,
+       CAST(wed.n_edges AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CAST(wed.n_wedges AS BIGINT) AS n_wedges,
+       round(3.0 * tri.n_triangles
+             / nullif(CAST(wed.n_wedges AS DOUBLE), 0), 6)
+           AS global_clustering
+FROM tri CROSS JOIN wed
+"""
+
+
+@query("graph_clustering_coeff", oracle=_clustering_oracle())
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the LSH
+    candidate graph (round 9): C = 3·triangles / wedges — the
+    probability that two documents sharing a common near-dup
+    neighbor are themselves near-dups.  C→1 says candidate edges
+    form closed boilerplate FAMILIES (collapse whole components);
+    C→0 says chains of incidental pairs (verify each edge before
+    trusting transitive closure).  The one-number companion to
+    dedup_pair_triangles' per-node counts and assortativity's
+    wiring direction.
+
+    Determinism: triangle and wedge counts are exact integers
+    (DECIMAL(38,0) wedge fold — deg² safe at any scale); the
+    coefficient is one rounded division with a mirrored
+    wedge-free-graph guard.
+
+    Scale shape: the canonical two-equi-join triangle enumeration
+    over the id-ordered checkpointed edge list (cost Σ deg²,
+    bucket-bounded, never cartesian — dedup_pair_triangles' shape)
+    collapsed to ONE row; wedges are one partial-aggregated degree
+    pass over the same checkpoint."""
+    from duckdb_hdfs_spark.operators.dedup import minhash_candidate_pairs
+
+    edges = minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    wed = deg.agg(
+        F.sum(dd * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(dd) / 2).alias("n_edges"),
+    )
+    return tri.join(F.broadcast(wed)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.round(
+            3.0
+            * F.col("n_triangles")
+            / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )

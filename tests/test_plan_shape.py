@@ -796,6 +796,11 @@ def test_ivfpq_all_joins_broadcast(spark, sf_dir):
                                         # bins + oversize share it
         ("ev_anomaly_dow_adjusted", 0), # (type, day) panel + residuals
                                         # checkpointed
+        ("dq_monotonic_id_audit", 1),   # one scan, all aggs one pass
+        ("graph_clustering_coeff", 0),  # edge list checkpointed; both
+                                        # legs read it
+        ("ev_conversion_latency_quantiles", 2),  # views leg + purchases
+                                        # leg (the attribution shape)
     ],
 )
 def test_round9_ops_scan_budget(name, spark, sf_dir, max_scans):
