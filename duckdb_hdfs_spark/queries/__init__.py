@@ -149,18 +149,17 @@ _DRIVER_PRIORITY = (
     # sample_hash_split, sql_array_funcs, sql_conditional_funcs,
     # sql_date_funcs, sql_set_ops, sql_string_funcs, stats_moments,
     # stats_quantiles, streaming_windowed_counts and
-    # text_levenshtein_pairs / unpivot_event_metrics — the youngest
-    # r3-stale re-verifies — displaced to the round-10 pool by this
-    # session's new keys; all locally green at sf0.001 + sf0.01)
-    # (the entire r4-stale set is displaced to the round-10 pool by
-    # this session's ten new keys: new keys always outrank stale
-    # re-verifies for window slots; r4 keys remain locally green)
+    # text_levenshtein_pairs / unpivot_event_metrics — all locally
+    # green at sf0.001 + sf0.01; new keys always outrank stale
+    # re-verification for window slots)
 )
 
-# Round-10+ rotation pool — coverage stays total (every key has a
-# driver row; r9 re-verified all r3 stragglers), so future windows =
-# any keys added that round, then stale re-verification oldest-first:
-# the ~50 r4-latest keys — including the 10 the round-9 waves
+# Round-10+ rotation pool — after this round's window lands,
+# coverage is total again (every key will have a driver row; zero
+# failures ever).  Future windows = any keys added that round, then
+# stale re-verification oldest-first: FIRST the 25 r3-stale keys
+# displaced above (oldest driver rows in the repo), THEN
+# the ~50 r4-latest keys — including the 10 earlier round-9 waves
 # displaced from this window (q1_pricing_summary, q3_shipping
 # _priority, q5_local_supplier_volume, q6_forecast_revenue,
 # q12_priority_lateness, q14_promo_revenue, cdc_merge_orders,
