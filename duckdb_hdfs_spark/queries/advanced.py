@@ -1517,6 +1517,63 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _seg_priority_cells(spark: SparkSession, sf_dir: str):
+    """Shared segment × priority contingency machinery for
+    stats_chi2_independence and stats_cramers_v (one place for the
+    full-marginal-grid recipe — a zero-observation cell still
+    contributes E to χ²).  Returns ``(cells, rt, ct, tot)``: the
+    full r×c grid with observed counts and row/col/grand marginals
+    attached (row_n, col_n, n), plus the three marginal frames.
+    The fact group-by is checkpointed once; everything downstream is
+    panel-sized broadcast joins."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    obs0 = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+        # 25-row panel feeds four aggregate branches: materialize once
+        # (DataFrame reuse is plan reuse — each branch would re-run
+        # the fact join otherwise)
+        .localCheckpoint(eager=True)
+    )
+    rt = obs0.groupBy("segment").agg(F.sum("observed").alias("row_n"))
+    ct = obs0.groupBy("priority").agg(F.sum("observed").alias("col_n"))
+    tot = obs0.agg(F.sum("observed").alias("n"))
+    # full marginal grid (tiny broadcast cross): an unobserved
+    # (segment, priority) combination still contributes E to chi2 —
+    # cells from observed combos alone would silently understate it
+    cells = (
+        rt.select("segment")
+        .crossJoin(F.broadcast(ct.select("priority")))
+        .join(F.broadcast(obs0), ["segment", "priority"], "left")
+        .select(
+            "segment",
+            "priority",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+        )
+        .join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "priority")
+        .join(F.broadcast(tot))
+    )
+    return cells, rt, ct, tot
+
+
+def _cell_expected():
+    """Expected-under-independence count for a marginal-grid cell."""
+    return (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+
+
 @query(
     "stats_chi2_independence",
     oracle="""
@@ -1585,49 +1642,10 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     then every marginal (5-row row/col totals, 1-row grand total,
     1-row chi2) derives from the 25-row cell panel — broadcast
     joins only, no second fact scan."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    obs0 = (
-        orders.join(
-            cust.select(
-                F.col("c_custkey").alias("o_custkey"),
-                F.col("c_mktsegment").alias("segment"),
-            ),
-            "o_custkey",
-        )
-        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("observed"))
-        # 25-row panel feeds four aggregate branches: materialize once
-        # (DataFrame reuse is plan reuse — each branch would re-run
-        # the fact join otherwise)
-        .localCheckpoint(eager=True)
-    )
-    rt = obs0.groupBy("segment").agg(F.sum("observed").alias("row_n"))
-    ct = obs0.groupBy("priority").agg(F.sum("observed").alias("col_n"))
-    tot = obs0.agg(F.sum("observed").alias("n"))
-    # full marginal grid (tiny broadcast cross): an unobserved
-    # (segment, priority) combination still contributes E to chi2 —
-    # cells from observed combos alone would silently understate it
-    obs = (
-        rt.select("segment")
-        .crossJoin(F.broadcast(ct.select("priority")))
-        .join(F.broadcast(obs0), ["segment", "priority"], "left")
-        .select(
-            "segment",
-            "priority",
-            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
-        )
-    )
-    e = (
-        F.col("row_n").cast("double")
-        * F.col("col_n").cast("double")
-        / F.col("n").cast("double")
-    )
+    cells, rt, ct, tot = _seg_priority_cells(spark, sf_dir)
+    e = _cell_expected()
     panel = (
-        obs.join(F.broadcast(rt), "segment")
-        .join(F.broadcast(ct), "priority")
-        .join(F.broadcast(tot))
-        .select(
+        cells.select(
             "segment",
             "priority",
             F.col("observed").cast("bigint").alias("observed"),
@@ -3843,51 +3861,16 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to stats_chi2_independence — one fact
     group-by to the 25-cell panel (checkpointed), then
     marginal/statistic folds over panel-sized broadcasts."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    obs0 = (
-        orders.join(
-            cust.select(
-                F.col("c_custkey").alias("o_custkey"),
-                F.col("c_mktsegment").alias("segment"),
-            ),
-            "o_custkey",
+    cells, rt, ct, tot = _seg_priority_cells(spark, sf_dir)
+    e = _cell_expected()
+    chi = cells.agg(
+        F.sum(
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+            ).cast("decimal(24,6)")
         )
-        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("observed"))
-        .localCheckpoint(eager=True)
-    )
-    rt = obs0.groupBy("segment").agg(F.sum("observed").alias("row_n"))
-    ct = obs0.groupBy("priority").agg(F.sum("observed").alias("col_n"))
-    tot = obs0.agg(F.sum("observed").alias("n"))
-    obs = (
-        rt.select("segment")
-        .crossJoin(F.broadcast(ct.select("priority")))
-        .join(F.broadcast(obs0), ["segment", "priority"], "left")
-        .select(
-            "segment",
-            "priority",
-            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
-        )
-    )
-    e = (
-        F.col("row_n").cast("double")
-        * F.col("col_n").cast("double")
-        / F.col("n").cast("double")
-    )
-    chi = (
-        obs.join(F.broadcast(rt), "segment")
-        .join(F.broadcast(ct), "priority")
-        .join(F.broadcast(tot))
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("observed") - e) * (F.col("observed") - e) / e, 6
-                ).cast("decimal(24,6)")
-            )
-            .cast("double")
-            .alias("chi2")
-        )
+        .cast("double")
+        .alias("chi2")
     )
     r_ = rt.agg(F.count(F.lit(1)).alias("r"))
     c_ = ct.agg(F.count(F.lit(1)).alias("c"))

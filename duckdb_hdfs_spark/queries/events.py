@@ -1499,6 +1499,33 @@ def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _first_purchase_24h(ev, v, how: str):
+    """Bounded 24 h first-purchase lookup shared by the conversion
+    family (ev_conversion_survival / ev_nelson_aalen /
+    ev_conversion_latency_quantiles): per view row in ``v`` (whose
+    columns are all kept as the group key), attach ``fp_ts`` = the
+    same user's earliest purchase in [v_ts, v_ts + 24 h).  The join
+    is user-keyed with a closed time bound, so fan-out is bounded
+    and AQE-splittable; ``how`` picks left (censoring-aware callers)
+    vs inner (converters only)."""
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
+            how,
+        )
+        .groupBy(*v.columns)
+        .agg(F.min("p_ts").alias("fp_ts"))
+    )
+
+
+
+# --------------------------------------------------------------------------
 @query(
     "ev_conversion_survival",
     oracle="""
@@ -1558,20 +1585,7 @@ def ev_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") <= F.col("m") - F.expr("INTERVAL 24 HOUR"))
         .select("user_id", F.col("ts").alias("v_ts"))
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    firstp = (
-        v.join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
-            "left",
-        )
-        .groupBy("user_id", "v_ts")
-        .agg(F.min("p_ts").alias("fp_ts"))
-    )
+    firstp = _first_purchase_24h(ev, v, "left")
     dt = F.when(
         F.col("fp_ts").isNotNull(),
         F.unix_micros("fp_ts") - F.unix_micros("v_ts"),
@@ -2172,20 +2186,7 @@ def ev_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mx))
         .select("user_id", F.col("ts").alias("v_ts"), "m")
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    firstp = (
-        v.join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
-            "left",
-        )
-        .groupBy("user_id", "v_ts", "m")
-        .agg(F.min("p_ts").alias("fp_ts"))
-    )
+    firstp = _first_purchase_24h(ev, v, "left")
     obs_us = F.when(
         F.col("fp_ts").isNotNull(),
         F.unix_micros("fp_ts") - F.unix_micros("v_ts"),
@@ -2513,19 +2514,7 @@ def ev_conversion_latency_quantiles(
     v = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("v_ts")
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    fp = (
-        v.join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
-        )
-        .groupBy("user_id", "v_ts")
-        .agg(F.min("p_ts").alias("fp_ts"))
-    )
+    fp = _first_purchase_24h(ev, v, "inner")
     d = fp.select(
         (
             (F.unix_micros("fp_ts") - F.unix_micros("v_ts")).cast("double")
