@@ -186,15 +186,22 @@ def decode_batches(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (failed fetches in a real media table)
+            # yield NULL metadata instead of crashing the worker
+            # (NULL-injection audit r9); pandas .map skips NaN/None
+            # inputs when na_action='ignore'
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "byte_len": payloads.map(len),
+                    "byte_len": payloads.map(len, na_action="ignore"),
                     "content_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: hashlib.md5(bytes(b)).hexdigest(),
+                        na_action="ignore",
                     ),
-                    "features": payloads.map(lambda b: fake_decode(bytes(b))),
+                    "features": payloads.map(
+                        lambda b: fake_decode(bytes(b)), na_action="ignore"
+                    ),
                 }
             )
 
@@ -334,8 +341,11 @@ def resize_batches(media: DataFrame, width: int = 16, height: int = 16) -> DataF
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
+                    # NULL payload → NULL output (failed fetch),
+                    # never a worker crash (NULL-injection audit r9)
                     "resized": pdf["payload"].map(
-                        lambda b: fake_resize(bytes(b), width, height)
+                        lambda b: fake_resize(bytes(b), width, height),
+                        na_action="ignore",
                     ),
                 }
             )
@@ -367,6 +377,10 @@ def frame_sample_batches(media: DataFrame, max_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # a failed-fetch video yields zero frames
+                    # (NULL-injection audit r9)
+                    continue
                 raw = bytes(payload)
                 n_frames = min(max(len(raw) + 255, 256) // 256, max_frames)
                 for i in range(n_frames):

@@ -71,7 +71,13 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
     ``minhash_sigints_sql``."""
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
-    base = rebalance_cpu_heavy(docs.select("doc_id", "text"))
+    # NULL text cannot be shingled: exclude it symmetrically with the
+    # oracle's banded_sql filter (NULL-injection audit, round 9) —
+    # explode(NULL) would silently drop the doc Spark-side while the
+    # oracle's list pipeline kept a NULL-keyed bucket.
+    base = rebalance_cpu_heavy(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
     sh = base.select(
         "doc_id", word_shingles(tokens(F.col("text")), k=2).alias("shingles")
     )

@@ -1683,7 +1683,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
     SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS src,
            CAST(l_quantity AS DOUBLE) AS x
-    FROM lineitem
+    FROM lineitem WHERE l_quantity IS NOT NULL
 ),
 pv AS (
     SELECT x, sum(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS c_a,
@@ -1753,7 +1753,9 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
-    q = li.select(
+    # NULL values excluded symmetrically (NULL-injection audit r9):
+    # rank machinery must never see NULL x
+    q = li.filter(F.col("l_quantity").isNotNull()).select(
         F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("src"),
         F.col("l_quantity").cast("double").alias("x"),
     )
@@ -1808,7 +1810,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
     SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS src,
            CAST(l_extendedprice AS DOUBLE) AS x
-    FROM lineitem
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 pv AS (
     SELECT x, sum(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS c_a,
@@ -1870,7 +1872,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
-    q = li.select(
+    # NULL values excluded symmetrically (NULL-injection audit r9)
+    q = li.filter(F.col("l_extendedprice").isNotNull()).select(
         F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias("src"),
         F.col("l_extendedprice").cast("double").alias("x"),
     )
@@ -2220,7 +2223,7 @@ def _kruskal_oracle() -> str:
     return f"""
 WITH q AS (
     SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
-    FROM lineitem
+    FROM lineitem WHERE l_quantity IS NOT NULL
 ),
 pvg AS (SELECT x, grp, count(*) AS c_g FROM q GROUP BY x, grp),
 pv AS (SELECT x, sum(c_g) AS c FROM pvg GROUP BY x),
@@ -2284,7 +2287,8 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
-    q = li.select(
+    # NULL values excluded symmetrically (NULL-injection audit r9)
+    q = li.filter(F.col("l_quantity").isNotNull()).select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("double").alias("x"),
     )
@@ -2704,6 +2708,7 @@ WITH r AS (
            CAST(round(l_quantity, 0) AS BIGINT) AS x,
            l_extendedprice AS y
     FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 pg AS (SELECT flag, x, y, count(*) AS cnt FROM r GROUP BY 1, 2, 3),
 rk AS (
@@ -2785,8 +2790,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
+    # NULL x/y excluded symmetrically (NULL-injection audit r9)
     pg = (
-        li.select(
+        li.filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
             F.col("l_returnflag").alias("flag"),
             F.round("l_quantity", 0).cast("bigint").alias("x"),
             F.col("l_extendedprice").alias("y"),

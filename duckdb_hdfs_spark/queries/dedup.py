@@ -44,10 +44,14 @@ def banded_sql(source: str = "documents") -> str:
     ``sv``) retarget it structurally instead of string-replacing the
     rendered SQL (round-7 review: the replace silently depended on
     the literal 'FROM documents' appearing exactly once)."""
+    # text IS NOT NULL: a NULL text cannot be shingled — both engines
+    # must EXCLUDE it rather than let NULL propagate asymmetrically
+    # through split/minhash (NULL-injection audit, round 9)
     return f"""
 sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles
-    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {source})
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {source}
+          WHERE text IS NOT NULL)
 ),
 hs AS (
     SELECT doc_id,
@@ -965,7 +969,8 @@ FROM (
 WITH
 sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles
-    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+          WHERE text IS NOT NULL)
 ),
 hs AS (
     SELECT doc_id,

@@ -503,7 +503,7 @@ SELECT count(*) AS n_rows,
                            AS DOUBLE) AS DECIMAL(18,6)))
                   FILTER (WHERE o_orderkey % 10 <> 0), 2) AS DOUBLE)
            AS good_total
-FROM orders
+FROM orders WHERE o_totalprice IS NOT NULL
 """,
 )
 def fs_read_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +518,13 @@ def fs_read_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     or mangled row."""
     path = os.path.join(_SCRATCH, "orders_malformed_csv")
     shutil.rmtree(path, ignore_errors=True)
-    ods = load_table(spark, sf_dir, "orders")
+    # rows with a NULL price are excluded from the synthesized feed on
+    # BOTH engines: concat_ws would silently DROP the null field
+    # (producing a short row the reader counts as malformed) while the
+    # oracle's accounting never saw it (NULL-injection audit r9)
+    ods = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     line = F.concat_ws(
         ",",
         F.col("o_orderkey").cast("string"),

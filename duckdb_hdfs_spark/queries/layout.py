@@ -76,7 +76,14 @@ def _hilbert_oracle() -> str:
         hilbert_key_sql,
     )
 
-    keyed = hilbert_key_sql("user_id & 255", "CAST(floor(value) AS BIGINT) & 255", 8, "events")
+    keyed = hilbert_key_sql(
+        "user_id & 255",
+        "CAST(floor(value) AS BIGINT) & 255",
+        8,
+        # a row with a NULL layout key cannot be placed on the curve —
+        # excluded symmetrically (NULL-injection audit r9)
+        "(SELECT * FROM events WHERE value IS NOT NULL)",
+    )
     tiles = f"""
 SELECT (hkey >> 8) AS tile,
        count(*) AS n_events,
@@ -113,7 +120,8 @@ def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel — no joins, no windows, one scan."""
     from duckdb_hdfs_spark.operators.layout import hilbert_decode, hilbert_key
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL layout keys excluded symmetrically (NULL-injection audit r9)
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     a = F.col("user_id").bitwiseAND(F.lit(255))
     b = F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(255))
     keyed = ev.select(

@@ -55,7 +55,7 @@ def _dup_frac(arr):
 @query(
     "text_repetition",
     oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE text IS NOT NULL),
 g AS (
     SELECT doc_id, tk,
            list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
@@ -81,7 +81,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure map work over the documents scan — zero shuffle, all
     JVM-side array expressions, trivially linear at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL text excluded on both engines (NULL-injection audit r9):
+    # 0/0 n-gram fractions otherwise diverge NaN-vs-NULL cross-engine
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -164,7 +166,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, source,
            md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS prefix_hash
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT prefix_hash, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources, min(doc_id) AS min_doc_id
@@ -180,7 +182,10 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one md5 per document map-side, one hash-partitioned
     group-by on the 16-byte key with map-side partial aggregation —
     the same single-shuffle shape as dedup_exact."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL text excluded symmetrically (NULL-injection audit r9):
+    # Spark concat_ws coerces a NULL token array to '' (md5('')
+    # group) while the oracle's array_to_string yields NULL
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
     return (
         docs.select(

@@ -122,7 +122,8 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the output length is the constant 16*16 for every row.
     oracle="""
 SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-       CAST(256 AS INTEGER) AS resized_bytes
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(256 AS INTEGER) END AS resized_bytes
 FROM documents
 """,
 )
@@ -145,7 +146,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH media AS (
     SELECT doc_id, text,
            greatest((octet_length(encode(text)) + 255) // 256, 1) AS n_raw
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 frames AS (
     SELECT m.doc_id, gs.i,

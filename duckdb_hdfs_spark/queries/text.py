@@ -69,14 +69,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid",
     oracle=f"""
 SELECT pred_lang, lang AS actual_lang, count(*) AS n_docs
-FROM (SELECT {lang_id_sql(_TOKS)} AS pred_lang, lang FROM documents)
+FROM (SELECT {lang_id_sql(_TOKS)} AS pred_lang, lang FROM documents WHERE text IS NOT NULL)
 GROUP BY pred_lang, lang
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the labelled lang column
     (confusion counts)."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL text is unclassifiable — excluded on both engines
+    # (NULL-injection audit r9)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return (
         docs.select(
             lang_id(tokens(F.col("text"))).alias("pred_lang"),
@@ -940,7 +942,7 @@ def _langid_metrics_oracle() -> str:
 WITH conf AS (
     SELECT {lang_id_sql(_TOKS)} AS pred_lang, lang AS actual_lang,
            count(*) AS n
-    FROM documents GROUP BY 1, 2
+    FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
 ),
 langs AS (SELECT DISTINCT actual_lang AS lang FROM conf),
 per AS (
@@ -992,7 +994,9 @@ def text_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated shuffle of documents to the
     ≤|langs|² confusion panel; marginals and the accuracy fold are
     panel-sized broadcasts."""
-    docs = _t(spark, sf_dir, "documents")
+    # same NULL-text exclusion as text_langid (the two panels must
+    # stay mutually consistent — pinned by the cross-op test)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     conf = (
         docs.select(
             lang_id(tokens(F.col("text"))).alias("pred_lang"),

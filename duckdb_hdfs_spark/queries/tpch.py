@@ -82,6 +82,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(micros(_revenue() * (1 + F.col("l_tax")))).alias("p_charge"),
             F.sum(micros(F.col("l_discount"))).alias("p_discount"),
             F.count(F.lit(1)).alias("p_n"),
+            # avg(l_quantity) divides by the NON-NULL count (SQL avg
+            # semantics) — count(*) would diverge under NULL quantities
+            # (NULL-injection audit r9)
+            F.count("l_quantity").alias("p_qn"),
         )
     )
     dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast("double") / 1000000.0
@@ -91,7 +95,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec("p_base"), 2).alias("sum_base_price"),
         F.round(dec("p_disc_price"), 2).alias("sum_disc_price"),
         F.round(dec("p_charge"), 2).alias("sum_charge"),
-        F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
+        F.round(F.sum("p_qty") / F.sum("p_qn"), 4).alias("avg_qty"),
         F.round(dec("p_base") / n, 4).alias("avg_price"),
         F.round(dec("p_discount") / n, 4).alias("avg_disc"),
         n.alias("count_order"),

@@ -58,8 +58,8 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
     SELECT o_orderdate AS order_day,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
-                AS DECIMAL(38,2)) AS daily_rev
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                         AS DECIMAL(38,2)), 0) AS daily_rev
     FROM orders GROUP BY o_orderdate
 )
 SELECT order_day, CAST(daily_rev AS DOUBLE) AS daily_rev,
@@ -88,10 +88,15 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has 2-decimal values a double cannot represent — the round-trip
     # would silently diverge from the oracle's pure-decimal running
     # sum (round-7 review finding)
+    # coalesce an all-NULL day to 0 revenue on BOTH engines: a NULL
+    # day-total would ride the distributed cumsum as NULL while the
+    # oracle's window sum skips it (NULL-injection audit r9)
     daily = orders.groupBy(F.col("o_orderdate").alias("order_day")).agg(
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-        .cast("decimal(38,2)")
-        .alias("daily_rev")
+        F.coalesce(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("decimal(38,2)"),
+            F.lit(0).cast("decimal(38,2)"),
+        ).alias("daily_rev")
     )
     cum = grouped_cumsum(
         daily.withColumn("__ord", F.unix_micros("order_day")),

@@ -1,0 +1,117 @@
+"""NULL-injection robustness audit (round 9): deterministically NULL
+2% of the value columns (and 1% of document texts) in a copy of
+sf0.001, then require Spark↔DuckDB parity for every operator the
+original audit caught diverging — NULL text reaching the shingle
+pipeline, NULL values inside rank machinery, avg-vs-count(*)
+denominators, NULL payloads crashing Arrow workers, concat_ws
+silently dropping a NULL CSV field.  The production data has no
+NULLs, so these fixes are invisible to the driver gate; this module
+keeps them from regressing.
+
+text_dsir_weights is NOT pinned here: its per-bucket rounded-ln
+weights sit on a 6-dp boundary for one bucket of this particular
+NULL pattern (the documented measure-zero rounded-transcendental
+risk) — the divergence is engine-ulp, not semantics.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from duckdb_hdfs_spark.oracle import compare, duckdb_connection
+from duckdb_hdfs_spark.queries import load_all
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: the operators the round-9 NULL audit caught diverging (fixed) plus
+#: close siblings that share the patched machinery.
+AUDITED = [
+    "dedup_lsh_bucket_stats",
+    "dedup_lsh_band_sweep",
+    "dedup_minhash_lsh",
+    "dedup_prefix_groups",
+    "text_langid",
+    "text_langid_metrics",
+    "text_repetition",
+    "stats_spearman_corr",
+    "stats_kruskal_wallis",
+    "stats_mann_whitney",
+    "stats_ks_test",
+    "layout_hilbert_tiles",
+    "q1_pricing_summary",
+    "win_running_total",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "fs_read_csv_malformed",
+]
+
+
+def _null_pct(col: str, pct: int, key: str) -> str:
+    return (
+        f"CASE WHEN ('0x' || substr(md5('{col}' || CAST({key} AS VARCHAR)),"
+        f" 1, 4))::BIGINT % 100 < {pct} THEN NULL ELSE {col} END AS {col}"
+    )
+
+
+_SPECS = {
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        _null_pct("l_quantity", 2, "l_orderkey*10+l_linenumber"),
+        _null_pct("l_extendedprice", 2, "l_orderkey*10+l_linenumber"),
+        _null_pct("l_discount", 2, "l_orderkey*10+l_linenumber"),
+        _null_pct("l_tax", 2, "l_orderkey*10+l_linenumber"),
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _null_pct("o_totalprice", 2, "o_orderkey"),
+        "o_orderdate", "o_orderpriority",
+    ],
+    "events": [
+        "event_id", "ts", "user_id", "event_type",
+        _null_pct("value", 2, "event_id"),
+        "props",
+    ],
+    "documents": [
+        "doc_id",
+        _null_pct("text", 1, "doc_id"),
+        "lang", "source", "n_chars",
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_nulls")
+    con = duckdb.connect()
+    for t in TABLES:
+        cols = _SPECS.get(t)
+        sel = ", ".join(cols) if cols else "*"
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{sf_dir}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def null_oracle_con(null_sf_dir):
+    con = duckdb_connection(null_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_null_injected_parity(name, spark, null_sf_dir, null_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, null_sf_dir), null_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
