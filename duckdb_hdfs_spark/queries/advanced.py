@@ -2960,11 +2960,19 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2 = F.col("s1d").cast("double"), F.col("s2d").cast("double")
     r1 = (F.col("gs1d") - F.col("s1d")).cast("double")
     r2 = (F.col("gs2d") - F.col("s2d")).cast("double")
-    var_h = (s2 - s1 * s1 / n) / (n - 1)
-    var_r = (r2 - r1 * r1 / (gn - n)) / (gn - n - 1)
+    # every zero-able denominator NULLs instead of throwing: a 1-row
+    # hour (n=1) or an hour holding the whole stream (gn=n) is an
+    # ANSI ArithmeticException Spark-side while DuckDB's x/0 yields
+    # NULL — the mirrored nullifs make BOTH engines emit NULL z →
+    # p=1 "no evidence" (tiny-data audit, round 9)
+    nm1 = F.nullif((n - 1).cast("double"), F.lit(0.0))
+    rest = F.nullif((gn - n).cast("double"), F.lit(0.0))
+    rest1 = F.nullif((gn - n - 1).cast("double"), F.lit(0.0))
+    var_h = (s2 - s1 * s1 / n) / nm1
+    var_r = (r2 - r1 * r1 / rest) / rest1
     zs = F.round(
-        (s1 / n - r1 / (gn - n))
-        / F.nullif(F.sqrt(var_h / n + var_r / (gn - n)), F.lit(0.0)),
+        (s1 / n - r1 / rest)
+        / F.nullif(F.sqrt(var_h / n + var_r / rest), F.lit(0.0)),
         6,
     )
     z = hp.join(F.broadcast(g)).select(

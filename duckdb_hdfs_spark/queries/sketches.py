@@ -227,15 +227,41 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     way to serve per-group quantiles from a single pass with bounded
     state (accuracy 10000 -> ~0.01% rank error, ~KB per group)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50_exact"),
-        (
-            F.expr("approx_percentile(l_extendedprice, 0.50, 10000)")
-            .between(
-                F.expr("percentile(l_extendedprice, 0.49)"),
-                F.expr("percentile(l_extendedprice, 0.51)"),
-            )
-        ).alias("within_bound"),
+    # the bound check is GK's ACTUAL guarantee — the returned value's
+    # RANK is within ±1% of the median rank: count(x ≤ v) ≥ 0.49·n and
+    # count(x < v) ≤ 0.51·n.  (The earlier interpolated-value corridor
+    # [q(.49), q(.51)] degenerates at tiny groups, where it can
+    # contain no data element at all — tiny-data audit r9.)
+    g1 = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias(
+            "p50_exact"
+        ),
+        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("ap"),
+    )
+    return (
+        li.join(F.broadcast(g1), "l_returnflag")
+        .groupBy("l_returnflag", "p50_exact")
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") <= F.col("ap"), 1
+                        ).otherwise(0)
+                    )
+                    >= 0.49 * F.count(F.lit(1))
+                )
+                & (
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") < F.col("ap"), 1
+                        ).otherwise(0)
+                    )
+                    <= 0.51 * F.count(F.lit(1))
+                )
+            ).alias("within_bound")
+        )
+        .select("l_returnflag", "p50_exact", "within_bound")
     )
 
 

@@ -504,11 +504,19 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
+    # the LATERAL's driving table is CUSTOMER: an order whose custkey
+    # has no customer row must not surface (the window-only shape
+    # silently assumed referential integrity — tiny-data audit r9);
+    # the semi-join broadcasts the key column only
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.join(F.broadcast(c), "o_custkey", "left_semi")
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
         .select(
             F.col("o_custkey").alias("c_custkey"),

@@ -115,3 +115,50 @@ def test_null_injected_parity(name, spark, null_sf_dir, null_oracle_con):
         name, qd.spark(spark, null_sf_dir), null_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# tiny-data audit (round 9): 30-row tables exercise the degenerate
+# shapes the sf data never hits — 1-row hours inside the BH-FDR z
+# (integer /0 → ANSI ArithmeticException), LATERAL's driving-table
+# semantics under broken referential integrity, and a ±1%-rank
+# corridor that contains no data element.  Pin the fixed keys.
+TINY_AUDITED = [
+    "stats_bh_fdr",
+    "sql_lateral_join",
+    "sketch_quantiles_approx",
+    "stats_welch_ttest",
+    "stats_anova_oneway",
+    "stats_brown_forsythe",
+    "ev_nelson_aalen",
+    "stats_kendall_tau",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_tiny")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet' LIMIT 30) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def tiny_oracle_con(tiny_sf_dir):
+    con = duckdb_connection(tiny_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TINY_AUDITED)
+def test_tiny_data_parity(name, spark, tiny_sf_dir, tiny_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, tiny_sf_dir), tiny_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
