@@ -47,14 +47,40 @@ def md5_int60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+#: Unicode case-fold portability shim: Java's String.toLowerCase
+#: applies FULL special casing (U+0130 Turkish dotted capital I ->
+#: 'i' + combining dot, TWO codepoints; capital Sigma -> contextual
+#: final-sigma) while DuckDB's utf8proc applies SIMPLE 1:1 mappings
+#: (U+0130 -> 'i', Sigma -> sigma everywhere) -- so every token,
+#: shingle hash, and content digest over text containing them
+#: diverges.  Pre-translating the special-cased codepoints to their
+#: simple-fold targets BEFORE lower() makes both engines produce
+#: identical folded text (unicode-injection audit, round 9); extend
+#: the pair table if new divergent codepoints surface.
+_CASEFOLD_SRC = "\u0130\u03a3"  # dotted-I, capital sigma
+_CASEFOLD_DST = "I\u03c3"       # plain I, small sigma
+
+
+def fold_lower(col: Column) -> Column:
+    """Portable lowercase: identical output on Spark and DuckDB for
+    every codepoint, including the full-vs-simple special cases."""
+    return F.lower(F.translate(col, _CASEFOLD_SRC, _CASEFOLD_DST))
+
+
+def fold_lower_sql(expr: str) -> str:
+    return f"lower(translate({expr}, '\u0130\u03a3', 'I\u03c3'))"
+
+
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens (oracle:
-    ``string_split_regex(lower(x), '\\s+')``)."""
-    return F.split(F.lower(col), r"\s+")
+    """Case-folded whitespace tokens (oracle:
+    ``string_split_regex(<fold_lower>, '\s+')``) -- fold_lower, not
+    a bare lower(), so Unicode special-cased codepoints tokenize
+    identically on both engines."""
+    return F.split(fold_lower(col), r"\s+")
 
 
 def tokens_sql(expr: str) -> str:
-    return rf"string_split_regex(lower({expr}), '\s+')"
+    return rf"string_split_regex({fold_lower_sql(expr)}, '\s+')"
 
 
 def word_kgrams(toks: Column, k: int = 2) -> Column:

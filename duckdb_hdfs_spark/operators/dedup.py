@@ -21,6 +21,7 @@ from duckdb_hdfs_spark.functions.hashing import (
     BAND_ROWS,
     NUM_BANDS,
     NUM_PERM,
+    fold_lower,
     md5_int60,
     minhash_perm,
     shingle_hash,
@@ -30,8 +31,9 @@ from duckdb_hdfs_spark.functions.hashing import (
 
 
 def norm_text(text):
-    """Dedup normalization: lowercase + whitespace collapse."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    """Dedup normalization: portable case fold + whitespace
+    collapse (fold_lower, not bare lower — unicode audit r9)."""
+    return F.trim(F.regexp_replace(fold_lower(text), r"\s+", " "))
 
 
 # DuckDB-side mirror of :func:`norm_text` over the ``text`` column —
@@ -40,7 +42,7 @@ def norm_text(text):
 # modules import the contract instead of re-spelling it (round-7
 # advisor: curation.py previously reached into queries/dedup.py's
 # underscore-private mid-module).
-NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+NORM_SQL = r"trim(regexp_replace(lower(translate(text, 'İΣ', 'Iσ')), '\s+', ' ', 'g'))"
 
 
 def exact_clusters(docs: DataFrame) -> DataFrame:

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.hashing import md5_int60, md5_int60_sql
+from duckdb_hdfs_spark.functions.hashing import (
+    fold_lower,
+    md5_int60,
+    md5_int60_sql,
+)
 from duckdb_hdfs_spark.operators.joins import asof_backward, range_join_count
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _dsum, _t
@@ -202,7 +206,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_levenshtein_pairs",
     oracle="""
 WITH t AS (
-    SELECT doc_id, lang, source, lower(substr(text, 1, 24)) AS pre
+    SELECT doc_id, lang, source,
+           lower(translate(substr(text, 1, 24), 'İΣ', 'Iσ')) AS pre
     FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -219,7 +224,12 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be a coarse fingerprint, same shape)."""
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
-        "doc_id", "lang", "source", F.lower(F.substring("text", 1, 24)).alias("pre")
+        "doc_id",
+        "lang",
+        "source",
+        # fold_lower: a special-cased codepoint in the prefix would
+        # diverge the group key cross-engine (unicode audit r9)
+        fold_lower(F.substring("text", 1, 24)).alias("pre"),
     )
     a, b = t.alias("a"), t.alias("b")
     lev = F.levenshtein(F.col("a.pre"), F.col("b.pre"))

@@ -27,7 +27,10 @@ from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
 
 _TOKS = tokens_sql("text")
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# portable case fold (İ/Σ translate) — byte-identical to
+# operators.dedup.NORM_SQL's contract (unicode audit r9)
+_NORM = (r"trim(regexp_replace(lower(translate(text, 'İΣ', 'Iσ'))"
+         r", '\s+', ' ', 'g'))")
 _NORM_INT60 = md5_int60_sql(_NORM)
 
 
@@ -133,7 +136,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum over word-5-gram hashes (stable under small edits) + a
     60-bit integer bucket for partitioned storage."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    from duckdb_hdfs_spark.operators.dedup import norm_text
+
+    norm = norm_text(F.col("text"))
     # gram build is lambda-safe (see hashing.word_kgrams); md5 maps the
     # materialized gram array, touching only the lambda variable.
     gram5 = word_kgrams(tokens(F.col("text")), 5)

@@ -162,3 +162,91 @@ def test_tiny_data_parity(name, spark, tiny_sf_dir, tiny_oracle_con):
         name, qd.spark(spark, tiny_sf_dir), tiny_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# unicode-injection audit (round 9): Java's full case mapping vs
+# DuckDB/utf8proc's simple 1:1 mapping diverge on special-cased
+# codepoints (U+0130 İ → 'i'+combining-dot vs 'i'; Σ → contextual ς
+# vs σ), silently splitting every token, shingle hash, and content
+# digest.  functions.hashing.fold_lower pre-translates the divergent
+# codepoints; these tests pin the shim and the keys the audit caught.
+UNICODE_AUDITED = [
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "text_fingerprint",
+    "text_chunk_windows",
+    "text_ngram_freq",
+    "text_tfidf_topk",
+    "text_token_stats",
+    "bpe_pair_counts",
+    "corpus_source_overlap",
+]
+
+_NASTY = (
+    "İstanbul STRAßE ΣΟΣ café nbsp\ttab　ideo "
+    "ÀÉÎÕÜ ǅungla \U0001F600 中文"
+)
+
+
+def test_fold_lower_cross_engine(spark):
+    """fold_lower must yield byte-identical output on both engines
+    for the special-cased codepoints that break bare lower()."""
+    from pyspark.sql import functions as F
+
+    from duckdb_hdfs_spark.functions.hashing import fold_lower, fold_lower_sql
+
+    got = (
+        spark.createDataFrame([(_NASTY,)], "t string")
+        .select(fold_lower(F.col("t")))
+        .collect()[0][0]
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {fold_lower_sql('?')}", [_NASTY]
+    ).fetchone()[0]
+    con.close()
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_unicode")
+    con = duckdb.connect()
+    suffix = _NASTY.replace("'", "")
+    con.execute(
+        f"""
+        COPY (SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' {suffix}'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM '{sf_dir}/documents.parquet')
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in TABLES:
+        if t != "documents":
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def unicode_oracle_con(unicode_sf_dir):
+    con = duckdb_connection(unicode_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_AUDITED)
+def test_unicode_injected_parity(name, spark, unicode_sf_dir, unicode_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, unicode_sf_dir), unicode_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
