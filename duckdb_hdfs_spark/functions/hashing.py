@@ -72,7 +72,7 @@ def fold_lower_sql(expr: str) -> str:
 
 
 def tokens(col: Column) -> Column:
-    """Case-folded whitespace tokens (oracle:
+    r"""Case-folded whitespace tokens (oracle:
     ``string_split_regex(<fold_lower>, '\s+')``) -- fold_lower, not
     a bare lower(), so Unicode special-cased codepoints tokenize
     identically on both engines."""

@@ -22,6 +22,7 @@ from duckdb_hdfs_spark.functions.hashing import (
     NUM_BANDS,
     NUM_PERM,
     fold_lower,
+    fold_lower_sql,
     md5_int60,
     minhash_perm,
     shingle_hash,
@@ -41,8 +42,11 @@ def norm_text(text):
 # (dedup pipeline, dataset card, calibration panels).  Public so query
 # modules import the contract instead of re-spelling it (round-7
 # advisor: curation.py previously reached into queries/dedup.py's
-# underscore-private mid-module).
-NORM_SQL = r"trim(regexp_replace(lower(translate(text, 'İΣ', 'Iσ')), '\s+', ' ', 'g'))"
+# underscore-private mid-module).  Derived from fold_lower_sql so the
+# casefold pair table (hashing._CASEFOLD_SRC/_DST) has a single source
+# of truth — extending the pair table there propagates here (round-9
+# advisor: four hand-written copies would drift silently).
+NORM_SQL = rf"trim(regexp_replace({fold_lower_sql('text')}, '\s+', ' ', 'g'))"
 
 
 def exact_clusters(docs: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.functions.hashing import (
     fold_lower,
+    fold_lower_sql,
     md5_int60,
     md5_int60_sql,
 )
@@ -204,10 +205,10 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_levenshtein_pairs",
-    oracle="""
+    oracle=f"""
 WITH t AS (
     SELECT doc_id, lang, source,
-           lower(translate(substr(text, 1, 24), 'İΣ', 'Iσ')) AS pre
+           {fold_lower_sql("substr(text, 1, 24)")} AS pre
     FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2882,17 +2883,23 @@ g AS (
     FROM hp
 ),
 z AS (
+    -- nullif guards mirror the Spark side exactly: on DuckDB >= 1.1
+    -- (ieee_floating_point_ops=true) float x/0 yields Inf/NaN rather
+    -- than NULL, so parity on 1-row-hour / whole-stream-hour
+    -- degenerates must not depend on engine-version division
+    -- semantics (round-9 advice)
     SELECT hr, n,
            round((CAST(s1d AS DOUBLE) / n
-                  - CAST(gs1d - s1d AS DOUBLE) / (gn - n))
+                  - CAST(gs1d - s1d AS DOUBLE) / nullif(gn - n, 0))
                  / nullif(sqrt(
                        ((CAST(s2d AS DOUBLE)
                          - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / n)
-                        / (n - 1)) / n
+                        / nullif(n - 1, 0)) / n
                        + ((CAST(gs2d - s2d AS DOUBLE)
                            - CAST(gs1d - s1d AS DOUBLE)
-                             * CAST(gs1d - s1d AS DOUBLE) / (gn - n))
-                          / (gn - n - 1)) / (gn - n)), 0), 6) AS zs,
+                             * CAST(gs1d - s1d AS DOUBLE) / nullif(gn - n, 0))
+                          / nullif(gn - n - 1, 0)) / nullif(gn - n, 0)),
+                   0), 6) AS zs,
            round(CAST(s1d AS DOUBLE) / n, 6) AS mean_value,
            m
     FROM hp CROSS JOIN g

@@ -1161,7 +1161,7 @@ WITH scored AS (
                          t -> length(t)), (a, b) -> a + b) AS DOUBLE)
                      / len({_TOKS}) <= {QUALITY_MEAN_LEN_MAX}
                 THEN 1 ELSE 0 END AS pass_word,
-           CASE WHEN CAST(len(list_filter(string_split_regex(lower(translate(text, 'İΣ', 'Iσ')), '\s+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE) / len({_TOKS}) >= {QUALITY_STOP_RATIO_MIN}
+           CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'))) AS DOUBLE) / len({_TOKS}) >= {QUALITY_STOP_RATIO_MIN}
                 THEN 1 ELSE 0 END AS pass_stop
     FROM documents
 )

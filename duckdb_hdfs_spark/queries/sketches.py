@@ -219,8 +219,9 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (Greenwald-Khanna; mergeable per-partition
     summaries, map-side partial aggregation — one scan, tiny shuffle)
     next to the exact interpolated quantile, emitting the exact p50
-    and a boolean asserting the sketch landed within the +/-1%-rank
-    corridor [quantile(0.49), quantile(0.51)].
+    and a boolean asserting GK's rank-bound guarantee by COUNTS:
+    count(x <= v) >= 0.49*n and count(x < v) <= 0.51*n — i.e. the
+    returned value's rank is within +/-1% of the median rank.
 
     At 100 TB the exact-percentile branch (full sort per group) is
     the audit, the sketch is the product: GK summaries are the only

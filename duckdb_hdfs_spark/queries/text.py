@@ -23,14 +23,15 @@ from duckdb_hdfs_spark.functions.text import (
     stopword_hits,
     stopword_hits_sql,
 )
+from duckdb_hdfs_spark.operators.dedup import NORM_SQL
 from duckdb_hdfs_spark.queries import query
 from duckdb_hdfs_spark.queries._helpers import _t
 
 _TOKS = tokens_sql("text")
-# portable case fold (İ/Σ translate) — byte-identical to
-# operators.dedup.NORM_SQL's contract (unicode audit r9)
-_NORM = (r"trim(regexp_replace(lower(translate(text, 'İΣ', 'Iσ'))"
-         r", '\s+', ' ', 'g'))")
+# portable case fold — THE normalization contract, imported rather
+# than re-spelled so the casefold pair table has a single source of
+# truth (round-9 advisor; unicode audit r9)
+_NORM = NORM_SQL
 _NORM_INT60 = md5_int60_sql(_NORM)
 
 
