@@ -2,15 +2,73 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+"prev_commit_control": {...}}``
+
+The ``prev_commit_control`` block re-runs the PREVIOUS round's commit
+(hash in ``PREV_ROUND_COMMIT`` at the repo root) back-to-back in the
+same session via a temporary git worktree, so every cross-round delta
+is host-load-adjusted by construction: if HEAD and the control move
+together, the drift is ambient; if they diverge, it is structural.
+(Three consecutive verdicts burned on ambient-vs-structural ambiguity
+before this existed.)  Control failures are reported inside the block,
+never fail the bench.  Set SPARK_GRAFT_NO_CONTROL=1 to skip (the
+control subprocess sets it to stop recursion).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _run_control(repo: str, sf_dir: str) -> dict:
+    """Bench the previous round's commit in a throwaway worktree."""
+    marker = os.path.join(repo, "PREV_ROUND_COMMIT")
+    if not os.path.exists(marker):
+        return {"skipped": "no PREV_ROUND_COMMIT marker"}
+    commit = open(marker).read().split()[0]
+    wt = os.path.join("/tmp", f"bench_control_{commit[:12]}_{os.getpid()}")
+    env = dict(os.environ, SPARK_GRAFT_NO_CONTROL="1", SPARK_GRAFT_SF_DIR=sf_dir)
+    try:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True, check=False,
+        )
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, commit],
+            cwd=repo, capture_output=True, check=True, timeout=60,
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = next(
+            (ln for ln in reversed(out.stdout.strip().splitlines())
+             if ln.startswith("{")), None,
+        )
+        if out.returncode != 0 or line is None:
+            return {
+                "commit": commit,
+                "error": f"rc={out.returncode}",
+                "stderr_tail": out.stderr[-500:],
+            }
+        ctl = json.loads(line)
+        return {
+            "commit": commit,
+            "value": ctl.get("value"),
+            "queries": ctl.get("queries", {}),
+        }
+    except Exception as exc:  # noqa: BLE001 — the control must never fail the bench
+        return {"commit": commit, "error": f"{type(exc).__name__}: {exc}"}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True, check=False,
+        )
 
 
 def main() -> None:
@@ -57,17 +115,20 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_NO_CONTROL"):
+        repo = os.path.dirname(os.path.abspath(__file__))
+        spark.stop()  # free executor threads before the control's JVM
+        result["prev_commit_control"] = _run_control(repo, sf_dir)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

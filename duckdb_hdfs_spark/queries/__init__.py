@@ -71,108 +71,82 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-9 allocation: round 8
-# closed cumulative driver coverage at 275/275 (zero failures ever),
-# so the window becomes (a) the operators ADDED this round — every
-# new key earns its driver row the round it lands — and (b) stale
-# re-verifies on fresh testdata, oldest driver coverage first: all 25
-# keys whose latest row is round 3, then the oldest round-4 keys
-# (tpch micro-set, cdc merge, heavy-hitter sketch) up to the 50 cap.
-# All 50 verified green at driver-condition sf0.01 before rotation.
+# Keep this list at exactly ≤50 names.  Round-10 allocation: round 9
+# closed cumulative driver coverage at 325/325 (zero failures ever)
+# and added zero new keys this round (registry frozen per the round-9
+# verdict), so the whole window goes to stale re-verification on
+# fresh testdata, oldest driver row first: ALL 25 keys whose latest
+# row is round 3, then the 25 OLDEST round-4 keys (in their
+# CORRECTNESS_r04 window order).  After this round lands, no key's
+# latest driver row predates round 4.  All 50 verified green at
+# driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- round-9 additions (eighth wave of this session) ---
-    "dq_monotonic_id_audit",
-    "graph_clustering_coeff",
-    "ev_conversion_latency_quantiles",
-    # --- round-9 additions (seventh wave of this session) ---
-    "sql_regexp_funcs",
-    "sample_neyman_allocation",
-    "pack_efficiency_audit",
-    "ev_anomaly_dow_adjusted",
-    # --- round-9 additions (sixth wave of this session) ---
-    "sim_hubness_koccurrence",
-    "dq_iqr_outliers",
-    "stats_cramers_v",
-    "text_langid_metrics",
-    # --- round-9 additions (fifth wave of this session) ---
-    "stats_jarque_bera",
-    "stats_ljung_box",
-    "stats_runs_test",
-    "text_term_burstiness",
-    # --- round-9 additions (fourth wave of this session) ---
-    "ev_power_mde",
-    "stats_brown_forsythe",
-    "sketch_linear_counting",
-    "graph_degree_assortativity",
-    # --- round-9 additions (third wave of this session) ---
-    "ev_nelson_aalen",
-    "stats_kendall_tau",
-    "dq_benford_digits",
-    "layout_zonemap_prune",
-    # --- round-9 additions (second wave of this session) ---
-    "stats_spearman_corr",
-    "ev_gini_concentration",
-    "text_zipf_slope",
-    "text_readability",
-    "sketch_kmv_jaccard",
-    "stats_bh_fdr",
-    "mm_audio_tone_probe",
-    "emb_cosine_diversity",
-    "dq_psi_drift",
-    "ev_time_weighted_value",
-    "layout_range_partition_stats",
-    "stats_cohens_d",
-    # --- the 15 earlier round-9 additions: never driver-checked ---
-    "sketch_kmv_distinct",
-    "text_gopher_rules",
-    "stats_bootstrap_ci",
-    "ev_cusum_changepoint",
-    "stats_kruskal_wallis",
-    "stats_theil_sen_slope",
-    "corpus_perplexity_buckets",
-    "layout_hilbert_tiles",
-    "fs_write_orc",
-    "mm_image_channel_stats",
-    "ev_abtest_srm",
-    "stats_anova_oneway",
-    "stats_proportions_ztest",
-    "graph_kcore",
-    "dedup_substring_spans",
-    # (the window is now ENTIRELY never-driver-checked keys: this
-    # session's 23 additions + the 27 prior-session round-9 keys.
-    # Displaced stale re-verifies: asof_purchase_last_view,
-    # corpus_mix_sample, distinct_users_approx, ev_value_histogram,
-    # fs_describe_tables, fs_read_parquet, fs_sql_path,
-    # fs_write_parquet, mm_binary_meta,
-    # mm_decode_features, mm_frame_sample, mm_resize,
-    # pack_context_windows, range_join_view_purchases,
-    # sample_hash_split, sql_array_funcs, sql_conditional_funcs,
-    # sql_date_funcs, sql_set_ops, sql_string_funcs, stats_moments,
-    # stats_quantiles, streaming_windowed_counts and
-    # text_levenshtein_pairs / unpivot_event_metrics — all locally
-    # green at sf0.001 + sf0.01; new keys always outrank stale
-    # re-verification for window slots)
+    # --- the 25 r3-stale keys (latest driver row: round 3) ---
+    "ev_value_histogram",
+    "distinct_users_approx",
+    "streaming_windowed_counts",
+    "fs_write_parquet",
+    "fs_sql_path",
+    "fs_describe_tables",
+    "asof_purchase_last_view",
+    "range_join_view_purchases",
+    "sample_hash_split",
+    "stats_quantiles",
+    "stats_moments",
+    "text_levenshtein_pairs",
+    "pack_context_windows",
+    "unpivot_event_metrics",
+    "corpus_mix_sample",
+    "sql_string_funcs",
+    "sql_date_funcs",
+    "sql_conditional_funcs",
+    "sql_set_ops",
+    "sql_array_funcs",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "fs_read_parquet",
+    # --- the 25 oldest r4-stale keys (CORRECTNESS_r04 order) ---
+    "text_repetition",
+    "text_contamination",
+    "dedup_prefix_groups",
+    "sim_ann_filtered",
+    "pipeline_quality_filter",
+    "emb_kmeans_update",
+    "skew_salted_event_stats",
+    "text_tfidf_topk",
+    "emb_int8_quantize",
+    "text_span_dedup",
+    "emb_gram_matrix",
+    "bpe_pair_counts",
+    "time_decay_engagement",
+    "sample_stratified_topk",
+    "emb_pca_project",
+    "layout_zorder_tiles",
+    "cdc_merge_orders",
+    "cdc_scd2_priority_history",
+    "sketch_hll_distinct",
+    "sketch_heavy_hitters",
+    "sketch_quantiles_approx",
+    "fs_read_csv_gzip",
+    "fs_read_orc",
+    "fs_read_schema_merge",
+    "fs_partitioned_prune",
 )
 
-# Round-10+ rotation pool — after this round's window lands,
-# coverage is total again (every key will have a driver row; zero
-# failures ever).  Future windows = any keys added that round, then
-# stale re-verification oldest-first: FIRST the 25 r3-stale keys
-# displaced above (oldest driver rows in the repo), THEN
-# the ~50 r4-latest keys — including the 10 earlier round-9 waves
-# displaced from this window (q1_pricing_summary, q3_shipping
-# _priority, q5_local_supplier_volume, q6_forecast_revenue,
-# q12_priority_lateness, q14_promo_revenue, cdc_merge_orders,
-# sketch_hll_distinct, sketch_heavy_hitters, text_tfidf_topk) —
-# plus text_repetition / text_contamination / dedup_prefix_groups /
-# sim_ann_filtered / cdc_scd2_priority_history /
-# sketch_quantiles_approx / pipeline_quality_filter, the events and
-# streaming r4 waves, the fs csv/orc/gzip/prune family,
-# win_moving_avg / win_running_total / win_time_range_frame, and the
-# emb/llmextra leftovers (bpe_pair_counts, emb_gram_matrix,
-# emb_int8_quantize, emb_kmeans_update, emb_pca_project,
-# sample_stratified_topk, skew_salted_event_stats, text_span_dedup,
-# time_decay_engagement, layout_zorder_tiles); then the r5 set.
+# Round-11+ rotation pool — stale re-verification oldest-first after
+# any keys added that round.  Remaining r4-latest keys (25):
+# streaming_dedup_users, streaming_user_totals,
+# streaming_view_purchase_join, streaming_session_windows,
+# streaming_static_enrich, fs_ls, fs_read_csv, ev_tumbling_counts,
+# ev_sessionize, ev_funnel, ev_retention, ev_top_users,
+# ev_json_props, ev_anomaly_zscore, ev_rolling_dau,
+# ev_cohort_retention, win_time_range_frame, win_moving_avg,
+# win_running_total, q1_pricing_summary, q3_shipping_priority,
+# q5_local_supplier_volume, q6_forecast_revenue,
+# q12_priority_lateness, q14_promo_revenue; then the r5 set
+# (50 keys), then r6, etc.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

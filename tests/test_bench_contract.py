@@ -15,6 +15,11 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_bench_emits_single_json_line():
+    """Driver-condition run (control NOT suppressed): stdout must
+    still be ONE JSON line, now carrying the prev_commit_control
+    block (the load-adjusted cross-round baseline, round-9 verdict
+    task 3).  The control subprocess's own stdout is captured by
+    bench.py and folded into the block — it must never leak."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -40,3 +45,11 @@ def test_bench_emits_single_json_line():
 
     headliners = {n for n, qd in load_all().items() if qd.headline}
     assert set(payload["queries"]) == headliners
+    ctl = payload["prev_commit_control"]
+    assert isinstance(ctl, dict)
+    # a healthy control carries the previous commit's timings; a
+    # broken one carries an error field — either way the bench JSON
+    # stays parseable and the block says which
+    assert ("queries" in ctl and ctl.get("value", 0) > 0) or (
+        "error" in ctl or "skipped" in ctl
+    ), ctl
