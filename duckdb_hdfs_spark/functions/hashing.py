@@ -47,28 +47,56 @@ def md5_int60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-#: Unicode case-fold portability shim: Java's String.toLowerCase
-#: applies FULL special casing (U+0130 Turkish dotted capital I ->
-#: 'i' + combining dot, TWO codepoints; capital Sigma -> contextual
-#: final-sigma) while DuckDB's utf8proc applies SIMPLE 1:1 mappings
-#: (U+0130 -> 'i', Sigma -> sigma everywhere) -- so every token,
-#: shingle hash, and content digest over text containing them
-#: diverges.  Pre-translating the special-cased codepoints to their
-#: simple-fold targets BEFORE lower() makes both engines produce
-#: identical folded text (unicode-injection audit, round 9); extend
-#: the pair table if new divergent codepoints surface.
-_CASEFOLD_SRC = "\u0130\u03a3"  # dotted-I, capital sigma
-_CASEFOLD_DST = "I\u03c3"       # plain I, small sigma
+#: Unicode case-fold portability shim.  Two divergence classes
+#: between Java's String.toLowerCase (Spark) and DuckDB's utf8proc
+#: lower():
+#:
+#: 1. FULL vs SIMPLE special casing \u2014 U+0130 Turkish dotted capital
+#:    I (Java: 'i' + combining dot, TWO codepoints; utf8proc: 'i')
+#:    and U+03A3 capital Sigma (Java: contextual final-sigma \u03c2 at
+#:    word end; utf8proc: \u03c3 everywhere);
+#: 2. UNICODE-VERSION SKEW \u2014 this JVM carries Unicode 15.1/16 case
+#:    mappings that utf8proc lacks: the Latin Extended-D additions
+#:    (Old Polish O, stroked D/S, rams-horn Gamma, diagonal-stroke
+#:    S, closed insular G, Middle Scots / sigmoid S, Lambda, lezh,
+#:    reversed half H), Cyrillic Tje, and the Glagolitic caudate
+#:    chrivi \u2014 Java lowers them, DuckDB leaves them unchanged.
+#:
+#: Either class splits every token, shingle hash, and content digest
+#: over text containing the codepoint.  Pre-translating each
+#: divergent codepoint to the lowercase target BOTH engines agree is
+#: a fixed point makes folded text byte-identical.  The table is
+#: COMPLETE over the BMP by construction:
+#: tests/test_casefold_sweep.py lowercases every BMP codepoint on
+#: both engines (bare and in final-sigma context) and asserts the
+#: raw divergence set equals exactly this table and the folded set
+#: is empty \u2014 a new JVM/utf8proc version skew fails that test
+#: naming the codepoint to add here, and every SQL fragment derives
+#: from fold_lower_sql(), so extending the table propagates
+#: everywhere (single source of truth).
+_CASEFOLD_SRC = (
+    "\u0130\u03a3"  # dotted-I, capital sigma (full-vs-simple casing)
+    "\u1c89\u2c2f"  # Cyrillic Tje, Glagolitic caudate chrivi
+    "\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0"  # Latin Extended-D (U14-16)
+    "\ua7d6\ua7d8\ua7da\ua7dc\ua7f5"
+)
+_CASEFOLD_DST = (
+    "I\u03c3"
+    "\u1c8a\u2c5f"
+    "\ua7c1\ua7c8\ua7ca\u0264\ua7cd\ua7d1"
+    "\ua7d7\ua7d9\ua7db\u019b\ua7f6"
+)
 
 
 def fold_lower(col: Column) -> Column:
     """Portable lowercase: identical output on Spark and DuckDB for
-    every codepoint, including the full-vs-simple special cases."""
+    every BMP codepoint (sweep-verified), including the full-vs-simple
+    special cases and the JVM/utf8proc Unicode-version skew."""
     return F.lower(F.translate(col, _CASEFOLD_SRC, _CASEFOLD_DST))
 
 
 def fold_lower_sql(expr: str) -> str:
-    return f"lower(translate({expr}, '\u0130\u03a3', 'I\u03c3'))"
+    return f"lower(translate({expr}, '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}'))"
 
 
 def tokens(col: Column) -> Column:

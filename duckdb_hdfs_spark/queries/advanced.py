@@ -2769,7 +2769,10 @@ FROM g
 """
 
 
-@query("stats_spearman_corr", oracle=_spearman_oracle())
+# headline: the most shuffle-heavy stats key (9 exchanges) — keeps the
+# bench representative of the round-9 registry widening (r9 verdict
+# task 6); DuckDB baseline re-measured at sf0.1 in README
+@query("stats_spearman_corr", oracle=_spearman_oracle(), headline=True)
 def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Spearman rank correlation per return-flag panel
     (quantity vs extended price) — the MONOTONE-association sibling of

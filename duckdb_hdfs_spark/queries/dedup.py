@@ -1469,7 +1469,9 @@ HAVING count(*) >= {SPAN_MIN_GRAMS}
 """
 
 
-@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+# headline: the newest quadratic-risk dedup shape (r9 verdict task 6);
+# DuckDB baseline re-measured at sf0.1 in README
+@query("dedup_substring_spans", oracle=_substring_spans_oracle(), headline=True)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplicated runs (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"
@@ -1493,6 +1495,24 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists; the islands window partitions by (pair, diagonal), whose
     groups are run-length bounded.  One gram-keyed shuffle for df,
     one for the position join, one pair-keyed window."""
+    docs = _t(spark, sf_dir, "documents")
+    return substring_spans_pipeline(docs)[1]
+
+
+def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The dedup_substring_spans pipeline over an arbitrary
+    (doc_id, text) frame.  Returns ``(matches, spans)`` — the
+    pre-window matched-position frame (whose count is the
+    candidate-position mass the volume-slope audit records,
+    scripts/substring_slope.py) and the final maximal-span output.
+
+    Both sides of the position join are df_ok-filtered: rows of the
+    build side whose gram fails the 2..SPAN_MAXDF doc-frequency cap
+    can never match the (filtered) probe side, so filtering them too
+    is semantics-free and keeps boilerplate grams (df > cap, the
+    heavy tail) out of the join shuffle entirely — at 100 TB the cap
+    is exactly a posting-list cap and the unfiltered side would
+    shuffle the full position list of every ultra-common gram."""
     from duckdb_hdfs_spark.functions.hashing import (
         md5_int60,
         tokens,
@@ -1500,7 +1520,6 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     k = SPAN_K
     # posexplode is 0-based; +1 matches the oracle's generate_series
@@ -1530,12 +1549,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nd") >= 2) & (F.col("nd") <= SPAN_MAXDF))
         .select("h")
     )
-    a = pos.join(df_ok, "h").select(
-        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "h"
-    )
-    b = pos.select(
-        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "h"
-    )
+    pf = pos.join(df_ok, "h").localCheckpoint(eager=True)
+    a = pf.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "h")
+    b = pf.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "h")
     m = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1548,7 +1564,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
     runs = m.withColumn("run_id", F.col("ia") - F.row_number().over(w))
-    return (
+    spans = (
         runs.groupBy("doc_a", "doc_b", "diag", "run_id")
         .agg(F.min("ia").alias("min_ia"), F.count(F.lit(1)).alias("ngrams"))
         .filter(F.col("ngrams") >= SPAN_MIN_GRAMS)
@@ -1560,3 +1576,4 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ngrams") + (k - 1)).cast("bigint").alias("span_tokens"),
         )
     )
+    return m, spans
