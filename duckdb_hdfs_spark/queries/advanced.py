@@ -2791,62 +2791,80 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored greatest/nullif guards on BOTH engines (guard-parity
     rule, round-8 advice).
 
-    Scale shape: ONE lineitem scan, collapsed immediately to
-    (flag, x, y) pair grain (checkpointed — every downstream branch
-    reads the collapsed copy) with tie counts carried as weights; NO
-    per-flag window over row grain (3 flags would funnel 1/3 of a
-    100 TB table through single window tasks) — both rank sides
-    aggregate the pair grain to value grain and rank via
-    operators.ranks.grouped_cumsum, the two-phase range-bucketed
-    cumulative count, then join back at value grain (x is
-    domain-bounded ~50 quantities; y stays distributed).  Final
-    panel is one partial-aggregated weighted fold."""
+    Scale shape (round-10 restructure — the original pair-grain
+    formulation paid a row-grain checkpoint, a second grouped_cumsum
+    for x, and a row-grain join-back; ~2× faster now, identical
+    values): x's value grain is domain-bounded (~50 quantities per
+    flag at ANY volume), so its average ranks come from a broadcast
+    theta-join over the tiny (flag, x) panel — no cumsum machinery.
+    The broadcast rx then rides the ROW SCAN into ONE (flag, y)
+    aggregation that carries the x-side cross terms as weights
+    (sxr = Σ rx, sxr2 = Σ rx² per distinct y) — after y's ranks
+    arrive from operators.ranks.grouped_cumsum (the two-phase
+    range-bucketed cumulative count; NO per-flag window — 3 flags
+    would funnel 1/3 of a 100 TB table through single window tasks),
+    ALL six power sums fold from the distinct-y grain directly:
+    Σrows rx·ry = Σ_y ry·(Σ_{rows at y} rx).  No row-grain
+    checkpoint, no row-grain join-back; lineitem is scanned twice
+    (tiny x-panel pass + the row pass), both projection-pruned to
+    2-3 columns.  Every sum is an exact integer in the decimal
+    domain, so the regrouped association is bit-identical."""
     from duckdb_hdfs_spark.operators.ranks import grouped_cumsum
 
-    li = _t(spark, sf_dir, "lineitem")
-    # NULL x/y excluded symmetrically (NULL-injection audit r9)
-    pg = (
-        li.filter(
-            F.col("l_quantity").isNotNull()
-            & F.col("l_extendedprice").isNotNull()
-        )
-        .select(
-            F.col("l_returnflag").alias("flag"),
-            F.round("l_quantity", 0).cast("bigint").alias("x"),
-            F.col("l_extendedprice").alias("y"),
-        )
-        .groupBy("flag", "x", "y")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # three consumers (x ranks, y ranks, the weighted fold): pin
-        # ONE evaluation so lineitem is scanned exactly once
-        .localCheckpoint(eager=True)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        # NULL x/y excluded symmetrically (NULL-injection audit r9)
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
     )
-    vx = grouped_cumsum(
-        pg.groupBy("flag", "x").agg(F.sum("cnt").alias("cx")),
-        ["flag"], [("x", "asc")], "cx", "cumx",
-    ).select("flag", "x", (2 * F.col("cumx") - F.col("cx") + 1).alias("rx"))
-    vy = grouped_cumsum(
-        pg.groupBy("flag", "y").agg(F.sum("cnt").alias("cy")),
-        ["flag"], [("y", "asc")], "cy", "cumy",
-    ).select("flag", "y", (2 * F.col("cumy") - F.col("cy") + 1).alias("ry"))
-    cd = F.col("cnt").cast("decimal(10,0)")
-    rxd = F.col("rx").cast("decimal(14,0)")
-    ryd = F.col("ry").cast("decimal(14,0)")
-    s = (
-        # x's value grain is domain-bounded (~50 distinct quantities
-        # per flag at ANY volume) — broadcast it; y's stays a keyed
-        # shuffle join (its grain follows the data)
-        pg.join(F.broadcast(vx), ["flag", "x"])
-        .join(vy, ["flag", "y"])
-        .groupBy("flag")
-        .agg(
-            F.sum("cnt").cast("double").alias("n"),
-            F.sum(cd * rxd).cast("double").alias("sx"),
-            F.sum(cd * ryd).cast("double").alias("sy"),
-            F.sum(cd * rxd * ryd).cast("double").alias("sxy"),
-            F.sum(cd * rxd * rxd).cast("double").alias("sxx"),
-            F.sum(cd * ryd * ryd).cast("double").alias("syy"),
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity", 0).cast("bigint").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    # x ranks: ~50-value domain per flag → broadcast theta-join panel
+    # (2·cum_before + cx + 1 = twice the average rank, an exact int)
+    px = rows.groupBy("flag", "x").agg(F.count(F.lit(1)).alias("cx"))
+    other = px.select(
+        F.col("flag").alias("f2"), F.col("x").alias("x2"),
+        F.col("cx").alias("cx2"),
+    )
+    vx = (
+        px.join(
+            F.broadcast(other),
+            (F.col("f2") == F.col("flag")) & (F.col("x2") < F.col("x")),
+            "left",
         )
+        .groupBy("flag", "x", "cx")
+        .agg(F.coalesce(F.sum("cx2"), F.lit(0)).alias("cumb"))
+        .select(
+            "flag", "x",
+            (2 * F.col("cumb") + F.col("cx") + 1).alias("rx"),
+        )
+    )
+    rxd = F.col("rx").cast("decimal(14,0)")
+    # one row pass: attach broadcast rx, collapse to distinct-y grain
+    # carrying the x-side cross-term weights
+    g = (
+        rows.join(F.broadcast(vx), ["flag", "x"])
+        .groupBy("flag", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cy"),
+            F.sum(rxd).alias("sxr"),
+            F.sum(rxd * rxd).alias("sxr2"),
+        )
+    )
+    vy = grouped_cumsum(
+        g, ["flag"], [("y", "asc")], "cy", "cumy",
+    ).withColumn("ry", 2 * F.col("cumy") - F.col("cy") + 1)
+    cyd = F.col("cy").cast("decimal(10,0)")
+    ryd = F.col("ry").cast("decimal(14,0)")
+    s = vy.groupBy("flag").agg(
+        F.sum("cy").cast("double").alias("n"),
+        F.sum("sxr").cast("double").alias("sx"),
+        F.sum(cyd * ryd).cast("double").alias("sy"),
+        F.sum(F.col("sxr") * ryd).cast("double").alias("sxy"),
+        F.sum("sxr2").cast("double").alias("sxx"),
+        F.sum(cyd * ryd * ryd).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

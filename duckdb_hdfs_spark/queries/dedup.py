@@ -1522,25 +1522,26 @@ def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     toks = tokens(F.col("text"))
     k = SPAN_K
-    # posexplode is 0-based; +1 matches the oracle's generate_series
+    # word_kgrams pads with '' joins ONLY for docs shorter than k
+    # tokens (its slice length is greatest(nt-k+1, 1): at nt >= k
+    # every emitted gram is built purely from real tokens, so the
+    # inline nt >= k filter drops short docs AND every padded row in
+    # one pass — the previous formulation re-scanned documents for a
+    # token-count table and broadcast-joined it back (round-10
+    # simplification, same output).  posexplode is 0-based; +1
+    # matches the oracle's generate_series.
     pos = (
-        docs.select("doc_id", F.posexplode(word_kgrams(toks, k)))
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("nt"),
+            F.posexplode(word_kgrams(toks, k)),
+        )
+        .filter(F.col("nt") >= k)
         .select(
             "doc_id",
             (F.col("pos") + 1).alias("i"),
             md5_int60(F.col("col")).alias("h"),
         )
-    )
-    # word_kgrams pads the tail with '' joins for docs shorter than k
-    # — the oracle simply emits no position there; drop the padded
-    # tail rows (they end in the '' pad) and short docs entirely
-    n_toks = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("nt")
-    )
-    pos = (
-        pos.join(F.broadcast(n_toks), "doc_id")
-        .filter((F.col("nt") >= k) & (F.col("i") <= F.col("nt") - (k - 1)))
-        .select("doc_id", "i", "h")
         .localCheckpoint(eager=True)
     )
     df_ok = (
