@@ -85,7 +85,7 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT v.event_id AS view_event_id,
        count(*) AS n_purchases_1h,
-       CAST(round(sum(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(p.value AS DECIMAL(28,6))), 2) AS DOUBLE)
            AS purchase_value_1h
 FROM events v
 JOIN events p ON v.user_id = p.user_id
@@ -317,7 +317,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH a AS (
     SELECT event_type,
            CAST(count(*) AS DOUBLE) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
                AS total_value
     FROM events GROUP BY event_type
 )

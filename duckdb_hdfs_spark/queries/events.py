@@ -130,7 +130,7 @@ def user_gaps(ev: DataFrame) -> DataFrame:
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
            AS val_sum
 FROM events
 GROUP BY 1, 2
@@ -263,10 +263,10 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, user_id, total_value, rk
 FROM (
     SELECT event_type, user_id,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
                AS total_value,
            row_number() OVER (PARTITION BY event_type
-                ORDER BY sum(CAST(value AS DECIMAL(18,6))) DESC,
+                ORDER BY sum(CAST(value AS DECIMAL(28,6))) DESC,
                          user_id) AS rk
     FROM events
     GROUP BY event_type, user_id
@@ -290,7 +290,7 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     worse than the built-in heap.)"""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_value")
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_value")
     )
     w = Window.partitionBy("event_type").orderBy(
         F.desc("dec_value"), F.asc("user_id")
@@ -674,7 +674,7 @@ def ev_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH agg AS (
     SELECT user_id, count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
                AS sum_value
     FROM events GROUP BY user_id
 )
@@ -702,7 +702,7 @@ def ev_user_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )
@@ -1426,7 +1426,7 @@ SELECT date_trunc('day', v_ts) AS view_day,
        count(*) AS n_credited_views,
        CAST(sum(CAST(round(1.0 / n_views, 6) AS DECIMAL(18,6))) AS DOUBLE)
            AS credited_purchases,
-       CAST(sum(CAST(round(value / n_views, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(sum(CAST(round(value / n_views, 6) AS DECIMAL(28,6))) AS DOUBLE)
            AS credited_value
 FROM j GROUP BY 1
 """,
@@ -1464,7 +1464,7 @@ def ev_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     jj = j.withColumn("n_views", F.count(F.lit(1)).over(w))
     credit = F.round(F.lit(1.0) / F.col("n_views"), 6).cast("decimal(18,6)")
     vcredit = F.round(F.col("value") / F.col("n_views"), 6).cast(
-        "decimal(18,6)"
+        "decimal(28,6)"
     )
     return jj.groupBy(F.date_trunc("day", "v_ts").alias("view_day")).agg(
         F.count(F.lit(1)).alias("n_credited_views"),
@@ -2062,7 +2062,14 @@ def ev_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one lead window partitioned at (user_id, day) grain
     — full key cardinality, never a hot panel — feeding two
-    partial-aggregated group-bys (user-day, then day)."""
+    partial-aggregated group-bys (user-day, then day).
+
+    Domain bound (extreme-values audit, round 10): v stays
+    DECIMAL(18,6) because the segment weight multiplies it by a
+    microsecond gap (up to ~8.6e10/day) — (18,6)x(20,0) is the widest
+    exact product under the 38-digit decimal ceiling, so |value| >=
+    1e12 is rejected IDENTICALLY by both engines at the cast; the
+    plain-sum keys widened to (28,6) have no such product."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     seg = ev.select(

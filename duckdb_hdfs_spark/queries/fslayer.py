@@ -296,7 +296,7 @@ def fs_read_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fs_partitioned_prune",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value
 FROM events WHERE event_type = 'purchase'
 GROUP BY 1
 """,
@@ -318,7 +318,7 @@ def fs_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )
@@ -455,7 +455,7 @@ def fs_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fs_compact_small_files",
     oracle="""
 SELECT count(*) AS n_rows,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS total_value,
        TRUE AS compacted_fewer_files
 FROM events
@@ -485,7 +485,7 @@ def fs_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
     return spark.read.parquet(compacted).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
         .cast("double")
         .alias("total_value"),
         F.lit(n_comp < n_small).alias("compacted_fewer_files"),
@@ -628,7 +628,7 @@ def fs_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        user_id,
        event_type,
-       CAST(round(CAST(value AS DECIMAL(18,6)), 4) AS DOUBLE) AS val,
+       CAST(round(CAST(value AS DECIMAL(28,6)), 4) AS DOUBLE) AS val,
        concat(event_type, ':', CAST(user_id % 10 AS VARCHAR)) AS tag0
 FROM events
 """,
@@ -660,12 +660,12 @@ def fs_read_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         ).alias("tags"),
         "event_type",
-        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+        F.col("value").cast("decimal(28,6)").alias("val_dec"),
     )
     nested.write.json(path)
     schema = (
         "event_id BIGINT, who STRUCT<id: BIGINT, bucket: BIGINT>, "
-        "tags ARRAY<STRING>, event_type STRING, val_dec DECIMAL(18,6)"
+        "tags ARRAY<STRING>, event_type STRING, val_dec DECIMAL(28,6)"
     )
     back = spark.read.schema(schema).json(path)
     return back.select(

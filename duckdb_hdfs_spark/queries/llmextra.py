@@ -372,7 +372,7 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_event_stats",
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS sum_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
@@ -395,7 +395,7 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             ("n_events", F.count(F.lit(1)), "sum"),
-            ("sum_dec", F.sum(F.col("value").cast("decimal(18,6)")), "sum"),
+            ("sum_dec", F.sum(F.col("value").cast("decimal(28,6)")), "sum"),
             ("max_value", F.max("value"), "max"),
         ],
         n_salts=16,
@@ -734,7 +734,7 @@ SELECT user_id,
        count(*) AS n_events,
        CAST(round(sum(CAST(
            value / (1 + date_diff('day', CAST(ts AS DATE), ref))
-           AS DECIMAL(18,6))), 4) AS DOUBLE) AS decay_score
+           AS DECIMAL(28,6))), 4) AS DOUBLE) AS decay_score
 FROM events, m
 GROUP BY user_id
 """,
@@ -764,7 +764,7 @@ def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("decayed").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("decayed").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("decay_score"),
         )

@@ -73,7 +73,7 @@ def _rewrite_events(
 SELECT date_trunc('day', ts) AS win_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
        event_type, count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS sum_value
 FROM events
 GROUP BY 1, 2, 3
@@ -170,7 +170,14 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is bounded by key cardinality (one tiny tuple per
     user), hash-partitioned across executors; the update stream into
-    the sink carries only keys seen in each batch."""
+    the sink carries only keys seen in each batch.
+
+    Magnitude bound (extreme-values audit, round 10): the Python
+    state op accumulates DOUBLES (Arrow state schema), so the
+    round(4) grain absorbs accumulation-order deltas only while
+    ulp(total) < 1e-4, i.e. |total| < 2^40 ≈ 1e12 — beyond that the
+    pandas pairwise sum and DuckDB's sequential sum legitimately
+    differ in the 4th decimal."""
     from duckdb_hdfs_spark.streaming.pipelines import (
         read_event_stream,
         run_available_now_to_memory,
@@ -283,7 +290,7 @@ WITH s AS (
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 2 HOUR AS session_end,
        count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS sum_value
 FROM v GROUP BY user_id, sess
 """,
@@ -439,7 +446,7 @@ def streaming_late_event_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — which is the oracle.
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_events,
-       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(e.value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -469,7 +476,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )
@@ -625,7 +632,7 @@ WITH w AS (
 )
 SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
        count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE)
            AS sum_value
 FROM w GROUP BY 1, 2, 3
 """,
@@ -658,7 +665,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )
@@ -962,7 +969,7 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregate to the batch per-type totals.
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
            AS val_sum
 FROM events GROUP BY event_type
 """,
@@ -1010,7 +1017,7 @@ def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
             .cast("double")
             .alias("val_sum"),
         )
@@ -1026,10 +1033,10 @@ def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, total_value, rk FROM (
     SELECT user_id,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
                AS total_value,
            row_number() OVER (
-               ORDER BY sum(CAST(value AS DECIMAL(18,6))) DESC, user_id)
+               ORDER BY sum(CAST(value AS DECIMAL(28,6))) DESC, user_id)
                AS rk
     FROM events GROUP BY user_id
 ) t WHERE rk <= 3
@@ -1061,7 +1068,7 @@ def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines (round-7 review finding); rounding is output-only
     agg = (
         stream.groupBy("user_id")
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dec_total"))
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_total"))
         .orderBy(F.desc("dec_total"), F.asc("user_id"))
         .limit(3)
     )

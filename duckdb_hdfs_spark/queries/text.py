@@ -329,10 +329,10 @@ SELECT doc_id,
             AS BIGINT) AS n_keywords,
        round(CAST(length(text) - length(replace(replace(replace(replace(
                 text, '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
-             / length(text), 5) AS symbol_ratio,
+             / nullif(length(text), 0), 5) AS symbol_ratio,
        (CAST(length(text) - length(replace(replace(replace(replace(
                 text, '{', ''), '}', ''), ';', ''), '=', '')) AS DOUBLE)
-            / length(text) > 0.02
+            / nullif(length(text), 0) > 0.02
         OR len(regexp_extract_all(
                text, '(def |class |import |return |void |public )')) >= 3)
            AS looks_like_code
@@ -346,7 +346,13 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword hits, the cheap precursor to a fasttext classifier.
     Counting via length-difference-after-replace is exact and
     engine-identical; the flag compares the UNROUNDED ratio.
-    Map-only, zero shuffles."""
+    Map-only, zero shuffles.
+
+    An EMPTY document NULLs the ratio via mirrored nullif guards
+    instead of crashing the scan (Spark ANSI throws on /0 while
+    DuckDB's behavior is version-dependent — extreme-values audit,
+    round 10); the code flag then propagates NULL identically on
+    both engines (NULL > 0.02 OR false = NULL)."""
     docs = _t(spark, sf_dir, "documents")
     stripped = F.col("text")
     for ch in ("{", "}", ";", "="):
@@ -358,7 +364,7 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             r" '(def |class |import |return |void |public )', 0)"
         )
     ).cast("bigint")
-    ratio = n_code.cast("double") / F.length("text")
+    ratio = n_code.cast("double") / F.nullif(F.length("text"), F.lit(0))
     return docs.select(
         "doc_id",
         n_code.alias("n_code_chars"),

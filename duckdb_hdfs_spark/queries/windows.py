@@ -117,8 +117,8 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
 SELECT event_id, user_id, ts,
-       CAST(sum(CAST(value AS DECIMAL(18,6)))
-            OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))) OVER w, 2)
+            AS DOUBLE) / count(*) OVER w AS mov_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -126,20 +126,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average of event value per user: decimal moving
-    SUM divided by moving COUNT (a moving AVG over doubles is not
-    bit-stable across engines).  Scale: shuffles once on user_id."""
+    SUM (rounded to the 2dp money grain IN THE DECIMAL DOMAIN, so the
+    double conversion is exact for |sum| < 2^53/100 ≈ 9e13 — an
+    UNROUNDED 6dp decimal at 1e12 magnitude needs > 53 bits and the
+    two engines' decimal→double conversions round differently in the
+    last ulp; extreme-values audit, round 10) divided by the moving
+    COUNT (a moving AVG over doubles is not bit-stable across
+    engines).  Scale: shuffles once on user_id."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-6, 0)
     )
-    mov_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    mov_sum = F.sum(F.col("value").cast("decimal(28,6)")).over(w)
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        (mov_sum.cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+        (F.round(mov_sum, 2).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "mov_avg"
+        ),
     )
 
 
@@ -424,7 +431,7 @@ def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        count(*) OVER w AS n_prev_7d,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
            AS val_7d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -449,7 +456,7 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_prev_7d"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).over(w), 2)
         .cast("double")
         .alias("val_7d"),
     )
@@ -534,7 +541,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, event_type, value,
        count(*) OVER w AS n_similar,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
            AS sum_similar
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value
@@ -569,7 +576,7 @@ def win_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         lambda w: [
             F.count(F.lit(1)).over(w).alias("n_similar"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).over(w), 2)
             .cast("double")
             .alias("sum_similar"),
         ],

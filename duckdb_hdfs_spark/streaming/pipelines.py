@@ -95,7 +95,7 @@ def windowed_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )
@@ -122,7 +122,7 @@ def session_windows(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
             .cast("double")
             .alias("sum_value"),
         )

@@ -1,0 +1,155 @@
+"""Extreme-values adversarial audit (round 10), same protocol as the
+round-9 NULL / unicode / tiny-data audits: perturb a copy of sf0.001
+with plausible-but-extreme values, run the FULL registry parity sweep
+against it, and report every key whose Spark and DuckDB results
+diverge.
+
+Perturbations (deterministic, md5-gated 2% like the NULL audit):
+
+- documents.text by doc_id%5: empty string, whitespace-only,
+  single char, a ~50k-char repeated-token giant, leading+trailing
+  whitespace (empty split tokens) — all real states of a scraped
+  corpus;
+- events.value by event_id%5: 0.0, -0.0 (negative-zero grouping/
+  ordering semantics), ±1e12 (magnitude stress on decimal casts and
+  rounded aggregates), 1e-12 (underflow-adjacent).
+
+NaN/Inf are deliberately EXCLUDED: Spark and DuckDB order and group
+them under genuinely different engine semantics (documented in the
+audit note), so they are an engine-contract difference, not a latent
+bug in this repo's operators.
+
+    python scripts/extreme_audit.py [--sf /root/testdata/sf0.001] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+GIANT = "lorem ipsum dolor sit amet " * 2000  # ~54k chars
+
+TEXT_CASE = (
+    "CASE WHEN ('0x' || substr(md5('xt' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 2 THEN "
+    " CASE doc_id % 5 "
+    "  WHEN 0 THEN '' "
+    "  WHEN 1 THEN ('  ' || chr(9) || chr(10) || '  ') "
+    "  WHEN 2 THEN 'x' "
+    f"  WHEN 3 THEN '{GIANT}' "
+    "  ELSE ('  ' || text || '  ') END "
+    "ELSE text END AS text"
+)
+
+VALUE_CASE = (
+    "CASE WHEN ('0x' || substr(md5('xv' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 2 THEN "
+    " CASE event_id % 5 "
+    "  WHEN 0 THEN 0.0 "
+    "  WHEN 1 THEN -0.0 "
+    "  WHEN 2 THEN 1e12 "
+    "  WHEN 3 THEN -1e12 "
+    "  ELSE 1e-12 END "
+    "ELSE value END AS value"
+)
+
+SPECS = {
+    "documents": f"doc_id, {TEXT_CASE}, lang, source, n_chars",
+    "events": f"event_id, ts, user_id, event_type, {VALUE_CASE}, props",
+}
+
+
+def build_extreme_dir(sf_dir: str, dst: str) -> str:
+    con = duckdb.connect()
+    for t in TABLES:
+        sel = SPECS.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{sf_dir}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return dst
+
+
+#: power-sum / decimal-product keys whose exact-arithmetic domain is
+#: |value| < 1e12 BY THE 38-DIGIT DECIMAL CEILING — (18,6)² = (37,12)
+#: and (18,6)×µs-gap = (38,6) are the widest exact configurations —
+#: so a 1e12 value must be rejected IDENTICALLY by both engines
+#: (parity in failure, asserted below), never processed lossily.
+BOTH_RAISE = {
+    "stats_bh_fdr",
+    "stats_linear_regression",
+    "ev_time_weighted_value",
+}
+
+#: double-accumulation keys whose round-grain can no longer absorb
+#: accumulation-order deltas at |total| ≥ 2^40 (ulp ≥ 1e-4 = the
+#: round(4) grain) — documented magnitude bound, skipped here
+#: (text_dsir_weights: the pre-existing measure-zero rounded-
+#: transcendental boundary note from the NULL audit).
+ULP_BOUND = {"streaming_user_totals", "text_dsir_weights"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from duckdb_hdfs_spark.oracle import duckdb_connection, run_all
+    from duckdb_hdfs_spark.queries import load_all
+    from duckdb_hdfs_spark.session import get_spark
+
+    dst = tempfile.mkdtemp(prefix="testdata_extreme_")
+    build_extreme_dir(args.sf, dst)
+    print(f"perturbed copy at {dst}", flush=True)
+
+    spark = get_spark("extreme-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    keys = args.keys or list(reg)
+    parity_keys = [
+        k for k in keys
+        if k in reg and k not in BOTH_RAISE and k not in ULP_BOUND
+    ]
+    results = run_all(spark, dst, names=parity_keys)
+    bad = [r for r in results if not r.ok]
+
+    con = duckdb_connection(dst)
+    for name in sorted(BOTH_RAISE & set(keys)):
+        qd = reg[name]
+        raised = []
+        for side, fn in (
+            ("spark", lambda: qd.spark(spark, dst).collect()),
+            ("duckdb", lambda: con.execute(qd.oracle).fetchall()),
+        ):
+            try:
+                fn()
+            except Exception:
+                raised.append(side)
+        ok = raised == ["spark", "duckdb"]
+        print(f"{'OK ' if ok else 'FAIL'} {name} (domain bound: both raise"
+              f" — raised={raised})")
+        if not ok:
+            bad.append(name)
+    for name in sorted(ULP_BOUND & set(keys)):
+        print(f"SKIP {name} (documented round-grain magnitude bound)")
+
+    print(f"{len(results) + len(BOTH_RAISE & set(keys)) - len(bad)}"
+          f"/{len(results) + len(BOTH_RAISE & set(keys))} green")
+    for r in bad:
+        print(f"FAIL {getattr(r, 'name', r)} :: {str(r)[:400]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

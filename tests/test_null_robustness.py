@@ -250,3 +250,93 @@ def test_unicode_injected_parity(name, spark, unicode_sf_dir, unicode_oracle_con
         name, qd.spark(spark, unicode_sf_dir), unicode_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# Extreme-values audit (round 10): empty/whitespace/single-char/50k-char
+# documents and 0 / -0.0 / ±1e12 / 1e-12 event values.  The original
+# sweep caught 20 divergences: 16 plain-sum sites crashing both engines
+# at the DECIMAL(18,6) row cast on a plausible 1e12 metric (fixed —
+# widened to DECIMAL(28,6); the sum never multiplies, so exactness is
+# unchanged), an empty-document /0 crash in text_code_detection (fixed
+# — mirrored nullif), and the power-sum / decimal-product keys whose
+# |value| < 1e12 domain is set by the 38-digit decimal ceiling itself
+# ((18,6)² = (37,12) is the widest exact square): those must REJECT the
+# value identically on both engines, pinned as parity-in-failure below.
+# streaming_user_totals / text_dsir_weights carry documented
+# round-grain magnitude bounds (ulp(1e12) ≈ the 4dp grain) and are
+# deliberately not pinned.
+
+import importlib.util as _ilu
+from pathlib import Path as _Path
+
+_spec = _ilu.spec_from_file_location(
+    "extreme_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "extreme_audit.py",
+)
+_extreme_audit = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_extreme_audit)
+
+EXTREME_AUDITED = [
+    "ev_tumbling_counts",
+    "ev_top_users",
+    "ev_user_decile",
+    "ev_linear_attribution",
+    "win_moving_avg",
+    "win_time_range_frame",
+    "win_value_range_frame",
+    "fs_compact_small_files",
+    "fs_read_json_nested",
+    "text_code_detection",
+    "unpivot_event_metrics",
+    "skew_salted_event_stats",
+    "time_decay_engagement",
+    "range_join_view_purchases",
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "streaming_session_windows",
+    "streaming_static_enrich",
+    "streaming_partitioned_sink",
+    "streaming_complete_topk",
+    # text keys exercised by the empty/whitespace/giant documents
+    "text_token_stats",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "text_langid",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_extreme")
+    return _extreme_audit.build_extreme_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def extreme_oracle_con(extreme_sf_dir):
+    con = duckdb_connection(extreme_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EXTREME_AUDITED)
+def test_extreme_values_parity(name, spark, extreme_sf_dir, extreme_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, extreme_sf_dir), extreme_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
+
+
+@pytest.mark.parametrize("name", sorted(_extreme_audit.BOTH_RAISE))
+def test_extreme_values_domain_bound_raises_on_both_engines(
+    name, spark, extreme_sf_dir, extreme_oracle_con
+):
+    """The |value| < 1e12 exact-arithmetic domain bound must fail
+    CLOSED and identically: a lossy engine-specific fallback (NULL or
+    truncation on one side only) would be a silent parity split."""
+    qd = load_all()[name]
+    with pytest.raises(Exception):
+        qd.spark(spark, extreme_sf_dir).collect()
+    with pytest.raises(Exception):
+        extreme_oracle_con.execute(qd.oracle).fetchall()
