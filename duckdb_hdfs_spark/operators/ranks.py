@@ -172,7 +172,21 @@ def _range_bucketed(
     LAST bucket under desc — the in-bucket sort then places them at
     the matching end, composing to the same global order as a single
     window.  (The bare size(filter(...)) put desc NULLs in bucket 0,
-    ranking them before the tail values.)"""
+    ranking them before the tail values.)
+
+    The INPUT is checkpointed before the bounds aggregation (round-10
+    perf fix): the bounds agg and the bucket-assignment join both
+    consume ``df``, and as SEPARATE Spark actions they would each
+    re-run the caller's full upstream plan — for a caller like
+    stats_spearman_corr that upstream is a join plus a
+    distinct-value-grain shuffle, paid twice.  Pinning the rows once
+    makes bounds a cheap scan of materialized partitions and keeps
+    the determinism contract (fixed partition contents → fixed
+    partial-aggregation merge order → identical bounds on every
+    re-evaluation); the bucket column is then a pure function of
+    (row, bounds), so all consumer branches still see IDENTICAL
+    buckets without materializing the join output a second time."""
+    df = df.localCheckpoint(eager=True)
     probs = [i / n_ranges for i in range(1, n_ranges)]
     bounds = df.agg(
         F.percentile_approx(
@@ -189,7 +203,6 @@ def _range_bucketed(
         df.join(F.broadcast(bounds))
         .withColumn("__bkt", bkt)
         .drop("__bounds")
-        .localCheckpoint(eager=True)
     )
 
 
