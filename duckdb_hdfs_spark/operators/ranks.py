@@ -174,18 +174,21 @@ def _range_bucketed(
     window.  (The bare size(filter(...)) put desc NULLs in bucket 0,
     ranking them before the tail values.)
 
-    The INPUT is checkpointed before the bounds aggregation (round-10
-    perf fix): the bounds agg and the bucket-assignment join both
-    consume ``df``, and as SEPARATE Spark actions they would each
-    re-run the caller's full upstream plan — for a caller like
-    stats_spearman_corr that upstream is a join plus a
-    distinct-value-grain shuffle, paid twice.  Pinning the rows once
-    makes bounds a cheap scan of materialized partitions and keeps
-    the determinism contract (fixed partition contents → fixed
-    partial-aggregation merge order → identical bounds on every
-    re-evaluation); the bucket column is then a pure function of
-    (row, bounds), so all consumer branches still see IDENTICAL
-    buckets without materializing the join output a second time."""
+    The INPUT is checkpointed before the bounds aggregation (round
+    10): the bounds agg and the bucket-assignment stream both consume
+    ``df``, and the single-evaluation guarantee previously leaned on
+    Spark deduplicating the two subtrees via ReusedExchange — which
+    only exists when the upstream plan ENDS in an exchange.  A
+    measured same-host A/B on stats_spearman_corr (whose upstream
+    does end in an exchange) shows the two forms identical within
+    noise (~5.2-5.7s at sf0.1 both ways), confirming the reuse; the
+    checkpoint-first form keeps the guarantee for upstreams with no
+    reusable exchange (pure map over a scan — the scan would run
+    twice, once per subtree) and keeps the determinism contract
+    (fixed partition contents → fixed partial-aggregation merge
+    order → identical bounds on every re-evaluation).  The bucket
+    column is a pure function of (row, bounds), so consumer branches
+    see IDENTICAL buckets without a second materialization."""
     df = df.localCheckpoint(eager=True)
     probs = [i / n_ranges for i in range(1, n_ranges)]
     bounds = df.agg(

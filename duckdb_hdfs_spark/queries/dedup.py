@@ -1513,28 +1513,32 @@ def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     heavy tail) out of the join shuffle entirely — at 100 TB the cap
     is exactly a posting-list cap and the unfiltered side would
     shuffle the full position list of every ultra-common gram."""
-    from duckdb_hdfs_spark.functions.hashing import (
-        md5_int60,
-        tokens,
-        word_kgrams,
-    )
+    from duckdb_hdfs_spark.functions.hashing import md5_int60, tokens
     from pyspark.sql import Window
 
-    toks = tokens(F.col("text"))
     k = SPAN_K
-    # word_kgrams pads with '' joins ONLY for docs shorter than k
-    # tokens (its slice length is greatest(nt-k+1, 1): at nt >= k
-    # every emitted gram is built purely from real tokens, so the
-    # inline nt >= k filter drops short docs AND every padded row in
-    # one pass — the previous formulation re-scanned documents for a
-    # token-count table and broadcast-joined it back (round-10
-    # simplification, same output).  posexplode is 0-based; +1
-    # matches the oracle's generate_series.
+    # Gram build: slice + array_join over a PROJECTED token column —
+    # NOT word_kgrams' k−1 zip_with passes, whose intermediate arrays
+    # copy each token O(k) times (1+2+…+k token concatenations per
+    # gram; measured 3.7 → 2.1s at sf0.1 on this pipeline, the round-10
+    # A/B in SURVEY §4).  No padding either: docs with nt < k are
+    # dropped by the inline filter, and at nt ≥ k every slice(tk, i, k)
+    # with i ≤ nt−k+1 is full, so the padded tail word_kgrams adds for
+    # short docs is unreachable here.  tk/nt are referenced twice, so
+    # CollapseProject keeps the tokenize projected (evaluated once per
+    # row, never inlined into the per-element lambda).  posexplode is
+    # 0-based; +1 matches the oracle's generate_series.
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.greatest(F.size("tk") - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(F.col("tk"), i, k), " "),
+    )
     pos = (
-        docs.select(
+        base.select(
             "doc_id",
-            F.size(toks).alias("nt"),
-            F.posexplode(word_kgrams(toks, k)),
+            F.size("tk").alias("nt"),
+            F.posexplode(grams),
         )
         .filter(F.col("nt") >= k)
         .select(
