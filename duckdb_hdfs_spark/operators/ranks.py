@@ -191,9 +191,12 @@ def _range_bucketed(
     see IDENTICAL buckets without a second materialization."""
     df = df.localCheckpoint(eager=True)
     probs = [i / n_ranges for i in range(1, n_ranges)]
+    # accuracy 1000 (~0.1% rank error) suffices: bounds only steer
+    # bucket BALANCE — every consumer result is invariant to where
+    # the boundaries fall, so the cheaper sketch is free precision
     bounds = df.agg(
         F.percentile_approx(
-            lead, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            lead, F.array(*[F.lit(p) for p in probs]), F.lit(1_000)
         ).alias("__bounds")
     )
     before = (
@@ -284,8 +287,9 @@ def grouped_cumsum(
     checkpoint the assignment, then
 
     - per-(group, bucket) value totals → per-group prefix offsets via
-      an equi-keyed theta-join (hash join on the group key, residual
-      ``earlier-bucket`` predicate over ≤ n_ranges buckets);
+      a window partitioned by the group key over the totals table
+      (≤ n_ranges rows per partition, a constant — parallel at any
+      group cardinality);
     - local cumulative sum windowed by (group, bucket) — each task
       holds ~1/n_ranges of one group;
     - global cumsum = bucket offset + local cumsum.
@@ -305,30 +309,52 @@ def grouped_cumsum(
     totals = bucketed.groupBy(*group_cols, "__bkt").agg(
         *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(vals)]
     )
-    earlier = totals.select(
-        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
-        F.col("__bkt").alias("__bkt2"),
-        *[F.col(f"__tot{i}").alias(f"__tot2_{i}") for i in range(len(vals))],
-    )
-    # null-SAFE group equality (round-7 review): a NULL group key is
-    # its own window partition in the oracle semantics, but a plain
-    # equi-join would reject it — both here and in the final row join
-    # below — silently dropping every NULL-group row from the output
-    on = [F.col(f"__g_{g}").eqNullSafe(F.col(g)) for g in group_cols]
-    offsets = (
-        totals.join(
-            earlier,
-            on=[*on, F.col("__bkt2") < F.col("__bkt")],
-            how="left",
+    if group_cols:
+        # Per-group prefix offsets over the totals table via a window
+        # PARTITIONED BY the group key (round 10 — replaces a
+        # theta-join + re-aggregation, two stages and a join for the
+        # same 1-shuffle result).  Scale-safe at ANY group
+        # cardinality: each window partition holds at most n_ranges
+        # rows (a constant), so a million groups mean a million
+        # ≤32-row partitions, never a fat task.  A NULL group key is
+        # its own window partition, matching the null-safe join
+        # semantics this replaces (round-7 review).
+        woff = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        .groupBy(*group_cols, "__bkt")
-        .agg(
+        offsets = totals.select(
+            *group_cols,
+            "__bkt",
             *[
-                F.coalesce(F.sum(f"__tot2_{i}"), F.lit(0)).alias(f"__off{i}")
+                F.coalesce(F.sum(f"__tot{i}").over(woff), F.lit(0)).alias(
+                    f"__off{i}"
+                )
                 for i in range(len(vals))
-            ]
+            ],
         )
-    )
+    else:
+        # No group columns (global running total): the offsets window
+        # would be partition-less — the global-window shape
+        # test_no_partitionless_window bans, and rightly: the shape
+        # check can't see that THIS table is ≤ n_ranges rows.  The
+        # theta-join over the ≤ n_ranges-row totals is trivially
+        # cheap here (same as distributed_ntile's).
+        earlier = totals.select(
+            F.col("__bkt").alias("__bkt2"),
+            *[F.col(f"__tot{i}").alias(f"__tot2_{i}") for i in range(len(vals))],
+        )
+        offsets = (
+            totals.join(earlier, F.col("__bkt2") < F.col("__bkt"), "left")
+            .groupBy("__bkt")
+            .agg(
+                *[
+                    F.coalesce(F.sum(f"__tot2_{i}"), F.lit(0)).alias(f"__off{i}")
+                    for i in range(len(vals))
+                ]
+            )
+        )
     if prune_above is not None:
         # the prune contract applies to the FIRST value column
         offsets = offsets.filter(F.col("__off0") <= prune_above)
