@@ -87,16 +87,47 @@ _CASEFOLD_DST = (
     "\ua7d7\ua7d9\ua7db\u019b\ua7f6"
 )
 
+#: Whitespace-CLASS portability shim (round-10 sweep,
+#: tests/test_ws_sweep.py): Java regex ``\s`` is ``[ \t\n\x0B\f\r]``
+#: while RE2's (DuckDB string_split_regex) is ``[ \t\n\f\r]`` \u2014 the
+#: ONE BMP codepoint they disagree on is U+000B vertical tab: Spark
+#: splits a token there, DuckDB does not, so every token count,
+#: shingle, and content hash over \x0B-bearing text diverges.
+#: Pre-translating \x0B to TAB (whitespace in BOTH classes) makes
+#: the split byte-identical.  The sweep test proves this table
+#: complete over the BMP the same way the casefold sweep does.
+_WS_SRC = "\x0b"
+_WS_DST = "\t"
+
+
+def ws_fold(col: Column) -> Column:
+    """Whitespace-class portability translate alone \u2014 for call sites
+    that split on ``\\s+`` over a bare ``lower()`` (token counts,
+    where the casefold table cannot change the count)."""
+    return F.translate(col, _WS_SRC, _WS_DST)
+
+
+def ws_fold_sql(expr: str) -> str:
+    return f"translate({expr}, '{_WS_SRC}', '{_WS_DST}')"
+
 
 def fold_lower(col: Column) -> Column:
-    """Portable lowercase: identical output on Spark and DuckDB for
-    every BMP codepoint (sweep-verified), including the full-vs-simple
-    special cases and the JVM/utf8proc Unicode-version skew."""
-    return F.lower(F.translate(col, _CASEFOLD_SRC, _CASEFOLD_DST))
+    """Portable lowercase + whitespace-class fold: identical output
+    on Spark and DuckDB for every BMP codepoint (sweep-verified),
+    including the full-vs-simple special cases, the JVM/utf8proc
+    Unicode-version skew, and the Java-vs-RE2 ``\\s`` split (the
+    whitespace pair rides the same single translate pass \u2014 no extra
+    scan of the text)."""
+    return F.lower(
+        F.translate(col, _CASEFOLD_SRC + _WS_SRC, _CASEFOLD_DST + _WS_DST)
+    )
 
 
 def fold_lower_sql(expr: str) -> str:
-    return f"lower(translate({expr}, '{_CASEFOLD_SRC}', '{_CASEFOLD_DST}'))"
+    return (
+        f"lower(translate({expr}, '{_CASEFOLD_SRC + _WS_SRC}', "
+        f"'{_CASEFOLD_DST + _WS_DST}'))"
+    )
 
 
 def tokens(col: Column) -> Column:

@@ -23,6 +23,7 @@ from duckdb_hdfs_spark.functions.hashing import (
     fold_lower_sql,
     md5_int60,
     md5_int60_sql,
+    ws_fold,
 )
 from duckdb_hdfs_spark.operators.joins import asof_backward, range_join_count
 from duckdb_hdfs_spark.queries import query
@@ -259,7 +260,7 @@ PACK_BUDGET = 2048  # tokens per context window
     oracle=f"""
 WITH toks AS (
     SELECT doc_id, lang,
-           len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+           len(string_split_regex(lower(translate(text, chr(11), chr(9))), '\\s+')) AS n_tokens
     FROM documents
 ),
 cum AS (
@@ -292,7 +293,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", "lang", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens")
+        "doc_id", "lang", F.size(F.split(F.lower(ws_fold(F.col("text"))), r"\s+")).alias("n_tokens")
     )
     cum = grouped_cumsum(
         toks, ["lang"], [("doc_id", "asc")], "n_tokens", "cum_tokens"
@@ -3968,7 +3969,7 @@ def _pack_efficiency_oracle() -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id, lang,
-           len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+           len(string_split_regex(lower(translate(text, chr(11), chr(9))), '\\s+')) AS n_tokens
     FROM documents
 ),
 cum AS (
@@ -4030,7 +4031,7 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "lang",
-        F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.lower(ws_fold(F.col("text"))), r"\s+")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
     cum = grouped_cumsum(
         toks, ["lang"], [("doc_id", "asc")], "n_tokens", "cum_tokens"

@@ -12,6 +12,8 @@ from duckdb_hdfs_spark.functions.hashing import (
     tokens,
     tokens_sql,
     word_kgrams,
+    ws_fold,
+    ws_fold_sql,
 )
 from duckdb_hdfs_spark.functions.text import (
     lang_id,
@@ -162,9 +164,9 @@ _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
     "text_bpe_tokens",
     oracle=rf"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(regexp_extract_all({ws_fold_sql('text')}, '{_BPE_RE}')) AS n_bpe_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
-       len(regexp_extract_all(text, '{_BPE_RE}'))
+       len(regexp_extract_all({ws_fold_sql('text')}, '{_BPE_RE}'))
            - len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_symbol_tokens
 FROM documents
 """,
@@ -174,7 +176,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs + individual symbols) — the context-budget estimate training
     pipelines need before the real tokenizer runs.  Pure map work."""
     docs = _t(spark, sf_dir, "documents")
-    bpe = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    bpe = F.size(F.regexp_extract_all(ws_fold(F.col("text")), F.lit(_BPE_RE), F.lit(0)))
     words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
     return docs.select(
         "doc_id",
@@ -381,15 +383,15 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source, lang,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+       CAST(sum(len(regexp_extract_all({ws_fold_sql('text')}, '{_BPE_RE}'))) AS BIGINT)
            AS total_bpe_tokens,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
            AS total_word_tokens,
-       round(CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+       round(CAST(sum(len(regexp_extract_all({ws_fold_sql('text')}, '{_BPE_RE}'))) AS DOUBLE)
              / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6)
            AS fertility,
        round(CAST(sum(n_chars) AS DOUBLE)
-             / sum(len(regexp_extract_all(text, '{_BPE_RE}'))), 6)
+             / sum(len(regexp_extract_all({ws_fold_sql('text')}, '{_BPE_RE}'))), 6)
            AS chars_per_token
 FROM documents
 GROUP BY source, lang
@@ -409,7 +411,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     long/long IEEE divisions rounded identically on both engines."""
     docs = _t(spark, sf_dir, "documents")
     bpe = F.size(
-        F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+        F.regexp_extract_all(ws_fold(F.col("text")), F.lit(_BPE_RE), F.lit(0))
     )
     words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
     return (
