@@ -87,6 +87,37 @@ _CASEFOLD_DST = (
     "\ua7d7\ua7d9\ua7db\u019b\ua7f6"
 )
 
+#: SUPPLEMENTARY-plane continuation of the same Unicode-version skew
+#: (round-10 sweep, tests/test_casefold_sweep.py::
+#: test_supplementary_casefold_sweep): this JVM lowercases the
+#: Vithkuqi (U+10570\u201310595, Unicode 14) and Garay (U+10D50\u201310D65,
+#: Unicode 16) capitals; utf8proc leaves them unchanged.  Same
+#: pre-translate fix \u2014 every target is the lowercase letter BOTH
+#: engines agree is a fixed point; translate is codepoint-wise for
+#: supplementary characters on both engines (probe-verified).  Kept
+#: as separate constants so each sweep test pins its own plane's
+#: table exactly.
+_CASEFOLD_SUPP_SRC = (
+    "\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577"
+    "\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580"
+    "\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588"
+    "\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591"
+    "\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54"
+    "\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c"
+    "\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64"
+    "\U00010d65"
+)
+_CASEFOLD_SUPP_DST = (
+    "\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c\U0001059d\U0001059e"
+    "\U0001059f\U000105a0\U000105a1\U000105a3\U000105a4\U000105a5\U000105a6\U000105a7"
+    "\U000105a8\U000105a9\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af"
+    "\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6\U000105b7\U000105b8"
+    "\U000105b9\U000105bb\U000105bc\U00010d70\U00010d71\U00010d72\U00010d73\U00010d74"
+    "\U00010d75\U00010d76\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c"
+    "\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82\U00010d83\U00010d84"
+    "\U00010d85"
+)
+
 #: Whitespace-CLASS portability shim (round-10 sweep,
 #: tests/test_ws_sweep.py): Java regex ``\s`` is ``[ \t\n\x0B\f\r]``
 #: while RE2's (DuckDB string_split_regex) is ``[ \t\n\f\r]`` \u2014 the
@@ -111,23 +142,27 @@ def ws_fold_sql(expr: str) -> str:
     return f"translate({expr}, '{_WS_SRC}', '{_WS_DST}')"
 
 
+#: the one translate table fold_lower applies: BMP casefold pairs +
+#: supplementary casefold pairs + the whitespace-class pair \u2014 all
+#: portability shims ride a SINGLE translate pass over the text
+_FOLD_SRC = _CASEFOLD_SRC + _CASEFOLD_SUPP_SRC + _WS_SRC
+_FOLD_DST = _CASEFOLD_DST + _CASEFOLD_SUPP_DST + _WS_DST
+
+
 def fold_lower(col: Column) -> Column:
     """Portable lowercase + whitespace-class fold: identical output
-    on Spark and DuckDB for every BMP codepoint (sweep-verified),
-    including the full-vs-simple special cases, the JVM/utf8proc
-    Unicode-version skew, and the Java-vs-RE2 ``\\s`` split (the
+    on Spark and DuckDB for every Unicode codepoint in every plane
+    (sweep-verified, tests/test_casefold_sweep.py +
+    tests/test_ws_sweep.py), including the full-vs-simple special
+    cases, the JVM/utf8proc Unicode-version skew (BMP and
+    supplementary), and the Java-vs-RE2 ``\\s`` split (the
     whitespace pair rides the same single translate pass \u2014 no extra
     scan of the text)."""
-    return F.lower(
-        F.translate(col, _CASEFOLD_SRC + _WS_SRC, _CASEFOLD_DST + _WS_DST)
-    )
+    return F.lower(F.translate(col, _FOLD_SRC, _FOLD_DST))
 
 
 def fold_lower_sql(expr: str) -> str:
-    return (
-        f"lower(translate({expr}, '{_CASEFOLD_SRC + _WS_SRC}', "
-        f"'{_CASEFOLD_DST + _WS_DST}'))"
-    )
+    return f"lower(translate({expr}, '{_FOLD_SRC}', '{_FOLD_DST}'))"
 
 
 def tokens(col: Column) -> Column:

@@ -27,6 +27,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from duckdb_hdfs_spark.functions.hashing import (
     _CASEFOLD_SRC,
+    _CASEFOLD_SUPP_SRC,
     fold_lower,
     fold_lower_sql,
 )
@@ -96,4 +97,58 @@ def test_bmp_casefold_sweep(spark, oracle_con):
     assert raw_all == table, (
         f"raw divergence set {sorted(hex(c) for c in raw_all)} != pair "
         f"table {sorted(hex(c) for c in table)}"
+    )
+
+
+def test_supplementary_casefold_sweep(spark, oracle_con):
+    """Planes 1-16 continuation of the BMP sweep (round 10): the JVM
+    lowercases the Vithkuqi (Unicode 14) and Garay (Unicode 16)
+    capitals that utf8proc leaves unchanged — scraped corpora carry
+    supplementary text (emoji, historic scripts), so the fold table
+    must be complete beyond the BMP too.  Supplementary casing is
+    context-free (the final-sigma rule is BMP-only), so one bare
+    shape suffices; DuckDB generates its side via chr() to avoid a
+    1M-row transfer."""
+    cps = list(range(0x10000, 0x110000))
+    rows = [(cp, chr(cp)) for cp in cps]
+    schema = StructType(
+        [StructField("cp", LongType()), StructField("s", StringType())]
+    )
+    sdf = (
+        spark.createDataFrame(rows, schema)
+        .select(
+            "cp",
+            F.lower("s").alias("raw"),
+            fold_lower(F.col("s")).alias("folded"),
+        )
+        .toPandas()
+        .set_index("cp")
+    )
+    ddf = (
+        oracle_con.execute(
+            f"""
+            SELECT cp, lower(s) AS raw, {fold_lower_sql('s')} AS folded
+            FROM (SELECT cp, chr(cp::INT) AS s
+                  FROM (SELECT range AS cp FROM range(65536, 1114112)))
+            ORDER BY cp
+            """
+        )
+        .fetchdf()
+        .set_index("cp")
+    )
+
+    raw_div = {cp for cp in cps if sdf.at[cp, "raw"] != ddf.at[cp, "raw"]}
+    folded_div = {
+        cp for cp in cps if sdf.at[cp, "folded"] != ddf.at[cp, "folded"]
+    }
+
+    assert folded_div == set(), (
+        "fold_lower leaves supplementary-plane divergence at "
+        f"{sorted(hex(c) for c in folded_div)} — extend "
+        "_CASEFOLD_SUPP_SRC/_DST"
+    )
+    table = {ord(c) for c in _CASEFOLD_SUPP_SRC}
+    assert raw_div == table, (
+        f"supplementary raw divergence {sorted(hex(c) for c in raw_div)} "
+        f"!= supp pair table {sorted(hex(c) for c in table)}"
     )
