@@ -2026,9 +2026,10 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     xs = F.col("xs")
-    init = F.struct(
-        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
-    )
+    # F.get (0-indexed) is NULL out-of-bounds where ANSI element_at
+    # throws — an EMPTY panel (no orders yet) folds to a NULL level
+    # exactly like the oracle's xs[1] (zero-row audit, round 10)
+    init = F.struct(F.get(xs, 0).alias("l"), F.lit(0.0).alias("b"))
     tail = F.transform(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
         lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
@@ -2477,8 +2478,12 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 2
             ).alias("ts_slope"),
-            F.first("n_pairs").alias("n_pairs"),
         )
+        # n_pairs joins back from the 1-row count aggregate: on an
+        # EMPTY panel first(n_pairs) over the empty cum×np join gave
+        # NULL where the oracle's np CTE gives 0 (zero-row audit,
+        # round 10) — the count row itself always exists
+        .join(F.broadcast(np_))
     )
     td = F.col("t").cast("decimal(28,0)")
     yd = F.col("y").cast("decimal(28,6)")

@@ -816,7 +816,7 @@ truth AS MATERIALIZED (
 )
 SELECT count(*) AS n_true_pairs,
        CAST(count(c.doc_a) AS BIGINT) AS n_caught,
-       round(CAST(count(c.doc_a) AS DOUBLE) / count(*), 4) AS recall
+       round(CAST(count(c.doc_a) AS DOUBLE) / nullif(count(*), 0), 4) AS recall
 FROM truth t
 LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
 """,
@@ -868,9 +868,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         F.count("c_a").cast("bigint").alias("n_caught"),
-        F.round(F.count("c_a").cast("double") / F.count(F.lit(1)), 4).alias(
-            "recall"
-        ),
+        # zero true pairs (empty corpus): recall NULL on both engines
+        # via mirrored nullif (zero-row audit, round 10)
+        F.round(
+            F.count("c_a").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            4,
+        ).alias("recall"),
     )
 
 

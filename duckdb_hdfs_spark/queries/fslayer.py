@@ -170,10 +170,13 @@ def fs_write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the sink preserves content."""
     path = os.path.join(_SCRATCH, "orders_parquet")
     shutil.rmtree(path, ignore_errors=True)
-    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(
-        path
-    )
-    back = spark.read.parquet(path)
+    src = load_table(spark, sf_dir, "orders")
+    src.write.partitionBy("o_orderstatus").parquet(path)
+    # explicit schema: an EMPTY source writes zero partition dirs and
+    # schema inference would fail on the bare _SUCCESS marker — the
+    # round-trip must return an empty frame, not raise (zero-row
+    # audit, round 10)
+    back = spark.read.schema(src.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
@@ -311,8 +314,11 @@ def fs_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     same layout serves the reference's hive-style HDFS datasets."""
     path = os.path.join(_SCRATCH, "events_by_type", os.path.basename(sf_dir))
     shutil.rmtree(path, ignore_errors=True)
-    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path)
+    src = load_table(spark, sf_dir, "events")
+    src.write.partitionBy("event_type").parquet(path)
+    # explicit schema: survives the zero-partition empty write
+    # (zero-row audit, round 10 — see fs_write_parquet)
+    back = spark.read.schema(src.schema).parquet(path)
     return (
         back.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -488,7 +494,13 @@ def fs_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
         .cast("double")
         .alias("total_value"),
-        F.lit(n_comp < n_small).alias("compacted_fewer_files"),
+        # ≤4 source files (the compaction target) means there is
+        # nothing to compact — vacuously satisfied, so the EMPTY
+        # table's 0-or-1-file write stays green (zero-row audit,
+        # round 10); real runs shard to 64 and must still shrink
+        F.lit(n_comp < n_small or n_small <= 4).alias(
+            "compacted_fewer_files"
+        ),
     )
 
 
@@ -801,18 +813,23 @@ def fs_summarize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "fs_parquet_codecs",
+    # one GLOBAL aggregate per codec (not GROUP BY over a union): the
+    # audit row per codec must survive an EMPTY table — count 0, sum
+    # NULL — exactly like the Spark side's per-codec read-back agg
+    # (zero-row audit, round 10)
     oracle="""
-SELECT codec, count(*) AS n,
+SELECT 'snappy' AS codec, count(*) AS n,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS total
-FROM (
-    SELECT 'snappy' AS codec, o_totalprice FROM orders
-    UNION ALL
-    SELECT 'gzip' AS codec, o_totalprice FROM orders
-    UNION ALL
-    SELECT 'zstd' AS codec, o_totalprice FROM orders
-)
-GROUP BY codec
+FROM orders
+UNION ALL
+SELECT 'gzip', count(*),
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'zstd', count(*),
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders
 """,
 )
 def fs_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -848,7 +848,13 @@ def _gram_eigh(spark: SparkSession, sf_dir: str):
         .agg(F.sum("c.p").alias("g"))
         .collect()
     )
-    d = max(r["j"] for r in cells) + 1
+    # EMPTY corpus (zero-row audit, round 10): no Gram cells — every
+    # consumer projects over the same empty frame, so the eigvectors'
+    # VALUES are unreachable; any d wide enough for the callers'
+    # component counts works.  64 is the corpus contract dim
+    # (TESTDATA.md); eigh of the zero matrix gives the identity
+    # basis, keeping _canonical_eigvec well-defined.
+    d = (max(r["j"] for r in cells) + 1) if cells else 64
     gram = np.zeros((d, d))
     for r in cells:
         gram[r["i"], r["j"]] = r["g"]
@@ -984,6 +990,10 @@ WHITEN_K = 8
 SELECT a.i, b.j, TRUE AS cov_ok
 FROM generate_series(0, {WHITEN_K - 1}) a(i)
 JOIN generate_series(0, {WHITEN_K - 1}) b(j) ON b.j >= a.i
+-- an EMPTY corpus has no whitening identity to assert: the Spark
+-- side's verification Gram has zero cells, so the constant triangle
+-- must vanish with it (zero-row audit, round 10)
+WHERE EXISTS (SELECT 1 FROM embeddings)
 """,
 )
 def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:

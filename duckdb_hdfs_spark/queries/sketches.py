@@ -862,10 +862,10 @@ SELECT CAST(k_used AS BIGINT) AS k_used, h_k AS kth_min_hash,
        n_exact,
        round(abs(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
                       ELSE (k_used - 1) * {KMV_DOMAIN!r} / h_k END
-                 - n_exact) / n_exact, 4) AS rel_err,
+                 - n_exact) / nullif(n_exact, 0), 4) AS rel_err,
        abs(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
                 ELSE (k_used - 1) * {KMV_DOMAIN!r} / h_k END
-           - n_exact) / n_exact <= 0.25 AS within_bound
+           - n_exact) / nullif(n_exact, 0) <= 0.25 AS within_bound
 FROM kt CROSS JOIN ex
 """
 
@@ -907,7 +907,11 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         F.col("k_used") < KMV_K, F.col("k_used").cast("double")
     ).otherwise((F.col("k_used") - 1) * F.lit(KMV_DOMAIN) / F.col("h_k"))
-    rel = F.abs(est - F.col("n_exact")) / F.col("n_exact")
+    # empty input: n_exact = 0 — rel/within_bound NULL on both
+    # engines via mirrored nullif (zero-row audit, round 10)
+    rel = F.abs(est - F.col("n_exact")) / F.nullif(
+        F.col("n_exact"), F.lit(0)
+    )
     return kt.join(F.broadcast(ex)).select(
         F.col("k_used").cast("bigint").alias("k_used"),
         F.col("h_k").alias("kth_min_hash"),

@@ -821,6 +821,32 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
     ).first()
+    if mxv is None or mxp is None:
+        # EMPTY stream (or one side absent): no join outcome is
+        # decidable — emit the empty frame in the output schema
+        # instead of crashing on min(None, None) (zero-row audit,
+        # round 10)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("view_ts", TimestampType()),
+                    StructField("purchase_ts", TimestampType()),
+                    StructField("purchase_value", DoubleType()),
+                    StructField("unmatched", IntegerType()),
+                ]
+            ),
+        )
     mx = min(mxv, mxp)
     src = _write_ordered_batches(
         (
@@ -949,7 +975,10 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now_to_memory(
         session_timeout_sessions(stream), name, output_mode="append"
     )
-    cutoff = F.lit(mx) - F.expr("INTERVAL 32 MINUTE")
+    # cast pins the type when mx is None (EMPTY stream, zero-row
+    # audit r10): an untyped NULL literal fails analysis against the
+    # interval arithmetic; a typed NULL cutoff filters to empty
+    cutoff = F.lit(mx).cast("timestamp") - F.expr("INTERVAL 32 MINUTE")
     return (
         spark.table(name)
         .select(
@@ -1012,8 +1041,15 @@ def streaming_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.streaming.pipelines import drain
 
     drain(q, 120, "partitioned sink")
+    # explicit schema: an EMPTY stream drains zero partition dirs and
+    # inference would fail on the bare sink metadata (zero-row audit,
+    # round 10 — the fs_write_parquet read-back rule)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "value double, event_type string"
+        )
+        .parquet(out)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

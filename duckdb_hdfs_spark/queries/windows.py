@@ -190,19 +190,37 @@ GROUP BY ROLLUP (n_name, o_orderpriority)
 """,
 )
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (nation → priority → grand total)."""
+    """ROLLUP hierarchy totals (nation → priority → grand total).
+
+    The grand-total row is a UNIONED global aggregate, not rollup's
+    ``()`` set (zero-row audit, round 10): Spark's Expand-based
+    rollup emits ZERO rows over empty input, while the SQL standard
+    (and DuckDB) emit the grand-total row — a global aggregate always
+    produces its one row, so splitting the ``()`` set out restores
+    standard semantics on the empty state and is row-identical on
+    every non-empty input."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .rollup("n_name", "o_orderpriority")
-        .agg(
-            _dsum(F.col("o_totalprice")).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
+    aggs = [
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ]
+    subtotal = joined.groupingSets(
+        [["n_name", "o_orderpriority"], ["n_name"]],
+        "n_name",
+        "o_orderpriority",
+    ).agg(*aggs)
+    total = joined.agg(*aggs).select(
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "revenue",
+        "n_orders",
+    )
+    return subtotal.unionByName(total)
 
 
 # --------------------------------------------------------------------------
@@ -218,17 +236,34 @@ GROUP BY CUBE (c_mktsegment, o_orderstatus)
 """,
 )
 def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dims — all 4 grouping combinations in one pass."""
+    """CUBE over two dims — all 4 grouping combinations.
+
+    The ``()`` set is a unioned global aggregate so the grand-total
+    row survives an EMPTY input (standard/DuckDB semantics; Spark's
+    Expand-based cube would emit zero rows — see rollup_sales)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .cube("c_mktsegment", "o_orderstatus")
-        .agg(
-            _dsum(F.col("o_totalprice")).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    aggs = [
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ]
+    subtotal = joined.groupingSets(
+        [
+            ["c_mktsegment", "o_orderstatus"],
+            ["c_mktsegment"],
+            ["o_orderstatus"],
+        ],
+        "c_mktsegment",
+        "o_orderstatus",
+    ).agg(*aggs)
+    total = joined.agg(*aggs).select(
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "revenue",
+        "n_orders",
     )
+    return subtotal.unionByName(total)
 
 
 # --------------------------------------------------------------------------
@@ -248,6 +283,10 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     views — exercising the SQL-string surface (parity with DuckDB's
     ``FROM 'hdfs://…'`` SQL-first usage)."""
     load_tables(spark, sf_dir, ("customer", "nation"))
+    # the () set is a UNION ALL'd global aggregate — Spark's GROUPING
+    # SETS emit zero rows over empty input where the standard (and
+    # DuckDB) keep the grand-total row (zero-row audit, round 10;
+    # see rollup_sales)
     return spark.sql(
         """
 SELECT n_name, c_mktsegment,
@@ -256,7 +295,13 @@ SELECT n_name, c_mktsegment,
        count(*) AS n_cust
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+UNION ALL
+SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE),
+       count(*)
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
     )
 
@@ -486,8 +531,16 @@ def grouping_id_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
-    return (
-        joined.rollup("n_name", "o_orderpriority")
+    # grand total via unioned global aggregate (GROUPING() = 1 for
+    # both columns by definition there) — survives EMPTY input where
+    # Spark's rollup would drop the row (zero-row audit, round 10;
+    # see rollup_sales)
+    subtotal = (
+        joined.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"]],
+            "n_name",
+            "o_orderpriority",
+        )
         .agg(
             F.grouping("n_name").cast("bigint").alias("g_nation"),
             F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
@@ -495,6 +548,14 @@ def grouping_id_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "o_orderpriority", "g_nation", "g_prio", "n_orders")
     )
+    total = joined.agg(F.count(F.lit(1)).alias("n_orders")).select(
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(1).cast("bigint").alias("g_nation"),
+        F.lit(1).cast("bigint").alias("g_prio"),
+        "n_orders",
+    )
+    return subtotal.unionByName(total)
 
 
 # --------------------------------------------------------------------------
