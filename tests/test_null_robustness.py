@@ -340,3 +340,108 @@ def test_extreme_values_domain_bound_raises_on_both_engines(
         qd.spark(spark, extreme_sf_dir).collect()
     with pytest.raises(Exception):
         extreme_oracle_con.execute(qd.oracle).fetchall()
+
+
+# --------------------------------------------------------------------------
+# whitespace-class audit (round 10): U+000B vertical tab is the one
+# BMP codepoint Java regex \s contains and RE2's does not
+# (tests/test_ws_sweep.py proves exactness) — without the _WS_SRC
+# pre-translate every token count, shingle, fingerprint, and langid
+# call over VT-bearing text diverges.  Pin the tokenize surface over
+# the VT-injected corpus.
+_ws_spec = _ilu.spec_from_file_location(
+    "ws_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "ws_audit.py",
+)
+_ws_audit = _ilu.module_from_spec(_ws_spec)
+_ws_spec.loader.exec_module(_ws_audit)
+
+WS_AUDITED = [
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_tokenizer_fertility",
+    "dedup_minhash_lsh",
+    "pack_context_windows",
+    "text_unigram_logprob",
+]
+
+
+@pytest.fixture(scope="module")
+def ws_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_ws")
+    return _ws_audit.build_ws_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def ws_oracle_con(ws_sf_dir):
+    con = duckdb_connection(ws_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WS_AUDITED)
+def test_vertical_tab_injected_parity(name, spark, ws_sf_dir, ws_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, ws_sf_dir), ws_oracle_con, qd.oracle)
+    assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# zero-row audit (round 10): every table empty with schema preserved
+# — the new-partition-before-first-ingest state.  Pin the 17 keys the
+# audit fixed: ANSI /0 on count denominators, degenerate-structure
+# crashes (empty Holt panel, zero-cell Gram, NULL stream cutoff),
+# schema-less read-backs of zero-partition writes, first()-over-empty
+# vs the count CTE, and the ROLLUP/CUBE grand-total row Spark's
+# Expand drops on empty input (restored via the unioned global
+# aggregate).
+_empty_spec = _ilu.spec_from_file_location(
+    "empty_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "empty_audit.py",
+)
+_empty_audit = _ilu.module_from_spec(_empty_spec)
+_empty_spec.loader.exec_module(_empty_audit)
+
+EMPTY_AUDITED = [
+    "sketch_kmv_distinct",
+    "dedup_lsh_recall_eval",
+    "orders_forecast_holt",
+    "stats_theil_sen_slope",
+    "emb_pca_project",
+    "emb_whitening_check",
+    "fs_write_parquet",
+    "fs_partitioned_prune",
+    "fs_compact_small_files",
+    "fs_parquet_codecs",
+    "rollup_sales",
+    "cube_sales",
+    "grouping_sets_sales",
+    "grouping_id_sales",
+    "streaming_left_outer_join",
+    "streaming_session_timeout",
+    "streaming_partitioned_sink",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_empty")
+    return _empty_audit.build_empty_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def empty_oracle_con(empty_sf_dir):
+    con = duckdb_connection(empty_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_AUDITED)
+def test_zero_row_parity(name, spark, empty_sf_dir, empty_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, empty_sf_dir), empty_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
