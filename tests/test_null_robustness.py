@@ -445,3 +445,54 @@ def test_zero_row_parity(name, spark, empty_sf_dir, empty_oracle_con):
         name, qd.spark(spark, empty_sf_dir), empty_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# timestamp-extremes audit (round 10): 2% of events.ts perturbed to
+# the ns-range edges (1677/2262), negative epoch microseconds
+# (1969-12-31 23:59:59.999999), the 2000-02-29 leap day, and the
+# 2038 32-bit rollover instant.  Pins the time-arithmetic surface
+# (epoch-sign rounding in date_trunc/unix_micros, window bucketing,
+# asof ordering) over corrupted-parser timestamps.  The four
+# watermark state machines are excluded BY DESIGN — a future
+# timestamp poisons the watermark and the resulting drops are
+# arrival-order-defined (scripts/ts_extreme_audit.WATERMARK_POISONED).
+_tsx_spec = _ilu.spec_from_file_location(
+    "ts_extreme_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "ts_extreme_audit.py",
+)
+_tsx_audit = _ilu.module_from_spec(_tsx_spec)
+_tsx_spec.loader.exec_module(_tsx_audit)
+
+TSX_AUDITED = [
+    "ev_tumbling_counts",
+    "ev_sessionize",
+    "ev_rolling_dau",
+    "ev_inter_event_times",
+    "ev_time_weighted_value",
+    "ev_gap_filled_daily",
+    "ev_cusum_changepoint",
+    "asof_purchase_last_view",
+    "time_decay_engagement",
+    "streaming_windowed_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def tsx_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_tsx")
+    return _tsx_audit.build_ts_extreme_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def tsx_oracle_con(tsx_sf_dir):
+    con = duckdb_connection(tsx_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TSX_AUDITED)
+def test_timestamp_extremes_parity(name, spark, tsx_sf_dir, tsx_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, tsx_sf_dir), tsx_oracle_con, qd.oracle)
+    assert result.ok, str(result)
