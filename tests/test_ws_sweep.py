@@ -95,3 +95,46 @@ def test_bmp_whitespace_class_sweep(spark, oracle_con):
         f"raw \\s-class divergence set {sorted(hex(c) for c in raw_div)} "
         f"!= ws table {sorted(hex(c) for c in table)}"
     )
+
+
+def test_supplementary_whitespace_class_sweep(spark, oracle_con):
+    """Planes 1-16: Unicode defines no supplementary whitespace, and
+    neither regex engine's ``\\s`` may invent one — proven by sweep
+    (the companion of the supplementary casefold sweep).  DuckDB
+    generates its side via chr() to avoid a 1M-row transfer."""
+    cps = list(range(0x10000, 0x110000))
+    rows = [(cp, f"a{chr(cp)}b") for cp in cps]
+    schema = StructType(
+        [StructField("cp", LongType()), StructField("s", StringType())]
+    )
+    sdf = (
+        spark.createDataFrame(rows, schema)
+        .select("cp", F.size(F.split("s", r"\s+")).alias("n"))
+        .toPandas()
+        .set_index("cp")
+    )
+    ddf = (
+        oracle_con.execute(
+            r"""
+            SELECT cp, len(string_split_regex(s, '\s+')) AS n
+            FROM (SELECT cp, 'a' || chr(cp::INT) || 'b' AS s
+                  FROM (SELECT range AS cp FROM range(65536, 1114112)))
+            ORDER BY cp
+            """
+        )
+        .fetchdf()
+        .set_index("cp")
+    )
+    split_any = {
+        cp
+        for cp in cps
+        if sdf.at[cp, "n"] > 1 or ddf.at[cp, "n"] > 1
+    }
+    div = {cp for cp in cps if sdf.at[cp, "n"] != ddf.at[cp, "n"]}
+    assert split_any == set(), (
+        "an engine treats a supplementary codepoint as whitespace: "
+        f"{sorted(hex(c) for c in split_any)}"
+    )
+    assert div == set(), (
+        f"supplementary \\s-class divergence: {sorted(hex(c) for c in div)}"
+    )
