@@ -183,10 +183,17 @@ def word_kgrams(toks: Column, k: int = 2) -> Column:
 
     Built as zip_with over k shifted slices of the (padded) token
     array.  NEVER write this as ``transform(sequence(1, n), i ->
-    ...element_at(toks, i)...)``: an outer expression referenced
-    inside a higher-order-function lambda is re-evaluated per element
-    — with ``toks`` a regexp split, that turns an O(n) shingle build
-    into O(n) regex splits per row (~11x slower measured)."""
+    ...element_at(toks, i)...)`` over an inline EXPRESSION: an outer
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated per element — with ``toks`` a regexp split, that
+    turns an O(n) shingle build into O(n) regex splits per row (~11x
+    slower measured).  Over a PROJECTED COLUMN reference the
+    transform+slice+array_join form is safe (a bound reference is
+    O(1) per element) and beats this builder for large k, whose k−1
+    zip_with passes copy each token O(k) times — the substring-span
+    pipeline uses that form at k=8 (queries/dedup.py, round-10 A/B:
+    ~35% off the key); at k=2-5 with padding needed, this builder
+    stays the right default."""
     n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     padded = F.concat(toks, F.array_repeat(F.lit(""), k - 1))
     acc = F.slice(padded, 1, n)
