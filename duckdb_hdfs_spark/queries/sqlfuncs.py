@@ -1181,3 +1181,47 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("nation",))
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "sql_epoch_calendar_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       epoch_ms(ts) AS epoch_msec,
+       make_timestamp(epoch_us(ts)) AS ts_roundtrip,
+       CAST(week(ts) AS INT) AS iso_week,
+       CAST(dayofyear(ts) AS INT) AS day_of_year,
+       strftime(ts, '%Y-%m-%d %H:%M') AS fmt_minute,
+       dayname(ts) AS day_name
+FROM events
+""",
+)
+def sql_epoch_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-arithmetic / calendar-function class (round 10) — the
+    timestamp surface beyond sql_date_funcs' extract/interval layer:
+    epoch seconds (DuckDB ``epoch()`` returns a fractional DOUBLE
+    that CAST *rounds*, Spark ``unix_timestamp`` truncates — the
+    oracle pins the portable ``floor(epoch())`` lowering), epoch
+    milliseconds, a microsecond epoch→timestamp roundtrip through
+    the tz-free constructors (``make_timestamp(us)`` ↔
+    ``timestamp_micros``; both sides avoid TIMESTAMPTZ casts whose
+    value depends on ambient session zone), ISO week-of-year
+    (DuckDB ``week`` IS the ISO week, Spark ``weekofyear``),
+    day-of-year, strftime↔date_format dialect parity ('%Y-%m-%d
+    %H:%M' ↔ 'yyyy-MM-dd HH:mm'), and English day names (``dayname``
+    ↔ 'EEEE').  Map-only, one codegen span; the session pins
+    spark.sql.session.timeZone=UTC so naive parquet timestamps read
+    identically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.unix_millis("ts").alias("epoch_msec"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("day_of_year"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt_minute"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+    )
