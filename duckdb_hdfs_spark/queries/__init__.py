@@ -146,7 +146,9 @@ _DRIVER_PRIORITY = (
 # win_running_total, q1_pricing_summary, q3_shipping_priority,
 # q5_local_supplier_volume, q6_forecast_revenue,
 # q12_priority_lateness, q14_promo_revenue; then the r5 set
-# (50 keys), then r6, etc.
+# (50 keys), then r6, etc.  The two round-10 additions
+# (sql_recursive_cte, sql_epoch_calendar_funcs) have never had a
+# driver row — they join the r11 window ahead of the stale tail.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

@@ -185,21 +185,38 @@ SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 4) AS price_sd,
        round(var_samp(l_extendedprice), 2) AS price_var,
        round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov,
-       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr
+       round(regr_sxy(l_extendedprice, l_quantity)
+             / nullif(sqrt(regr_sxx(l_extendedprice, l_quantity)
+                           * regr_syy(l_extendedprice, l_quantity)), 0), 6)
+           AS price_qty_corr
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per group (identical estimator
-    definitions across engines; corr rounded for last-ulp drift)."""
+    definitions across engines; corr rounded for last-ulp drift).
+
+    Pearson r is composed from the regr_* co-moments with a mirrored
+    nullif guard instead of the builtin ``corr`` (constant-data audit,
+    round 10): a zero-variance group makes Spark's ANSI ``corr``
+    RAISE DIVIDE_BY_ZERO while DuckDB's yields NULL — the co-moment
+    form (sxy/√(sxx·syy), exactly corr's internal formula) NULLs out
+    identically on both engines, and on non-degenerate groups the
+    round(6) grain absorbs the accumulation-path difference just as
+    it did for the builtin."""
     li = _t(spark, sf_dir, "lineitem")
+    sxy = F.regr_sxy("l_extendedprice", "l_quantity")
+    sxx = F.regr_sxx("l_extendedprice", "l_quantity")
+    syy = F.regr_syy("l_extendedprice", "l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
             "price_qty_cov"
         ),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(
+            sxy / F.nullif(F.sqrt(sxx * syy), F.lit(0.0)), 6
+        ).alias("price_qty_corr"),
     )
 
 
@@ -2270,10 +2287,10 @@ h AS (
 )
 SELECT t.grp, CAST(t.n_g AS BIGINT) AS n_g,
        round(t.mean_rank, 4) AS mean_rank,
-       round(h.h_raw / (1 - h.tie3 / (h.n * h.n * h.n - h.n)), 6)
+       round(h.h_raw / nullif(1 - h.tie3 / nullif(h.n * h.n * h.n - h.n, 0), 0), 6)
            AS h_stat,
        CAST(h.dof AS BIGINT) AS dof,
-       h.h_raw / (1 - h.tie3 / (h.n * h.n * h.n - h.n))
+       h.h_raw / nullif(1 - h.tie3 / nullif(h.n * h.n * h.n - h.n, 0), 0)
            > {_kw_crit_sql("h.dof")} AS significant_5pct
 FROM terms t CROSS JOIN h
 """
@@ -2358,8 +2375,17 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("dof"),
         )
     )
-    corr = F.col("h_raw") / (
-        1 - F.col("tie3") / (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+    # mirrored nullif guards (constant-data audit, round 10): an
+    # all-ties stream makes tie3 == n^3 - n (denominator 0), and a
+    # 1-row stream zeroes n^3 - n itself — Spark's ANSI division
+    # raises on either; both engines NULL out instead
+    corr = F.col("h_raw") / F.nullif(
+        1
+        - F.col("tie3")
+        / F.nullif(
+            F.col("n") * F.col("n") * F.col("n") - F.col("n"), F.lit(0.0)
+        ),
+        F.lit(0.0),
     )
     crit = F.lit(None).cast("double")
     for d, c in KW_CHI2_CRIT.items():

@@ -956,9 +956,20 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     energy = F.col("pc1") * F.col("pc1") + F.col("pc2") * F.col("pc2")
     cap = proj_df.agg(
-        F.sum(energy).alias("cap"), F.sum("norm2").alias("tot")
+        F.sum(energy).alias("cap"),
+        F.sum("norm2").alias("tot"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     d = len(comps[0])
+    # Quantization slack for the GLOBAL bound (constant-data audit,
+    # round 10): each pc is round(·, 6), so a row's energy error is
+    # ≤ 2·|pc|·5e-7 + O(1e-13) ≤ 1e-6·(1 + norm2) (|pc| ≤ ‖v‖ and
+    # √x ≤ (1+x)/2); summed: 1e-6·(cnt + tot).  A rank-1 corpus
+    # (every vector identical) drives cap/tot to exactly 1, where the
+    # bare 1+1e-9 relative bound flipped var_ok on rounding alone.
+    # Slack form also removes the division: an all-zero corpus
+    # (tot = 0) is vacuously TRUE instead of an ANSI 0/0 raise.
+    slack = F.lit(1e-6) * (F.col("cnt") + F.col("tot"))
     return (
         proj_df.join(F.broadcast(cap))
         .select(
@@ -967,8 +978,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 1e-6 absolute slack absorbs the round(pc, 6) quantization
             (energy <= F.col("norm2") * (1 + 1e-9) + 1e-6).alias("bessel_ok"),
             (
-                (F.col("cap") / F.col("tot") >= (2.0 / d) * (1 - 1e-9))
-                & (F.col("cap") / F.col("tot") <= 1 + 1e-9)
+                (F.col("cap") >= F.lit((2.0 / d) * (1 - 1e-9)) * F.col("tot") - slack)
+                & (F.col("cap") <= F.col("tot") * (1 + 1e-9) + slack)
             ).alias("var_ok"),
             F.lit(orth_ok).alias("orth_ok"),
         )
@@ -1010,11 +1021,24 @@ def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K(K+1)/2 = 36 cells), so the whole check is one corpus scan +
     one bounded shuffle."""
     e, vals, vecs, _d = _gram_eigh(spark, sf_dir)
-    comps = []
+    # Pseudo-inverse whitening (constant-data audit, round 10): a
+    # rank-deficient corpus (e.g. every vector identical → rank 1)
+    # has zero eigenvalues inside the top-K; the old 1e-300 clamp
+    # produced ~1e-10 coordinates whose Gram diagonal is 0, failing
+    # the δ_ij identity.  Λ⁺-whitening DROPS directions below the
+    # relative cutoff (coefficient 0 → coordinate exactly 0) and the
+    # expected matrix becomes diag(1 on retained, 0 on dropped) —
+    # the defining identity restated for any rank, so the oracle's
+    # constant TRUE triangle holds from rank 0 through full rank.
+    lam_max = float(vals[-1])
+    tol = max(lam_max, 0.0) * 1e-9
+    comps, diag_expected = [], []
     for k in range(1, WHITEN_K + 1):
         v = _canonical_eigvec(vecs, k)
-        lam = max(float(vals[-k]), 1e-300)  # full-rank in practice
-        comps.append(v / lam**0.5)
+        lam = float(vals[-k])
+        retained = lam > tol and tol > 0.0
+        comps.append(v / lam**0.5 if retained else v * 0.0)
+        diag_expected.append(1.0 if retained else 0.0)
     w = F.array(
         *[
             F.aggregate(
@@ -1045,11 +1069,17 @@ def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c.i", "c.j")
         .agg(F.sum("c.p").alias("g"))
     )
-    ident = F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(F.lit(0.0))
+    expected = F.when(
+        F.col("i") == F.col("j"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in diag_expected]),
+            F.col("i").cast("int") + 1,
+        ),
+    ).otherwise(F.lit(0.0))
     return cells.select(
         F.col("i").cast("bigint").alias("i"),
         F.col("j").cast("bigint").alias("j"),
-        (F.abs(F.col("g") - ident) <= 1e-6).alias("cov_ok"),
+        (F.abs(F.col("g") - expected) <= 1e-6).alias("cov_ok"),
     )
 
 

@@ -490,10 +490,15 @@ s AS (
 )
 SELECT vec_id, label,
        CAST(nr AS DOUBLE) AS l1_norm,
+       -- nullif guards mirror the Spark side (constant-data audit,
+       -- round 10): an all-identical corpus zeroes the variance and
+       -- a 1-row corpus zeroes (n - 1); Spark's ANSI division RAISES
+       -- on either, so both engines must NULL out instead
        round((CAST(nr AS DOUBLE) - s1 / n)
-             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z,
+             / nullif(sqrt((s2 - s1 * s1 / n) / nullif(n - 1, 0)), 0), 4) AS z,
        abs((CAST(nr AS DOUBLE) - s1 / n)
-           / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0 AS is_outlier
+           / nullif(sqrt((s2 - s1 * s1 / n) / nullif(n - 1, 0)), 0))
+           > 3.0 AS is_outlier
 FROM r, s
 """,
 )
@@ -525,9 +530,14 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nr").cast("double").alias("s1"),
         F.sum(F.col("nr") * F.col("nr")).cast("double").alias("s2"),
     )
-    z = (F.col("nr").cast("double") - F.col("s1") / F.col("n")) / F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-        / (F.col("n") - 1)
+    # zero-variance corpus / 1-row corpus → NULL z on both engines
+    # (guards mirrored in the oracle; constant-data audit, round 10)
+    z = (F.col("nr").cast("double") - F.col("s1") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ),
+        F.lit(0.0),
     )
     return rows.join(F.broadcast(mom)).select(
         "vec_id",

@@ -496,3 +496,51 @@ def test_timestamp_extremes_parity(name, spark, tsx_sf_dir, tsx_oracle_con):
     qd = load_all()[name]
     result = compare(name, qd.spark(spark, tsx_sf_dir), tsx_oracle_con, qd.oracle)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# constant-data audit (round 10): every measure column holds ONE value
+# (keys/text/timestamps stay real) — the zero-variance / all-ties
+# degenerate.  Pin the 5 keys the audit fixed: Spark's ANSI builtin
+# corr raising DIVIDE_BY_ZERO where DuckDB NULLs (stats_moments, now
+# the regr co-moment composition with mirrored nullif), unguarded
+# zero-variance z-score and tie-correction denominators
+# (sim_norm_outliers, stats_kruskal_wallis), the PCA captured-variance
+# bound flipping on round(pc,6) quantization at cap/tot == 1
+# (emb_pca_project), and the whitening identity on a rank-deficient
+# corpus (emb_whitening_check, now Λ⁺ pseudo-inverse whitening with
+# the expected matrix diag(1 retained, 0 dropped)).
+_const_spec = _ilu.spec_from_file_location(
+    "const_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "const_audit.py",
+)
+_const_audit = _ilu.module_from_spec(_const_spec)
+_const_spec.loader.exec_module(_const_audit)
+
+CONST_AUDITED = [
+    "stats_moments",
+    "sim_norm_outliers",
+    "stats_kruskal_wallis",
+    "emb_pca_project",
+    "emb_whitening_check",
+]
+
+
+@pytest.fixture(scope="module")
+def const_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_const")
+    return _const_audit.build_const_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def const_oracle_con(const_sf_dir):
+    con = duckdb_connection(const_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CONST_AUDITED)
+def test_constant_data_parity(name, spark, const_sf_dir, const_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, const_sf_dir), const_oracle_con, qd.oracle)
+    assert result.ok, str(result)
