@@ -1745,11 +1745,11 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        -- on BOTH engines instead of NULL-vs-inf divergence
        round((u_a - n_a * n_b / 2)
              / nullif(sqrt(n_a * n_b / 12
-                           * ((n + 1) - tie3 / (n * (n - 1)))), 0), 6)
+                           * ((n + 1) - tie3 / nullif(n * (n - 1), 0))), 0), 6)
            AS z_stat,
        abs((u_a - n_a * n_b / 2)
            / nullif(sqrt(n_a * n_b / 12
-                         * ((n + 1) - tie3 / (n * (n - 1)))), 0)) > 1.96
+                         * ((n + 1) - tie3 / nullif(n * (n - 1), 0))), 0)) > 1.96
            AS significant_5pct
 FROM u
 """,
@@ -1819,7 +1819,10 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nullif guards: a single-value panel (tie3 == n^3 - n) zeroes the
     # variance and ANSI Spark would throw where DuckDB yields NULL
     z = (u_a - n_a * n_b / 2) / F.nullif(
-        F.sqrt(n_a * n_b / 12 * ((n + 1) - tie3 / (n * (n - 1)))),
+        F.sqrt(
+            n_a * n_b / 12
+            * ((n + 1) - tie3 / F.nullif(n * (n - 1), F.lit(0.0)))
+        ),
         F.lit(0.0),
     )
     return s.select(
@@ -1862,10 +1865,10 @@ d AS (
 ),
 mx AS (SELECT max(d_num) AS max_num FROM d)
 SELECT n_a, n_b,
-       round(CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+       round(CAST(max_num AS DOUBLE) / nullif(CAST(n_a AS DOUBLE) * n_b, 0), 6)
            AS d_stat,
        round(min(x), 2) AS ks_at_value,
-       CAST(max_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+       CAST(max_num AS DOUBLE) / nullif(CAST(n_a AS DOUBLE) * n_b, 0)
            > 1.358 * sqrt((n_a + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * n_b))
            AS significant_5pct
 FROM d CROSS JOIN mx CROSS JOIN tot
@@ -1942,7 +1945,10 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = d.agg(F.max("d_num").alias("max_num"))
     n_a_d = F.col("n_a").cast("double")
-    d_stat = F.col("max_num").cast("double") / (n_a_d * F.col("n_b"))
+    # one-sample-empty degenerate (one-row audit r10): NULL, not ANSI raise
+    d_stat = F.col("max_num").cast("double") / F.nullif(
+        n_a_d * F.col("n_b"), F.lit(0.0)
+    )
     return (
         d.join(F.broadcast(mx))
         .filter(F.col("d_num") == F.col("max_num"))
@@ -2096,11 +2102,14 @@ w AS (SELECT r, price, {_boot_weight_sql(u)} AS k FROM reps),
 means AS (
     SELECT r,
            round(CAST(sum(CAST(k AS DECIMAL(18,0)) * price) AS DOUBLE)
-                 / sum(k), 6) AS m
+                 / nullif(sum(k), 0), 6) AS m
     FROM w GROUP BY r
 ),
 ranked AS (
-    SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
+    -- NULLS FIRST pins the zero-weight-replicate (NULL mean) rank
+    -- placement to Spark's asc default (one-row audit r10): DuckDB
+    -- defaults NULLS LAST and the CI picks swapped ends otherwise
+    SELECT m, row_number() OVER (ORDER BY m NULLS FIRST, r) AS rk FROM means
 ),
 boot AS (
     SELECT round(CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
@@ -2178,7 +2187,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("k").cast("decimal(18,0)") * F.col("price"))
                 .cast("double")
-                / F.sum("k"),
+                / F.nullif(F.sum("k"), F.lit(0)),
                 6,
             ).alias("m")
         )
@@ -2427,9 +2436,11 @@ ols AS (
                                 * CAST(y AS DECIMAL(28,6))) AS DOUBLE)
             - CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)
               * CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
-           / (count(*) * CAST(sum(CAST(t AS DECIMAL(28,0)) * t) AS DOUBLE)
-              - CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)
-                * CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)) AS ols
+           / nullif(count(*) * CAST(sum(CAST(t AS DECIMAL(28,0)) * t)
+                                     AS DOUBLE)
+                    - CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE)
+                      * CAST(sum(CAST(t AS DECIMAL(28,0))) AS DOUBLE), 0)
+               AS ols
     FROM m
 )
 SELECT CAST(n_months AS BIGINT) AS n_months,
@@ -2526,9 +2537,10 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_months") * F.col("sty").cast("double")
                 - F.col("st").cast("double") * F.col("sy").cast("double")
             )
-            / (
+            / F.nullif(
                 F.col("n_months") * F.col("stt").cast("double")
-                - F.col("st").cast("double") * F.col("st").cast("double")
+                - F.col("st").cast("double") * F.col("st").cast("double"),
+                F.lit(0.0),
             )
         ).alias("ols"),
     )
@@ -2564,8 +2576,8 @@ t AS (
 ),
 f AS (
     SELECT k, n,
-           ((sum_sq_over_n - s * s / n) / (k - 1))
-           / nullif((ss - sum_sq_over_n) / (n - k), 0) AS f_stat
+           ((sum_sq_over_n - s * s / n) / nullif(k - 1, 0))
+           / nullif((ss - sum_sq_over_n) / nullif(n - k, 0), 0) AS f_stat
     FROM t
 )
 SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
@@ -2573,7 +2585,7 @@ SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
        round(f.f_stat, 6) AS f_stat,
        CAST(f.k - 1 AS BIGINT) AS df1,
        CAST(f.n - f.k AS BIGINT) AS df2,
-       f.f_stat > {_kw_crit_sql("(f.k - 1)")} / (f.k - 1) AS significant_5pct
+       f.f_stat > {_kw_crit_sql("(f.k - 1)")} / nullif(f.k - 1, 0) AS significant_5pct
 FROM g CROSS JOIN f
 """
 
@@ -2628,9 +2640,10 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f_stat = (
         (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n"))
-        / (F.col("k") - 1)
+        / F.nullif(F.col("k") - 1, F.lit(0))
     ) / F.nullif(
-        (F.col("ss") - F.col("sum_sq_over_n")) / (F.col("n") - F.col("k")),
+        (F.col("ss") - F.col("sum_sq_over_n"))
+        / F.nullif(F.col("n") - F.col("k"), F.lit(0)),
         F.lit(0.0),
     )
     ft = t.select("k", "n", f_stat.alias("f_stat"))
@@ -2644,7 +2657,7 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f_stat", 6).alias("f_stat"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
-        (F.col("f_stat") > crit / (F.col("k") - 1)).alias("significant_5pct"),
+        (F.col("f_stat") > crit / F.nullif(F.col("k") - 1, F.lit(0))).alias("significant_5pct"),
     )
 
 
@@ -2669,16 +2682,18 @@ arms AS (
     FROM assign
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       round(c_a / n_a, 6) AS rate_a, round(c_b / n_b, 6) AS rate_b,
-       round(c_a / n_a - c_b / n_b, 6) AS rate_diff,
-       round((c_a / n_a - c_b / n_b)
+       round(c_a / nullif(n_a, 0), 6) AS rate_a, round(c_b / nullif(n_b, 0), 6) AS rate_b,
+       round(c_a / nullif(n_a, 0) - c_b / nullif(n_b, 0), 6) AS rate_diff,
+       round((c_a / nullif(n_a, 0) - c_b / nullif(n_b, 0))
              / nullif(sqrt((c_a + c_b) / (n_a + n_b)
                            * (1 - (c_a + c_b) / (n_a + n_b))
-                           * (1 / n_a + 1 / n_b)), 0), 6) AS z_stat,
-       abs((c_a / n_a - c_b / n_b)
+                           * (1 / nullif(n_a, 0) + 1 / nullif(n_b, 0))), 0),
+             6) AS z_stat,
+       abs((c_a / nullif(n_a, 0) - c_b / nullif(n_b, 0))
            / nullif(sqrt((c_a + c_b) / (n_a + n_b)
                          * (1 - (c_a + c_b) / (n_a + n_b))
-                         * (1 / n_a + 1 / n_b)), 0)) > 1.96
+                         * (1 / nullif(n_a, 0) + 1 / nullif(n_b, 0))), 0))
+           > 1.96
            AS significant_5pct
 FROM arms
 """
@@ -2726,15 +2741,19 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("c_b"),
     )
-    n_a, n_b = F.col("n_a"), F.col("n_b")
+    # an EMPTY arm (every user hashed to one side — the one-row audit
+    # degenerate) NULLs its rate and the z on both engines, never an
+    # ANSI raise (guards mirrored in the oracle)
+    n_a = F.nullif(F.col("n_a"), F.lit(0.0))
+    n_b = F.nullif(F.col("n_b"), F.lit(0.0))
     c_a, c_b = F.col("c_a"), F.col("c_b")
-    pooled = (c_a + c_b) / (n_a + n_b)
+    pooled = (c_a + c_b) / (F.col("n_a") + F.col("n_b"))
     z = (c_a / n_a - c_b / n_b) / F.nullif(
         F.sqrt(pooled * (1 - pooled) * (1 / n_a + 1 / n_b)), F.lit(0.0)
     )
     return arms.select(
-        n_a.cast("bigint").alias("n_a"),
-        n_b.cast("bigint").alias("n_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
         F.round(c_a / n_a, 6).alias("rate_a"),
         F.round(c_b / n_b, 6).alias("rate_b"),
         F.round(c_a / n_a - c_b / n_b, 6).alias("rate_diff"),
@@ -3364,8 +3383,8 @@ t AS (
 ),
 f AS (
     SELECT k, n,
-           ((sum_sq_over_n - s * s / n) / (k - 1))
-           / nullif((ss - sum_sq_over_n) / (n - k), 0) AS w_stat
+           ((sum_sq_over_n - s * s / n) / nullif(k - 1, 0))
+           / nullif((ss - sum_sq_over_n) / nullif(n - k, 0), 0) AS w_stat
     FROM t
 )
 SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
@@ -3373,7 +3392,7 @@ SELECT g.grp, CAST(g.n_j AS BIGINT) AS n_j,
        round(f.w_stat, 6) AS w_stat,
        CAST(f.k - 1 AS BIGINT) AS df1,
        CAST(f.n - f.k AS BIGINT) AS df2,
-       f.w_stat > {_kw_crit_sql("(f.k - 1)")} / (f.k - 1)
+       f.w_stat > {_kw_crit_sql("(f.k - 1)")} / nullif(f.k - 1, 0)
            AS variances_differ_5pct
 FROM g CROSS JOIN f
 """
@@ -3438,9 +3457,10 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_stat = (
         (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n"))
-        / (F.col("k") - 1)
+        / F.nullif(F.col("k") - 1, F.lit(0))
     ) / F.nullif(
-        (F.col("ss") - F.col("sum_sq_over_n")) / (F.col("n") - F.col("k")),
+        (F.col("ss") - F.col("sum_sq_over_n"))
+        / F.nullif(F.col("n") - F.col("k"), F.lit(0)),
         F.lit(0.0),
     )
     ft = t.select("k", "n", w_stat.alias("w_stat"))
@@ -3456,7 +3476,7 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_stat", 6).alias("w_stat"),
         (F.col("k") - 1).cast("bigint").alias("df1"),
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
-        (F.col("w_stat") > crit / (F.col("k") - 1)).alias(
+        (F.col("w_stat") > crit / F.nullif(F.col("k") - 1, F.lit(0))).alias(
             "variances_differ_5pct"
         ),
     )
@@ -3910,18 +3930,18 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(r AS BIGINT) AS n_rows_cat,
        CAST(c AS BIGINT) AS n_cols_cat,
        round(chi2, 6) AS chi2,
-       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+       round(sqrt(chi2 / nullif(n * least(r - 1, c - 1), 0)), 6) AS cramers_v,
        round(sqrt(greatest(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE)
-                           / (n - 1), 0)
+                           / nullif(n - 1, 0), 0)
                   / nullif(least(r - CAST((r - 1) * (r - 1) AS DOUBLE)
-                                 / (n - 1),
+                                 / nullif(n - 1, 0),
                                  c - CAST((c - 1) * (c - 1) AS DOUBLE)
-                                 / (n - 1)) - 1, 0)), 6)
+                                 / nullif(n - 1, 0)) - 1, 0)), 6)
            AS cramers_v_corrected,
-       CASE WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.1
+       CASE WHEN sqrt(chi2 / nullif(n * least(r - 1, c - 1), 0)) < 0.1
                  THEN 'negligible'
-            WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.3 THEN 'weak'
-            WHEN sqrt(chi2 / (n * least(r - 1, c - 1))) < 0.5
+            WHEN sqrt(chi2 / nullif(n * least(r - 1, c - 1), 0)) < 0.3 THEN 'weak'
+            WHEN sqrt(chi2 / nullif(n * least(r - 1, c - 1), 0)) < 0.5
                  THEN 'moderate'
             ELSE 'strong' END AS association
 FROM chi CROSS JOIN dims
@@ -3968,14 +3988,22 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("double"),
         F.col("c").cast("double"),
     )
-    v = F.sqrt(F.col("chi2") / (n * F.least(r - 1, c - 1)))
+    # 1x1 contingency table / n = 1 (one-row audit r10): every
+    # denominator NULLs on both engines instead of an ANSI raise;
+    # the association CASE then falls through to 'strong' identically
+    nm1 = F.nullif(n - 1, F.lit(0.0))
+    v = F.sqrt(
+        F.col("chi2") / F.nullif(n * F.least(r - 1, c - 1), F.lit(0.0))
+    )
     phi2c = F.greatest(
-        F.col("chi2") / n - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+        F.col("chi2") / n - (r - 1) * (c - 1) / nm1, F.lit(0.0)
     )
     vc = F.sqrt(
         phi2c
         / F.nullif(
-            F.least(r - (r - 1) * (r - 1) / (n - 1), c - (c - 1) * (c - 1) / (n - 1))
+            F.least(
+                r - (r - 1) * (r - 1) / nm1, c - (c - 1) * (c - 1) / nm1
+            )
             - 1,
             F.lit(0.0),
         )

@@ -1343,7 +1343,7 @@ SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_val,
        round((CAST(sum(v * v) AS DOUBLE)
               - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
-             / (count(*) - 1), 6) AS var_val
+             / nullif(count(*) - 1, 0), 6) AS var_val
 FROM r GROUP BY dim
 """,
 )
@@ -1373,7 +1373,11 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("dim").agg(
         n.alias("n"),
         F.round(s1 / n, 6).alias("mean_val"),
-        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_val"),
+        # 1-vector corpus (one-row audit r10): sample variance is
+        # undefined at n = 1 — NULL on both engines, not an ANSI raise
+        F.round(
+            (s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), 6
+        ).alias("var_val"),
     )
 
 

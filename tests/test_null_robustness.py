@@ -544,3 +544,56 @@ def test_constant_data_parity(name, spark, const_sf_dir, const_oracle_con):
     qd = load_all()[name]
     result = compare(name, qd.spark(spark, const_sf_dir), const_oracle_con, qd.oracle)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# single-row audit (round 10): every table exactly ONE referentially
+# consistent row — the sharpest populated degenerate, between the
+# 30-row tiny-data audit (r9) and the zero-row audit (r10).  Pin the
+# 9 keys the audit fixed, all Spark ANSI DIVIDE_BY_ZERO where DuckDB
+# NULLs: n=1 zeroing tie corrections (mann_whitney), sample-variance
+# and OLS denominators (theil_sen, emb_dim_variance), between/within
+# dof (anova, brown_forsythe: k=1, n=k), one-sample-empty contrasts
+# (ks_test n_b=0, proportions_ztest empty arm), 1x1 contingency
+# (cramers_v), plus the bootstrap's zero-weight replicate NULL means
+# whose rank placement needed NULLS FIRST pinned in the oracle.
+_onerow_spec = _ilu.spec_from_file_location(
+    "onerow_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "onerow_audit.py",
+)
+_onerow_audit = _ilu.module_from_spec(_onerow_spec)
+_onerow_spec.loader.exec_module(_onerow_audit)
+
+ONEROW_AUDITED = [
+    "stats_mann_whitney",
+    "stats_ks_test",
+    "stats_bootstrap_ci",
+    "stats_theil_sen_slope",
+    "stats_anova_oneway",
+    "stats_proportions_ztest",
+    "stats_brown_forsythe",
+    "stats_cramers_v",
+    "emb_dim_variance",
+]
+
+
+@pytest.fixture(scope="module")
+def onerow_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_onerow")
+    return _onerow_audit.build_onerow_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def onerow_oracle_con(onerow_sf_dir):
+    con = duckdb_connection(onerow_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ONEROW_AUDITED)
+def test_single_row_parity(name, spark, onerow_sf_dir, onerow_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, onerow_sf_dir), onerow_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
