@@ -26,12 +26,18 @@ def dot_sql(a: str, b: str) -> str:
     # (out-of-range element -> NULL product -> NULL sum) EXACTLY like
     # Spark's zip_with null padding — iterating only len(a) returned a
     # finite value when b was longer, silently diverging from the
-    # Spark side on malformed embeddings (round-7 review finding)
+    # Spark side on malformed embeddings (round-7 review finding).
+    # The CASE guard NULL-propagates a NULL ARRAY itself (all-NULL
+    # audit, round 10): without it, list_transform over the NULL
+    # series collapses and list_prepend's seed survives alone, so a
+    # NULL embedding folded to 0.0 on DuckDB while Spark's
+    # aggregate(zip_with(NULL, ...)) is NULL.
     return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(generate_series(1, greatest(len({a}), len({b}))), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-        f"(acc, x) -> acc + x)"
+        f"(acc, x) -> acc + x) END"
     )
 
 

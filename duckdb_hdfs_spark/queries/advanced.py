@@ -1979,7 +1979,10 @@ WITH m AS (
     FROM orders GROUP BY 1
 ),
 arr AS (
-    SELECT array_agg(rev ORDER BY month) AS xs, count(*) AS n FROM m
+    -- NULL-revenue months (all totals NULL) leave the series
+    -- symmetrically on both engines (all-NULL audit, round 10)
+    SELECT array_agg(rev ORDER BY month) AS xs, count(*) AS n
+    FROM m WHERE rev IS NOT NULL
 ),
 st AS (
     -- accumulator is a 2-element LIST [l, b], not a struct: DuckDB
@@ -2032,6 +2035,10 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
         .cast("double")
         .alias("rev")
+    ).filter(
+        # NULL-revenue months leave the series on both engines
+        # (all-NULL audit, round 10)
+        F.col("rev").isNotNull()
     )
     arr = m.agg(
         F.transform(

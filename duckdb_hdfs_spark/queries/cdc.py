@@ -416,9 +416,18 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
         .cast("bigint")
         .alias("n_orders"),
+        # NULL iff BOTH sides are NULL — exactly SQL sum-of-union
+        # semantics (all-NULL audit, round 10): a status whose every
+        # contribution is NULL recomputes to NULL, while a join miss
+        # against a real sum still coalesces to that sum
         F.round(
-            F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,6)"))
-            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)")),
+            F.when(
+                F.col("s").isNull() & F.col("ds").isNull(),
+                F.lit(None).cast("decimal(18,6)"),
+            ).otherwise(
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+            ),
             2,
         )
         .cast("double")

@@ -300,7 +300,10 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_kmeans_update",
     oracle=f"""
 WITH cents AS (
+    -- NULL embeddings excluded symmetrically from seed and corpus
+    -- (all-NULL audit, round 10)
     SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+    WHERE embedding IS NOT NULL
     ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
 ),
 assign AS (
@@ -309,7 +312,8 @@ assign AS (
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {cosine_sql('e.embedding', 'c.cent')} DESC,
                             c.cent_id) AS crk
-        FROM embeddings e, cents c
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e,
+             cents c
     ) WHERE crk = 1
 )
 SELECT cent_id, CAST(i AS BIGINT) AS dim, count(*) AS n_members,
@@ -342,7 +346,11 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_codebook,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        # NULL vectors excluded symmetrically with the oracle
+        # (all-NULL audit, round 10)
+        F.col("embedding").isNotNull()
+    )
     v = rebalance_cpu_heavy(emb.select("vec_id", "embedding")).withColumn(
         "_n", norm(F.col("embedding"))
     )
@@ -829,7 +837,10 @@ def _gram_eigh(spark: SparkSession, sf_dir: str):
     data collect."""
     import numpy as np
 
-    e = _t(spark, sf_dir, "embeddings")
+    # NULL embeddings excluded symmetrically with the oracles
+    # (all-NULL audit, round 10): a NULL vector contributes no Gram
+    # cells and gets no projection on either engine
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     cells = (
         e.select(
             F.explode(
@@ -923,7 +934,7 @@ def pca_projection(spark: SparkSession, sf_dir: str):
     # additionally pinned in tests/test_functions_properties.py.
     oracle="""
 SELECT vec_id, label, TRUE AS bessel_ok, TRUE AS var_ok, TRUE AS orth_ok
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """,
 )
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,7 +1015,7 @@ JOIN generate_series(0, {WHITEN_K - 1}) b(j) ON b.j >= a.i
 -- an EMPTY corpus has no whitening identity to assert: the Spark
 -- side's verification Gram has zero cells, so the constant triangle
 -- must vanish with it (zero-row audit, round 10)
-WHERE EXISTS (SELECT 1 FROM embeddings)
+WHERE EXISTS (SELECT 1 FROM embeddings WHERE embedding IS NOT NULL)
 """,
 )
 def emb_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,6 +1207,10 @@ _CENTROID_CTES = """dims AS (
            CAST(sum(CAST(CAST(embedding[gs.i] AS DOUBLE) AS DECIMAL(20,10)))
                 AS DOUBLE) / count(*) AS c
     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) gs
+    -- NULL embeddings excluded symmetrically: Spark's posexplode
+    -- drops them, the theta-join would keep NULL cells (all-NULL
+    -- audit, round 10)
+    WHERE embedding IS NOT NULL
     GROUP BY label, gs.i
 ),
 cent AS (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)"""
@@ -1338,6 +1353,9 @@ WITH r AS (
                 AS DECIMAL(12,6)) AS v
     FROM embeddings
     CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+    -- NULL embeddings excluded symmetrically with Spark's posexplode
+    -- (all-NULL audit, round 10)
+    WHERE embedding IS NOT NULL
 )
 SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_val,

@@ -477,9 +477,14 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH r AS (
     SELECT vec_id, label,
+           -- CASE guard NULL-propagates a NULL embedding exactly like
+           -- Spark's aggregate(transform(NULL)) — list_prepend's seed
+           -- otherwise survives alone and folds to 0.0 (all-NULL
+           -- audit, round 10)
+           CASE WHEN embedding IS NULL THEN NULL ELSE
            CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-                (acc, x) -> acc + x), 6) AS DECIMAL(12, 6)) AS nr
+                (acc, x) -> acc + x), 6) AS DECIMAL(12, 6)) END AS nr
     FROM embeddings
 ),
 s AS (

@@ -221,7 +221,10 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to the exact interpolated quantile, emitting the exact p50
     and a boolean asserting GK's rank-bound guarantee by COUNTS:
     count(x <= v) >= 0.49*n and count(x < v) <= 0.51*n — i.e. the
-    returned value's rank is within +/-1% of the median rank.
+    returned value's rank is within +/-1% of the median rank, with n
+    the NON-NULL population (count(col), not count(*)): an all-NULL
+    group has no rank bound to violate, so the boolean stays TRUE on
+    both engines (all-NULL audit, round 10).
 
     At 100 TB the exact-percentile branch (full sort per group) is
     the audit, the sketch is the product: GK summaries are the only
@@ -250,7 +253,7 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("l_extendedprice") <= F.col("ap"), 1
                         ).otherwise(0)
                     )
-                    >= 0.49 * F.count(F.lit(1))
+                    >= 0.49 * F.count("l_extendedprice")
                 )
                 & (
                     F.sum(
@@ -258,7 +261,7 @@ def sketch_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("l_extendedprice") < F.col("ap"), 1
                         ).otherwise(0)
                     )
-                    <= 0.51 * F.count(F.lit(1))
+                    <= 0.51 * F.count("l_extendedprice")
                 )
             ).alias("within_bound")
         )

@@ -204,13 +204,18 @@ def sql_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_higher_order_funcs",
     oracle="""
 SELECT vec_id,
+       -- CASE guards NULL-propagate a NULL embedding exactly like
+       -- Spark's aggregate() — list_prepend's seed otherwise survives
+       -- alone and the fold yields 0.0 (all-NULL audit, round 10)
+       CASE WHEN embedding IS NULL THEN NULL ELSE
        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(embedding, x -> CAST(greatest(x, 0) AS DOUBLE))),
-             (acc, x) -> acc + x), 6) AS relu_sum,
+             (acc, x) -> acc + x), 6) END AS relu_sum,
+       CASE WHEN embedding IS NULL THEN NULL ELSE
        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(list_slice(embedding, 1, 3),
                             x -> CAST(x AS DOUBLE))),
-             (acc, x) -> acc + x), 6) AS head3_sum,
+             (acc, x) -> acc + x), 6) END AS head3_sum,
        len(list_filter(embedding, x -> abs(x) > 2.0)) > 0 AS any_extreme,
        len(list_filter(embedding, x -> NOT (abs(x) < 1e6))) = 0 AS all_finite
 FROM embeddings
@@ -869,7 +874,11 @@ SELECT event_id,
        json_extract_string(
            concat('{"u":', user_id, ',"tags":["a","b"]}'), '$.tags[0]')
            AS tag0,
-       'OBJECT<k: BIGINT>' AS v_schema
+       -- NULL props parse to a NULL variant whose schema is NULL on
+       -- Spark; the constant only applies to real payloads (all-NULL
+       -- audit, round 10)
+       CASE WHEN props IS NULL THEN NULL
+            ELSE 'OBJECT<k: BIGINT>' END AS v_schema
 FROM events
 """,
 )

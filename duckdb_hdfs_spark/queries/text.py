@@ -197,7 +197,10 @@ FROM (
         SELECT unnest(list_transform(
             generate_series(1, greatest(len({_TOKS}) - 1, 1)),
             i -> {_TOKS}[i] || ' ' || coalesce({_TOKS}[i+1], ''))) AS g
-        FROM documents
+        -- NULL text excluded symmetrically with Spark's explode of a
+        -- NULL bigram array (all-NULL audit, round 10): greatest(NULL, 1)
+        -- ignores the NULL on DuckDB and smuggled a NULL gram through
+        FROM documents WHERE text IS NOT NULL
     )
     GROUP BY g
 )

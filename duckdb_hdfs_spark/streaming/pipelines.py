@@ -180,7 +180,11 @@ RUNNING_TOTALS_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("n_vals", LongType()),
+    ]
 )
 
 
@@ -188,15 +192,23 @@ def _update_running_totals(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     """Per-user running (count, sum(value)) across micro-batches.
-    State is one (n, total) pair per user — bounded by key
-    cardinality, not stream length."""
-    n, total = state.get if state.exists else (0, 0.0)
+    State is one (n, total, n_vals) triple per user — bounded by key
+    cardinality, not stream length.  ``n_vals`` counts NON-NULL
+    values (all-NULL audit, round 10): pandas ``.sum()`` returns 0.0
+    over an all-NaN column where SQL ``sum`` is NULL — a user whose
+    every value is NULL must emit a NULL total, not 0.0."""
+    n, total, n_vals = state.get if state.exists else (0, 0.0, 0)
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, total))
+        n_vals += int(pdf["value"].notna().sum())
+    state.update((n, total, n_vals))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total if n_vals else None],
+        }
     )
 
 

@@ -597,3 +597,67 @@ def test_single_row_parity(name, spark, onerow_sf_dir, onerow_oracle_con):
         name, qd.spark(spark, onerow_sf_dir), onerow_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# all-NULL-measures audit (round 10): every measure column 100% NULL
+# (envelope flows, payload extractor broke) — the saturation limit of
+# the 2%-density NULL-injection audit.  Pin the 15 keys it fixed:
+# DuckDB's list_prepend seed surviving a NULL array fold to 0.0 where
+# Spark NULL-propagates (dot_sql CASE guard + the inline folds in
+# sim_norm_outliers / sql_higher_order_funcs), NULL embeddings kept
+# by generate_series theta-joins but dropped by posexplode (symmetric
+# IS NOT NULL exclusion: kmeans, cohesion, separation, dim_variance,
+# _gram_eigh → pca/whitening), the GK rank bound counting NULL rows
+# in its population (count(*) → count(col)), a NULL-gram smuggled
+# through greatest(NULL, 1) (text_ngram_freq), NULL-revenue months
+# entering the Holt series, schema_of_variant(NULL) vs the constant,
+# pandas .sum() = 0.0 over all-NaN in the stateful totals operator,
+# and the CDC rollup's coalesce defeating sum-of-union NULL
+# semantics.
+_allnull_spec = _ilu.spec_from_file_location(
+    "allnull_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "allnull_audit.py",
+)
+_allnull_audit = _ilu.module_from_spec(_allnull_spec)
+_allnull_spec.loader.exec_module(_allnull_audit)
+
+ALLNULL_AUDITED = [
+    "emb_kmeans_update",
+    "emb_pca_project",
+    "emb_whitening_check",
+    "emb_label_centroid_cohesion",
+    "emb_centroid_separation",
+    "emb_dim_variance",
+    "sim_embedding_norms",
+    "sim_norm_outliers",
+    "sql_higher_order_funcs",
+    "sql_variant_type",
+    "sketch_quantiles_approx",
+    "text_ngram_freq",
+    "orders_forecast_holt",
+    "streaming_user_totals",
+    "cdc_incremental_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def allnull_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_allnull")
+    return _allnull_audit.build_allnull_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def allnull_oracle_con(allnull_sf_dir):
+    con = duckdb_connection(allnull_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ALLNULL_AUDITED)
+def test_all_null_parity(name, spark, allnull_sf_dir, allnull_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, allnull_sf_dir), allnull_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
