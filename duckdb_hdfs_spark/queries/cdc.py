@@ -377,7 +377,13 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     status-grain frames.  All sums accumulate in DECIMAL — exact and
     associative, so base + delta lands bit-identically on the full
     recompute the oracle performs."""
-    ods = _t(spark, sf_dir, "orders")
+    # replayed rows (at-least-once delivery) are deduped AT THE KEY
+    # GRAIN before the incremental math (duplicated-rows audit, round
+    # 10): the incremental delta assumes each key appears once per
+    # batch — a replayed change would double-add its after-image and
+    # double-subtract its before-image.  The oracle's rn = 1 keyed
+    # merge IS this dedupe; a no-op on key-unique data.
+    ods = _t(spark, sf_dir, "orders").dropDuplicates(["o_orderkey"])
     snap = ods.filter(F.col("o_orderkey") % 3 != 0)
     base = snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),

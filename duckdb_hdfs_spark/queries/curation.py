@@ -1375,7 +1375,11 @@ panel AS (
            row_number() OVER (PARTITION BY d.lang
                               ORDER BY lp.mean_logprob DESC, lp.doc_id) AS rk,
            count(*) OVER (PARTITION BY d.lang) AS n
-    FROM lp JOIN documents d USING (doc_id)
+    -- doc-grain lang lookup: lp already collapses a replayed doc's
+    -- twins (GROUP BY doc_id), so the lang join must not fan the
+    -- panel back out (duplicated-rows audit, round 10)
+    FROM lp JOIN (SELECT DISTINCT doc_id, lang FROM documents) d
+        USING (doc_id)
 )
 SELECT lang,
        CASE least(2, (3 * (rk - 1)) // n)

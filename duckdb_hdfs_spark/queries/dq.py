@@ -310,9 +310,14 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _benford_oracle() -> str:
     return """
 WITH d AS (
-    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                       1, 1) AS INTEGER) AS digit
+    -- Benford reads the first SIGNIFICANT digit: abs() strips the
+    -- sign (a credit entry's '-' crashed the INT cast on both
+    -- engines — negative-measures audit, round 10) and the 1..9
+    -- filter drops zero values, which have no significant digit
+    SELECT CAST(substr(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1e-10
 ),
 obs AS (
     SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
@@ -367,9 +372,16 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     χ² fold is a broadcast join of that panel against its own 1-row
     aggregate."""
     o = _t(spark, sf_dir, "orders")
-    d = o.select(
+    d = o.filter(
+        # sign-stripped first significant digit; zero values have none
+        # (negative-measures audit, round 10 — mirrored in the oracle)
+        F.col("o_totalprice").isNotNull()
+        & (F.abs(F.col("o_totalprice")) >= 1e-10)
+    ).select(
         F.substring(
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            F.abs(F.col("o_totalprice").cast("decimal(18,2)")).cast("string"),
+            1,
+            1,
         )
         .cast("int")
         .alias("digit")

@@ -263,7 +263,11 @@ SELECT l_orderkey, l_linenumber,
        CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
        CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket,
        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
-       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       -- DuckDB RAISES on sqrt(negative) where Spark yields NaN
+       -- (negative-measures audit, round 10): out-of-domain inputs
+       -- (credit lines) NULL identically on both engines
+       round(sqrt(CASE WHEN l_extendedprice >= 0
+                       THEN l_extendedprice END), 6) AS sqrt_price,
        round(power(1.0 + l_discount, 3), 10) AS disc_cubed,
        l_orderkey % 97 AS key_mod97,
        greatest(l_quantity, 25.0) AS qty_hi,
@@ -287,7 +291,14 @@ def sql_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
         F.floor(F.col("l_extendedprice") / 100.0).cast("bigint").alias("price_bucket"),
         F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil7"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(
+            F.sqrt(
+                F.when(
+                    F.col("l_extendedprice") >= 0, F.col("l_extendedprice")
+                )
+            ),
+            6,
+        ).alias("sqrt_price"),
         F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 10).alias("disc_cubed"),
         (F.col("l_orderkey") % 97).alias("key_mod97"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
@@ -511,8 +522,13 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     # the LATERAL's driving table is CUSTOMER: an order whose custkey
     # has no customer row must not surface (the window-only shape
-    # silently assumed referential integrity — tiny-data audit r9);
-    # the semi-join broadcasts the key column only
+    # silently assumed referential integrity — tiny-data audit r9),
+    # and a DUPLICATED customer row re-runs the dependent subquery —
+    # LATERAL is per-driving-ROW, so its top-2 surfaces once per twin
+    # (duplicated-rows audit, round 10: the earlier left_semi deduped
+    # the driving side).  INNER join against the key column preserves
+    # driving-row multiplicity and is identical to the semi-join on
+    # key-unique data; the broadcast still ships only the key column.
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey")
     )
@@ -520,9 +536,9 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.join(F.broadcast(c), "o_custkey", "left_semi")
-        .withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
+        .join(F.broadcast(c), "o_custkey")
         .select(
             F.col("o_custkey").alias("c_custkey"),
             "o_orderkey",

@@ -381,12 +381,18 @@ def _rewrite_events_split_late(
     oracle="""
 WITH cut AS (
     SELECT max(ts) - INTERVAL 14 DAY AS cutoff FROM events
-)
+),
+-- the state-store dedup keeps ONE row per (event_id, ts): a replayed
+-- twin is dropped as a DUPLICATE (not by watermark), so kept counts
+-- are dedup-key grain while the watermark drop counter stays ROW
+-- grain — every late row is filtered before state (duplicated-rows
+-- audit, round 10); a no-op on replay-free data
+d AS (SELECT DISTINCT event_id, ts, event_type FROM events)
 SELECT event_type,
        count(*) FILTER (WHERE ts >= cutoff) AS kept_events,
        (SELECT count(*) FROM events, cut WHERE ts < cutoff)
            AS dropped_observed
-FROM events, cut
+FROM d, cut
 GROUP BY event_type
 """,
 )
@@ -499,7 +505,11 @@ FROM (
     SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE o_orderstatus END AS st,
            CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
                 ELSE o_totalprice END AS price
-    FROM orders WHERE o_orderkey % 7 <> 0
+    -- DISTINCT models the keyed MERGE state table: a replayed
+    -- (at-least-once) change row collapses into the same key slot,
+    -- so the final state is replay-invariant (duplicated-rows audit,
+    -- round 10); a no-op on replay-free data
+    FROM (SELECT DISTINCT * FROM orders) WHERE o_orderkey % 7 <> 0
 )
 GROUP BY st
 """,

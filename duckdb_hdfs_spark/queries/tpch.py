@@ -814,12 +814,23 @@ def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # re-group at the oracle's output grain (duplicated-rows audit,
+        # round 10): under PK-duplicated orders the oracle's GROUP BY
+        # collapses the twin order rows while its lineitem join fan-out
+        # DOUBLES sum_qty — sum(sq) over the joined rows reproduces
+        # exactly that (a 1-row group on key-unique data, so the
+        # single-lineitem-scan plan and clean-data results are
+        # unchanged)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("sq").alias("sum_qty_raw"))
         # cut the top-100 by the RAW price like the oracle's ORDER BY
         # o.o_totalprice — sorting on the rounded alias could select a
         # different 100-row set when raw prices collide post-rounding
         # at the boundary (round-7 review; latent: generated prices
         # are exactly 2-decimal)
-        .orderBy(F.desc(orders.o_totalprice), "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
         .select(
             "c_name",
@@ -827,7 +838,7 @@ def q18_large_volume_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("sq", 2).alias("sum_qty"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
         )
     )
 

@@ -661,3 +661,101 @@ def test_all_null_parity(name, spark, allnull_sf_dir, allnull_oracle_con):
         name, qd.spark(spark, allnull_sf_dir), allnull_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# duplicated-rows audit (round 10): every table unioned with a 10%
+# md5-gated sample of itself — exact full-row replays, the state an
+# at-least-once ingest leaves behind.  Pin the 6 keys the audit fixed
+# (well-defined relational semantics where the Spark lowering was not
+# multiplicity-equivalent to the oracle): q18's single-scan plan
+# skipping the output-grain re-group, LATERAL's per-driving-ROW
+# multiplicity deduped by a left_semi, the CDC incremental delta
+# assuming each key once per batch, the keyed streaming MERGE vs a
+# row-grain oracle, the streaming dedup's kept-counts grain, and the
+# perplexity panel's lang join fanning the doc grain back out.  The
+# key-identity operator class (scripts/dup_audit.KEY_GRAIN) is
+# audited under the documented replay-dedupe-at-ingest rule instead.
+_dup_spec = _ilu.spec_from_file_location(
+    "dup_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "dup_audit.py",
+)
+_dup_audit = _ilu.module_from_spec(_dup_spec)
+_dup_spec.loader.exec_module(_dup_audit)
+
+DUP_AUDITED = [
+    "q18_large_volume_cust",
+    "sql_lateral_join",
+    "cdc_incremental_agg",
+    "streaming_cdc_apply",
+    "streaming_late_event_drops",
+    "corpus_perplexity_buckets",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_dup")
+    return _dup_audit.build_dup_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def dup_oracle_con(dup_sf_dir):
+    con = duckdb_connection(dup_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DUP_AUDITED)
+def test_duplicated_rows_parity(name, spark, dup_sf_dir, dup_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, dup_sf_dir), dup_oracle_con, qd.oracle)
+    assert result.ok, str(result)
+
+
+def test_dup_key_grain_class_is_current():
+    """Every KEY_GRAIN exclusion must name a real registry key — a
+    renamed operator would silently drop its audit coverage."""
+    reg = set(load_all())
+    missing = _dup_audit.KEY_GRAIN - reg
+    assert missing == set(), f"KEY_GRAIN names unknown keys: {missing}"
+
+
+# --------------------------------------------------------------------------
+# negative-measures audit (round 10): md5-gated 5% of money/measure
+# values sign-flipped (refunds / chargebacks / correction entries) —
+# SIGN stress where extreme-values stressed magnitude.  Pin the 2
+# keys the audit fixed: DuckDB RAISES on sqrt(negative) where Spark
+# yields NaN (out-of-domain inputs now NULL identically on both
+# engines), and Benford's first-digit cast crashing on the '-' sign
+# (now the first SIGNIFICANT digit: abs + zero-filter, mirrored).
+_neg_spec = _ilu.spec_from_file_location(
+    "negative_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "negative_audit.py",
+)
+_neg_audit = _ilu.module_from_spec(_neg_spec)
+_neg_spec.loader.exec_module(_neg_audit)
+
+NEGATIVE_AUDITED = ["sql_math_funcs", "dq_benford_digits"]
+
+
+@pytest.fixture(scope="module")
+def negative_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_negative")
+    return _neg_audit.build_negative_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def negative_oracle_con(negative_sf_dir):
+    con = duckdb_connection(negative_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEGATIVE_AUDITED)
+def test_negative_measures_parity(name, spark, negative_sf_dir, negative_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, negative_sf_dir), negative_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
