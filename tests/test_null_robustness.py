@@ -759,3 +759,64 @@ def test_negative_measures_parity(name, spark, negative_sf_dir, negative_oracle_
         name, qd.spark(spark, negative_sf_dir), negative_oracle_con, qd.oracle
     )
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# ragged-embeddings audit (round 10): 2% of vectors truncated to 32
+# of 64 dims (crashed writer / mid-migration re-embedding).  No code
+# changed: the 21 ragged-tolerant keys ride dot_sql's existing ragged
+# NULL contract on the raw copy, and the 15 FIXED-DIM operators
+# (PQ/ADC subspaces, per-dim panels, eigenbases, IVF codebooks) are
+# swept under the documented dimension-enforcement ingest rule
+# (filter len(embedding) = 64 — a genuinely reduced corpus, not the
+# clean data).  Pin three representatives of each protocol plus the
+# FIXED_DIM list's currency.
+_ragged_spec = _ilu.spec_from_file_location(
+    "ragged_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "ragged_audit.py",
+)
+_ragged_audit = _ilu.module_from_spec(_ragged_spec)
+_ragged_spec.loader.exec_module(_ragged_audit)
+
+RAGGED_RAW = ["sim_bruteforce_topk", "sim_embedding_norms", "emb_jl_project"]
+RAGGED_DIM_ENFORCED = ["sim_ivf_pq_topk", "emb_dim_variance", "emb_whitening_check"]
+
+
+@pytest.fixture(scope="module")
+def ragged_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_ragged")
+    return _ragged_audit.build_ragged_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def ragged_dimok_dir(ragged_sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_ragged_dimok")
+    return _ragged_audit.build_dim_enforced_dir(ragged_sf_dir, str(dst))
+
+
+@pytest.mark.parametrize("name", RAGGED_RAW)
+def test_ragged_raw_parity(name, spark, ragged_sf_dir):
+    con = duckdb_connection(ragged_sf_dir)
+    try:
+        qd = load_all()[name]
+        result = compare(name, qd.spark(spark, ragged_sf_dir), con, qd.oracle)
+        assert result.ok, str(result)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", RAGGED_DIM_ENFORCED)
+def test_ragged_dim_enforced_parity(name, spark, ragged_dimok_dir):
+    con = duckdb_connection(ragged_dimok_dir)
+    try:
+        qd = load_all()[name]
+        result = compare(name, qd.spark(spark, ragged_dimok_dir), con, qd.oracle)
+        assert result.ok, str(result)
+    finally:
+        con.close()
+
+
+def test_ragged_fixed_dim_class_is_current():
+    reg = set(load_all())
+    missing = _ragged_audit.FIXED_DIM - reg
+    assert missing == set(), f"FIXED_DIM names unknown keys: {missing}"
