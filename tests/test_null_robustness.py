@@ -820,3 +820,48 @@ def test_ragged_fixed_dim_class_is_current():
     reg = set(load_all())
     missing = _ragged_audit.FIXED_DIM - reg
     assert missing == set(), f"FIXED_DIM names unknown keys: {missing}"
+
+
+# --------------------------------------------------------------------------
+# date-extremes audit (round 10): the TPC-H DATE-column sibling of the
+# events.ts audit — 2% of o_orderdate/l_shipdate at the calendar
+# edges (ns-range boundaries with derivation headroom, negative-epoch
+# last microsecond, 2000-02-29, the 2038 rollover).  PASSED CLEAN
+# (327/327, zero fixes); pin the heaviest calendar-arithmetic keys so
+# a future regression in month-panel / trunc / interval paths at the
+# edges fails loudly.
+_datex_spec = _ilu.spec_from_file_location(
+    "date_extreme_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "date_extreme_audit.py",
+)
+_datex_audit = _ilu.module_from_spec(_datex_spec)
+_datex_spec.loader.exec_module(_datex_audit)
+
+DATEX_PINNED = [
+    "sql_date_funcs",
+    "orders_monthly_growth",
+    "orders_seasonality_index",
+    "orders_cohort_revenue",
+    "stats_theil_sen_slope",
+    "q4_order_priority",
+]
+
+
+@pytest.fixture(scope="module")
+def datex_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_datex")
+    return _datex_audit.build_date_extreme_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def datex_oracle_con(datex_sf_dir):
+    con = duckdb_connection(datex_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DATEX_PINNED)
+def test_date_extremes_parity(name, spark, datex_sf_dir, datex_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, datex_sf_dir), datex_oracle_con, qd.oracle)
+    assert result.ok, str(result)
