@@ -313,9 +313,19 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       -- json_valid + TRY_CAST mirror Spark's NULL-on-malformed
+       -- get_json_object / try_cast (malformed-JSON audit, round 10):
+       -- DuckDB's bare json_extract_string RAISES on a truncated
+       -- payload and CAST raises on a type-confused one
+       min(TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS INTEGER)) AS min_k,
+       max(TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS INTEGER)) AS max_k,
+       CAST(sum(TRY_CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """,
@@ -324,12 +334,14 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column — JVM-side
     ``get_json_object`` (stays in codegen; no Python UDF)."""
     ev = _t(spark, sf_dir, "events")
+    # try_cast: a type-confused payload ('{"k": "str"}') must NULL,
+    # not abort the job under ANSI (malformed-JSON audit, round 10)
     k = F.get_json_object("props", "$.k")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(k.cast("int")).alias("min_k"),
-        F.max(k.cast("int")).alias("max_k"),
-        F.sum(k.cast("bigint")).alias("sum_k"),
+        F.min(k.try_cast("int")).alias("min_k"),
+        F.max(k.try_cast("int")).alias("max_k"),
+        F.sum(k.try_cast("bigint")).alias("sum_k"),
     )
 
 

@@ -581,11 +581,19 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_try_cast",
     oracle="""
 SELECT event_id,
-       TRY_CAST(json_extract_string(props, '$.plan') AS INTEGER) AS plan_int,
-       TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE) AS score_num,
+       -- json_valid mirrors Spark's NULL-on-malformed get_json_object:
+       -- DuckDB's extraction RAISES on a truncated payload
+       -- (malformed-JSON audit, round 10)
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.plan') END
+                AS INTEGER) AS plan_int,
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.score') END
+                AS DOUBLE) AS score_num,
        TRY_CAST(substr(event_type, 1, 1) AS BIGINT) AS bad_int,
-       coalesce(TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE),
-                -1.0) AS score_or_default
+       coalesce(TRY_CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.score') END
+                         AS DOUBLE), -1.0) AS score_or_default
 FROM events
 """,
 )
@@ -614,9 +622,17 @@ def sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_json_funcs",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-       array_to_string(json_keys(props), ',') AS prop_keys,
+       -- json_valid + TRY_CAST mirror Spark's NULL-on-malformed /
+       -- NULL-on-type-confusion semantics (malformed-JSON audit,
+       -- round 10); json_keys already yields NULL on a non-object
+       -- like Spark's json_object_keys
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END AS k_str,
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract(props, '$.k') END
+                AS BIGINT) AS k_typed,
+       CASE WHEN json_valid(props)
+            THEN array_to_string(json_keys(props), ',') END AS prop_keys,
        CAST(json_array_length(concat('[', repeat('0,', user_id % 4), '0]'))
             AS BIGINT) AS arr_len,
        json_extract_string(
@@ -885,16 +901,25 @@ def sql_paginated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_variant_type",
     oracle="""
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_num,
+       -- json_valid + TRY_CAST mirror try_parse_json/try_variant_get:
+       -- a truncated payload NULLs the variant and a type-confused
+       -- one NULLs the typed get (malformed-JSON audit, round 10)
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract(props, '$.k') END
+                AS BIGINT) AS k_typed,
+       TRY_CAST(CASE WHEN json_valid(props)
+                     THEN json_extract(props, '$.k') END
+                AS DOUBLE) AS k_num,
        json_extract_string(
            concat('{"u":', user_id, ',"tags":["a","b"]}'), '$.tags[0]')
            AS tag0,
-       -- NULL props parse to a NULL variant whose schema is NULL on
-       -- Spark; the constant only applies to real payloads (all-NULL
-       -- audit, round 10)
-       CASE WHEN props IS NULL THEN NULL
-            ELSE 'OBJECT<k: BIGINT>' END AS v_schema
+       -- schema introspection is asserted on the well-formed
+       -- generator shape and NULL elsewhere on BOTH engines (NULL or
+       -- malformed or reshaped payloads — all-NULL + malformed-JSON
+       -- audits, round 10)
+       CASE WHEN coalesce(regexp_matches(props, '^\\{"k": [0-9]+\\}$'),
+                          false)
+            THEN 'OBJECT<k: BIGINT>' END AS v_schema
 FROM events
 """,
 )
@@ -912,16 +937,24 @@ def sql_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only expressions; at 100 TB the win is parsing
     each props string ONCE instead of once per extraction."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json / try_variant_get: a truncated payload must NULL
+    # the variant and a type-confused field must NULL the typed get —
+    # never abort the 100 TB job (malformed-JSON audit, round 10)
+    v = F.try_parse_json("props")
     nested_v = F.parse_json(
         F.concat(F.lit('{"u":'), F.col("user_id"), F.lit(',"tags":["a","b"]}'))
     )
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
-        F.variant_get(v, "$.k", "double").alias("k_num"),
-        F.variant_get(nested_v, "$.tags[0]", "string").alias("tag0"),
-        F.schema_of_variant(v).alias("v_schema"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.k", "double").alias("k_num"),
+        F.try_variant_get(nested_v, "$.tags[0]", "string").alias("tag0"),
+        # schema introspection asserted on the well-formed generator
+        # shape, NULL elsewhere (mirrored in the oracle)
+        F.when(
+            F.col("props").rlike(r'^\{"k": [0-9]+\}$'),
+            F.schema_of_variant(v),
+        ).alias("v_schema"),
     )
 
 

@@ -865,3 +865,47 @@ def test_date_extremes_parity(name, spark, datex_sf_dir, datex_oracle_con):
     qd = load_all()[name]
     result = compare(name, qd.spark(spark, datex_sf_dir), datex_oracle_con, qd.oracle)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# malformed-JSON audit (round 10): 2% of events.props replaced with
+# truncated / non-JSON / empty / type-confused / shape-drifted
+# payloads.  Pin the 4 fixed keys: DuckDB's json_extract RAISES on
+# malformed input where Spark's get_json_object NULLs (json_valid
+# guards), CAST-of-extraction raising on type confusion on both
+# engines (TRY_CAST / try_cast), and the variant surface quarantining
+# instead of aborting (try_parse_json + try_variant_get, schema
+# introspection asserted on the well-formed shape only).
+_json_spec = _ilu.spec_from_file_location(
+    "json_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "json_audit.py",
+)
+_json_audit = _ilu.module_from_spec(_json_spec)
+_json_spec.loader.exec_module(_json_audit)
+
+JSON_AUDITED = [
+    "sql_try_cast",
+    "sql_json_funcs",
+    "sql_variant_type",
+    "ev_json_props",
+]
+
+
+@pytest.fixture(scope="module")
+def json_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_json")
+    return _json_audit.build_json_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def json_oracle_con(json_sf_dir):
+    con = duckdb_connection(json_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", JSON_AUDITED)
+def test_malformed_json_parity(name, spark, json_sf_dir, json_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, json_sf_dir), json_oracle_con, qd.oracle)
+    assert result.ok, str(result)
