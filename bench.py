@@ -6,75 +6,49 @@ Prints ONE JSON line:
 "prev_commit_control": {...}}``
 
 The ``prev_commit_control`` block re-runs the PREVIOUS round's commit
-(hash in ``PREV_ROUND_COMMIT`` at the repo root) back-to-back in the
-same session via a temporary git worktree, so every cross-round delta
-is host-load-adjusted by construction: if HEAD and the control move
-together, the drift is ambient; if they diverge, it is structural.
-(Three consecutive verdicts burned on ambient-vs-structural ambiguity
-before this existed.)  Control failures are reported inside the block,
-never fail the bench.  Set SPARK_GRAFT_NO_CONTROL=1 to skip (the
-control subprocess sets it to stop recursion).
+(hash in ``PREV_ROUND_COMMIT`` at the repo root) in the same session
+window via a temporary git worktree, so every cross-round delta is
+host-load-adjusted by construction.  Round-11 change (round-10 verdict
+task #2): the control is INTERLEAVED PER QUERY (A B A B A B — HEAD rep,
+control rep, alternating, three pairs per query) instead of two
+sequential blocks.  Round 10 proved sequential blocks do not cancel
+intra-session load drift: the driver-session block A/B said HEAD +8%
+while the builder's same-commit close pair said −8%, and individual
+queries swung ~2x in both directions inside one session.  Alternating
+reps put every HEAD sample within seconds of its matched control
+sample, so the per-rep ratio a_i/b_i cancels drift at the only
+timescale it actually varies on.  The block reports the per-query
+paired-ratio median and the geomean across queries; ratios, not
+totals, are the cross-round signal.
+
+Mechanics: the control worktree runs THIS file in ``--serve`` mode
+(HEAD's bench harness over the control commit's query code — the
+harness is measurement machinery, not measured code, and sharing it
+keeps both arms' timing loop byte-identical).  The serve process owns
+its own Spark JVM (8g driver; two fit trivially in 128 GiB) and only
+one arm executes at a time, so the idle JVM contributes no load.
+Control failures are reported inside the block, never fail the bench.
+Set SPARK_GRAFT_NO_CONTROL=1 to skip (the serve subprocess inherits it
+to stop recursion).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import subprocess
 import sys
 import time
 
 
-def _run_control(repo: str, sf_dir: str) -> dict:
-    """Bench the previous round's commit in a throwaway worktree."""
-    marker = os.path.join(repo, "PREV_ROUND_COMMIT")
-    if not os.path.exists(marker):
-        return {"skipped": "no PREV_ROUND_COMMIT marker"}
-    commit = open(marker).read().split()[0]
-    wt = os.path.join("/tmp", f"bench_control_{commit[:12]}_{os.getpid()}")
-    env = dict(os.environ, SPARK_GRAFT_NO_CONTROL="1", SPARK_GRAFT_SF_DIR=sf_dir)
-    try:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=repo, capture_output=True, check=False,
-        )
-        subprocess.run(
-            ["git", "worktree", "add", "--force", "--detach", wt, commit],
-            cwd=repo, capture_output=True, check=True, timeout=60,
-        )
-        out = subprocess.run(
-            [sys.executable, "bench.py"],
-            cwd=wt, env=env, capture_output=True, text=True, timeout=1800,
-        )
-        line = next(
-            (ln for ln in reversed(out.stdout.strip().splitlines())
-             if ln.startswith("{")), None,
-        )
-        if out.returncode != 0 or line is None:
-            return {
-                "commit": commit,
-                "error": f"rc={out.returncode}",
-                "stderr_tail": out.stderr[-500:],
-            }
-        ctl = json.loads(line)
-        return {
-            "commit": commit,
-            "value": ctl.get("value"),
-            "queries": ctl.get("queries", {}),
-        }
-    except Exception as exc:  # noqa: BLE001 — the control must never fail the bench
-        return {"commit": commit, "error": f"{type(exc).__name__}: {exc}"}
-    finally:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=repo, capture_output=True, check=False,
-        )
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _make_runner(sf_dir: str):
+    """Build the session, warm every catalog table, and return
+    ``run_once(qd) -> sec`` plus the headline registry."""
     from duckdb_hdfs_spark import get_spark
     from duckdb_hdfs_spark.queries import load_all
+    from duckdb_hdfs_spark.sources.catalog import TABLES, load_table
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,12 +59,9 @@ def main() -> None:
     # every table the headline queries read, so timings measure engine
     # throughput (steady-state, what a long run amortizes to) rather
     # than first-touch disk I/O — the DuckDB baseline numbers were
-    # likewise measured warm.
-    # warm EVERY catalog table (catalog.TABLES), not a hand-kept list:
-    # the previous hardcoded tuple omitted supplier, so headline q5's
-    # first timed run paid first-touch I/O (round-7 review finding)
-    from duckdb_hdfs_spark.sources.catalog import TABLES, load_table
-
+    # likewise measured warm.  Warm EVERY catalog table (catalog.TABLES),
+    # not a hand-kept list: a previous hardcoded tuple omitted supplier,
+    # so headline q5's first timed run paid first-touch I/O.
     for tbl in TABLES:
         df = load_table(spark, sf_dir, tbl)
         df.rdd.getNumPartitions()  # JIT-warm the partition probe path
@@ -105,14 +76,201 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    return spark, bench_queries, run_once
+
+
+def serve(sf_dir: str) -> None:
+    """Control-arm worker: print READY, then answer one query name per
+    stdin line with one JSON line ``{"q": name, "sec": t}`` (or
+    ``{"q": name, "error": ...}`` for names this commit lacks)."""
+    _spark, bench_queries, run_once = _make_runner(sf_dir)
+    print(json.dumps({"ready": True, "queries": sorted(bench_queries)}), flush=True)
+    for line in sys.stdin:
+        name = line.strip()
+        if not name:
+            continue
+        if name == "__EXIT__":
+            break
+        qd = bench_queries.get(name)
+        if qd is None:
+            print(json.dumps({"q": name, "error": "unknown query"}), flush=True)
+            continue
+        try:
+            sec = run_once(qd)
+            print(json.dumps({"q": name, "sec": sec}), flush=True)
+        except Exception as exc:  # noqa: BLE001 — keep serving
+            print(json.dumps({"q": name, "error": f"{type(exc).__name__}: {exc}"}),
+                  flush=True)
+
+
+class _Control:
+    """Interleaved prev-commit control arm over a throwaway worktree."""
+
+    def __init__(self, repo: str, sf_dir: str):
+        self.block: dict = {}
+        self.proc = None
+        self.wt = None
+        self.repo = repo
+        marker = os.path.join(repo, "PREV_ROUND_COMMIT")
+        if not os.path.exists(marker):
+            self.block = {"skipped": "no PREV_ROUND_COMMIT marker"}
+            return
+        commit = open(marker).read().split()[0]
+        self.block = {"commit": commit, "interleaved": True}
+        wt = os.path.join("/tmp", f"bench_control_{commit[:12]}_{os.getpid()}")
+        try:
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           cwd=repo, capture_output=True, check=False)
+            subprocess.run(
+                ["git", "worktree", "add", "--force", "--detach", wt, commit],
+                cwd=repo, capture_output=True, check=True, timeout=60)
+            self.wt = wt
+            # HEAD's harness over the control commit's query code: the
+            # timing loop must be byte-identical in both arms, and old
+            # commits predate --serve.  bench.py is harness, not
+            # measured code; the worktree is throwaway.
+            shutil.copy2(os.path.join(repo, "bench.py"),
+                         os.path.join(wt, "bench.py"))
+            env = dict(os.environ, SPARK_GRAFT_NO_CONTROL="1",
+                       SPARK_GRAFT_SF_DIR=sf_dir)
+            self.proc = subprocess.Popen(
+                [sys.executable, "bench.py", "--serve"],
+                cwd=wt, env=env, text=True, bufsize=1,
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL)
+            ready = json.loads(self._readline(timeout=600))
+            self.queries = set(ready.get("queries", []))
+        except Exception as exc:  # noqa: BLE001 — control never fails the bench
+            self.block["error"] = f"{type(exc).__name__}: {exc}"
+            self._teardown()
+
+    def _readline(self, timeout: float) -> str:
+        """Read one stdout line with a deadline (the serve JVM warming
+        up takes a while; a hung control must not hang the bench)."""
+        import select
+
+        deadline = time.time() + timeout
+        buf = ""
+        fd = self.proc.stdout
+        while time.time() < deadline:
+            r, _, _ = select.select([fd], [], [], min(5.0, deadline - time.time()))
+            if r:
+                ch = fd.readline()
+                if not ch:
+                    raise RuntimeError("control serve closed stdout")
+                buf = ch
+                if buf.endswith("\n"):
+                    return buf
+        raise TimeoutError(f"control serve silent for {timeout}s")
+
+    @property
+    def alive(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None \
+            and "error" not in self.block
+
+    def run(self, name: str) -> float | None:
+        """One control rep of ``name``; None on any failure (recorded)."""
+        if not self.alive:
+            return None
+        if name not in self.queries:
+            missing = self.block.setdefault("missing", [])
+            if name not in missing:
+                missing.append(name)
+            return None
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+            rep = json.loads(self._readline(timeout=600))
+            if "sec" in rep:
+                return float(rep["sec"])
+            self.block.setdefault("query_errors", {})[name] = rep.get("error")
+            return None
+        except Exception as exc:  # noqa: BLE001
+            self.block["error"] = f"{type(exc).__name__}: {exc}"
+            self._teardown()
+            return None
+
+    def _teardown(self) -> None:
+        if self.proc is not None:
+            try:
+                if self.proc.poll() is None:
+                    self.proc.stdin.write("__EXIT__\n")
+                    self.proc.stdin.flush()
+                    self.proc.wait(timeout=60)
+            except Exception:  # noqa: BLE001
+                self.proc.kill()
+            self.proc = None
+        if self.wt is not None:
+            subprocess.run(["git", "worktree", "remove", "--force", self.wt],
+                           cwd=self.repo, capture_output=True, check=False)
+            self.wt = None
+
+    def finish(self, ctl_runs: dict[str, list[float]],
+               head_runs: dict[str, list[float]]) -> dict:
+        """Close the arm and fold the paired samples into the block."""
+        self._teardown()
+        if "commit" not in self.block or "error" in self.block and not ctl_runs:
+            return self.block
+        ctl_med = {n: round(statistics.median(v), 3)
+                   for n, v in ctl_runs.items() if v}
+        ratios = {}
+        for n, cv in ctl_runs.items():
+            hv = head_runs.get(n, [])
+            pairs = [h / c for h, c in zip(hv, cv) if c > 0]
+            if pairs:
+                ratios[n] = round(statistics.median(pairs), 3)
+        self.block["queries"] = ctl_med
+        self.block["value"] = round(sum(ctl_med.values()), 3)
+        self.block["paired_ratio"] = ratios
+        if ratios:
+            import math
+
+            g = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+            self.block["paired_ratio_geomean"] = round(g, 3)
+        return self.block
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--serve" in sys.argv[1:]:
+        serve(sf_dir)
+        return
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    control = None
+    if not os.environ.get("SPARK_GRAFT_NO_CONTROL"):
+        # Spawn + warm the control arm FIRST, alone (its warmup is
+        # untimed but must not overlap HEAD's timed reps).
+        control = _Control(repo, sf_dir)
+
+    spark, bench_queries, run_once = _make_runner(sf_dir)
+
+    head_runs: dict[str, list[float]] = {}
+    ctl_runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for name, qd in bench_queries.items():
         # median of 3: first run pays plan compile + codegen (the
-        # median discards it); a min-of-N kept producing phantom
-        # ±15% round-over-round swings from one lucky run.
-        runs = sorted(run_once(qd) for _ in range(3))
-        timings[name] = round(runs[1], 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # median discards it — on both arms symmetrically); a min-of-N
+        # kept producing phantom ±15% round-over-round swings from one
+        # lucky run.  A-B alternation within the query: each HEAD rep's
+        # matched control rep lands seconds later, inside the same load
+        # regime.
+        hv, cv = [], []
+        for _ in range(3):
+            hv.append(run_once(qd))
+            if control is not None and control.alive:
+                c = control.run(name)
+                if c is not None:
+                    cv.append(c)
+        head_runs[name] = hv
+        if cv:
+            ctl_runs[name] = cv
+        timings[name] = round(statistics.median(hv), 3)
+        msg = f"# {name}: {timings[name]:.3f}s"
+        if len(cv) == len(hv) and cv:
+            ratio = statistics.median(h / c for h, c in zip(hv, cv))
+            msg += f" (ctl {statistics.median(cv):.3f}s, paired ratio {ratio:.2f})"
+        print(msg, file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -122,11 +280,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-
-    if not os.environ.get("SPARK_GRAFT_NO_CONTROL"):
-        repo = os.path.dirname(os.path.abspath(__file__))
-        spark.stop()  # free executor threads before the control's JVM
-        result["prev_commit_control"] = _run_control(repo, sf_dir)
+    if control is not None:
+        result["prev_commit_control"] = control.finish(ctl_runs, head_runs)
 
     print(json.dumps(result))
 

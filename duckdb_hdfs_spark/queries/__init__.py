@@ -71,84 +71,82 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-10 allocation: round 9
-# closed cumulative driver coverage at 325/325 (zero failures ever)
-# and added zero new keys this round (registry frozen per the round-9
-# verdict), so the whole window goes to stale re-verification on
-# fresh testdata, oldest driver row first: ALL 25 keys whose latest
-# row is round 3, then the 25 OLDEST round-4 keys (in their
-# CORRECTNESS_r04 window order).  After this round lands, no key's
-# latest driver row predates round 4.  All 50 verified green at
-# driver-condition sf0.01 before rotation.
+# Keep this list at exactly ≤50 names.  Round-11 allocation (the
+# round-10 verdict's task #1, verbatim): the 2 round-10 keys that
+# have never had a driver row lead, then ALL 25 keys whose latest
+# row is round 4 (CORRECTNESS_r04 window order), then the 23 OLDEST
+# round-5 keys (CORRECTNESS_r05 window order).  After this round
+# lands, every one of the 327 registered keys has at least one green
+# driver row and no key's latest row predates round 5.  All 50
+# verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 25 r3-stale keys (latest driver row: round 3) ---
-    "ev_value_histogram",
-    "distinct_users_approx",
-    "streaming_windowed_counts",
-    "fs_write_parquet",
-    "fs_sql_path",
-    "fs_describe_tables",
-    "asof_purchase_last_view",
-    "range_join_view_purchases",
-    "sample_hash_split",
-    "stats_quantiles",
-    "stats_moments",
-    "text_levenshtein_pairs",
-    "pack_context_windows",
-    "unpivot_event_metrics",
-    "corpus_mix_sample",
-    "sql_string_funcs",
-    "sql_date_funcs",
-    "sql_conditional_funcs",
-    "sql_set_ops",
-    "sql_array_funcs",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "fs_read_parquet",
-    # --- the 25 oldest r4-stale keys (CORRECTNESS_r04 order) ---
-    "text_repetition",
-    "text_contamination",
-    "dedup_prefix_groups",
-    "sim_ann_filtered",
-    "pipeline_quality_filter",
-    "emb_kmeans_update",
-    "skew_salted_event_stats",
-    "text_tfidf_topk",
-    "emb_int8_quantize",
-    "text_span_dedup",
-    "emb_gram_matrix",
-    "bpe_pair_counts",
-    "time_decay_engagement",
-    "sample_stratified_topk",
-    "emb_pca_project",
-    "layout_zorder_tiles",
-    "cdc_merge_orders",
-    "cdc_scd2_priority_history",
-    "sketch_hll_distinct",
-    "sketch_heavy_hitters",
-    "sketch_quantiles_approx",
-    "fs_read_csv_gzip",
-    "fs_read_orc",
-    "fs_read_schema_merge",
-    "fs_partitioned_prune",
+    # --- the 2 never-driver-checked round-10 keys ---
+    "sql_recursive_cte",
+    "sql_epoch_calendar_funcs",
+    # --- the 25 r4-stale keys (CORRECTNESS_r04 order) ---
+    "streaming_dedup_users",
+    "streaming_user_totals",
+    "streaming_view_purchase_join",
+    "streaming_session_windows",
+    "streaming_static_enrich",
+    "fs_ls",
+    "ev_tumbling_counts",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_retention",
+    "ev_top_users",
+    "ev_json_props",
+    "ev_anomaly_zscore",
+    "ev_rolling_dau",
+    "ev_cohort_retention",
+    "win_time_range_frame",
+    "win_moving_avg",
+    "win_running_total",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_priority_lateness",
+    "q14_promo_revenue",
+    "fs_read_csv",
+    # --- the 23 oldest r5-stale keys (CORRECTNESS_r05 order) ---
+    "text_unigram_logprob",
+    "text_token_entropy",
+    "dedup_containment",
+    "sample_quality_resample",
+    "corpus_dataset_card",
+    "text_length_histogram",
+    "corpus_token_budget",
+    "emb_whitening_check",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_norm_outliers",
+    "dedup_lsh_bucket_stats",
+    "cdc_merge_with_deletes",
+    "win_first_last",
+    "sql_higher_order_funcs",
+    "ev_user_lifetime",
+    "ev_markov_transitions",
+    "ev_inter_event_times",
+    "ev_hourly_profile",
+    "asof_view_next_purchase",
+    "orders_rfm_scores",
+    "fs_read_binary",
+    "q2_part_supplier_stats",
 )
 
-# Round-11+ rotation pool — stale re-verification oldest-first after
-# any keys added that round.  Remaining r4-latest keys (25):
-# streaming_dedup_users, streaming_user_totals,
-# streaming_view_purchase_join, streaming_session_windows,
-# streaming_static_enrich, fs_ls, fs_read_csv, ev_tumbling_counts,
-# ev_sessionize, ev_funnel, ev_retention, ev_top_users,
-# ev_json_props, ev_anomaly_zscore, ev_rolling_dau,
-# ev_cohort_retention, win_time_range_frame, win_moving_avg,
-# win_running_total, q1_pricing_summary, q3_shipping_priority,
-# q5_local_supplier_volume, q6_forecast_revenue,
-# q12_priority_lateness, q14_promo_revenue; then the r5 set
-# (50 keys), then r6, etc.  The two round-10 additions
-# (sql_recursive_cte, sql_epoch_calendar_funcs) have never had a
-# driver row — they join the r11 window ahead of the stale tail.
+# Round-12+ rotation pool — stale re-verification oldest-first after
+# any keys added that round.  Remaining r5-latest keys (27, in their
+# CORRECTNESS_r05 window order): q4_order_priority, q7_volume_shipping,
+# q8_market_share, q9_product_profit, q10_returned_items,
+# q11_supplier_value, q13_cust_order_distribution, q15_top_supplier,
+# q16_brand_type_counts, q17_small_qty_revenue, q18_large_volume_cust,
+# q19_disjunctive_preds, q20_part_supplier_ship, q21_waiting_orders,
+# q22_acctbal_opportunity, win_topk_per_group, win_lag_delta,
+# rollup_sales, cube_sales, grouping_sets_sales, pivot_event_types,
+# distinct_users_exact, sql_cte_chain, win_rank_functions,
+# grouping_id_sales, fs_read_json, fs_glob;
+# then the r6 set (50 keys), then r7, etc.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

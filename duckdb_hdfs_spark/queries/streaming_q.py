@@ -316,6 +316,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time passes last_ts + gap + watermark, so state size tracks ACTIVE
     sessions, not history."""
     from duckdb_hdfs_spark.streaming.pipelines import (
+        clamp_event_time,
         read_event_stream,
         run_available_now_to_memory,
         session_windows,
@@ -324,7 +325,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _rewrite_events(spark, sf_dir, n_files=4, tag="sessions")
 
     name = f"t_streaming_session_windows_{next(_run_counter)}"
-    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    # ingest-time future-clamp (round-11, verdict task #4): a single
+    # corrupted far-future timestamp would advance the watermark past
+    # the whole real stream and force-close every live session; the
+    # clamp bounds event time at now + slack BEFORE the watermark
+    # reads it.  Value-level no-op on clean data (all testdata ts are
+    # historical), so the batch oracle is untouched.
+    stream = clamp_event_time(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
     run_available_now_to_memory(
         session_windows(stream, gap="2 hours", watermark="60 days"),
         name,

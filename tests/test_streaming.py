@@ -383,3 +383,122 @@ def test_stateful_running_totals(spark, event_files):
     )
     want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
     assert {u: (n, t) for u, (n, t) in final.items()} == want
+
+
+# --------------------------------------------------------------------------
+# watermark-poisoning defense (round 11, verdict task #4): the round-10
+# timestamp-extremes audit MEASURED the hazard (one far-future event →
+# watermark past the whole real stream → decided sessions 450 vs 828)
+# but the production rule existed only as prose.  clamp_event_time is
+# that rule as code: bound event time at now + slack AT INGEST, before
+# the watermark column is declared.
+def _write_poisoned_stream(spark, out: str) -> tuple[str, "object"]:
+    """Three mtime-ordered parquet files: file0 carries 5 users' first
+    sessions PLUS one corrupt year-2262 event; files 1-2 carry the
+    same users' later sessions.  Returns (src_dir, max_real_ts)."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+
+    from duckdb_hdfs_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    def batch_rows(start_min: int, eid0: int):
+        rows = []
+        for u in range(1, 6):
+            for i in range(4):
+                ts = t0 + (start_min + u + i * 5) * mins
+                rows.append((eid0 + u * 10 + i, ts, u, "view", 1.0, "{}"))
+        return rows
+
+    f0 = batch_rows(0, 0)
+    poison = (999, datetime.datetime(2262, 4, 11, 0, 0, 0), 99, "view", 1.0, "{}")
+    f0.append(poison)
+    f1 = batch_rows(180, 1000)  # +3 h → new sessions under a 30-min gap
+    f2 = batch_rows(360, 2000)  # +6 h
+    max_real = t0 + (360 + 5 + 15) * mins
+    os.makedirs(out, exist_ok=True)
+    for i, rows in enumerate((f0, f1, f2)):
+        d = f"{out}/part{i}"
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        src = _glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{out}/events_{i}.parquet"
+        shutil.move(src, dst)
+        shutil.rmtree(d)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return out, max_real
+
+
+def test_clamp_event_time_defuses_watermark_poison(spark, tmp_path):
+    """Without the ingest clamp, the single 2262 event advances the
+    watermark past every real row and the later micro-batches'
+    sessions mass-drop; with clamp_event_time the SAME stream decides
+    every real session and the result equals the batch sessionization
+    of the clamped data (the corrupt row survives, clamped, flagged)."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        clamp_event_time,
+        dropped_by_watermark,
+    )
+
+    src, max_real = _write_poisoned_stream(spark, str(tmp_path / "poisoned"))
+
+    def run(name: str, clamp: bool):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        if clamp:
+            stream = clamp_event_time(
+                stream, slack="1 hour", now=max_real, flag_col="_clamped"
+            ).drop("_clamped")
+        progress = run_available_now_to_memory(
+            session_windows(stream, gap="30 minutes", watermark="1 hour"),
+            name,
+            output_mode="complete",
+        )
+        return spark.table(name), progress
+
+    poisoned, prog_p = run("t_wm_poisoned", clamp=False)
+    n_poisoned = poisoned.count()
+    assert dropped_by_watermark(prog_p) > 0, (
+        "expected the 2262 event to poison the watermark and drop "
+        "later batches' rows (the hazard this helper defends against)"
+    )
+
+    clamped, prog_c = run("t_wm_clamped", clamp=True)
+    assert dropped_by_watermark(prog_c) == 0
+    assert clamped.count() > n_poisoned, (
+        "clamped run should decide the sessions the poisoned run lost"
+    )
+
+    # streaming result over the clamped stream == batch sessionization
+    # of the identically-clamped batch read (clamp is a pure map, so it
+    # applies to both sides verbatim)
+    batch = clamp_event_time(
+        spark.read.parquet(f"{src}/*.parquet"), slack="1 hour", now=max_real
+    )
+    want = {
+        (r.user_id, r["sw"].start): (r["sw"].end, r.n_events)
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in clamped.collect()
+    }
+    assert got == want and len(got) == 16  # 5 users x 3 sessions + clamped row
+
+    # the flag column does the quarantine accounting: exactly the one
+    # corrupt row is marked
+    flagged = clamp_event_time(
+        spark.read.parquet(f"{src}/*.parquet"),
+        slack="1 hour",
+        now=max_real,
+        flag_col="_clamped",
+    )
+    assert flagged.filter(F.col("_clamped")).count() == 1
