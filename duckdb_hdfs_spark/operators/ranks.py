@@ -188,7 +188,17 @@ def _range_bucketed(
     (fixed partition contents → fixed partial-aggregation merge
     order → identical bounds on every re-evaluation).  The bucket
     column is a pure function of (row, bounds), so consumer branches
-    see IDENTICAL buckets without a second materialization."""
+    see IDENTICAL buckets without a second materialization.
+
+    Round-11 negative result (do not re-attempt): a checkpoint-skip
+    flag for exchange-ended upstreams was prototyped and measured on
+    stats_spearman_corr — the final plan contained NO ReusedExchange
+    for the duplicated consumer subtrees (AQE did not deduplicate
+    them), the interleaved A/B ran SLOWER (median 4.68s vs 3.99s at
+    sf0.1, double evaluation), and without reuse the two consumers'
+    percentile bounds could diverge (shuffle arrival order), breaking
+    the identical-buckets guarantee.  The checkpoint stays
+    unconditional."""
     df = df.localCheckpoint(eager=True)
     probs = [i / n_ranges for i in range(1, n_ranges)]
     # accuracy 1000 (~0.1% rank error) suffices: bounds only steer

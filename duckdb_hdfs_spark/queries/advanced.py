@@ -2901,9 +2901,24 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rxd = F.col("rx").cast("decimal(14,0)")
     # one row pass: attach broadcast rx, collapse to distinct-y grain
-    # carrying the x-side cross-term weights
+    # carrying the x-side cross-term weights.  The explicit
+    # repartition on the agg keys (round 11, stage-profiled): y is
+    # near-unique within flag (~1.003 rows per distinct
+    # extendedprice), so map-side partial aggregation builds a
+    # ~600k-entry hash table for no reduction — and the scan side is
+    # as parallel as the FILE layout allows (testdata sf0.1 is one
+    # 600k-row row group → ONE effective scan task; the profiler
+    # measured that scan+join+partial-agg task at ~1.0s, the single
+    # largest stage).  Repartitioning on exactly the groupBy keys
+    # adds no exchange (the agg reuses it) but moves the hash-agg
+    # work BEHIND the shuffle onto all cores and strips the useless
+    # partial build from the scan task (interleaved A/B: 3.76 →
+    # 3.37s median).  At 100 TB the same argument holds wherever the
+    # agg grain is ~1:1 with the input — partial agg is pure
+    # overhead at any file layout.
     g = (
         rows.join(F.broadcast(vx), ["flag", "x"])
+        .repartition("flag", "y")
         .groupBy("flag", "y")
         .agg(
             F.count(F.lit(1)).alias("cy"),

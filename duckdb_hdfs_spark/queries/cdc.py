@@ -381,9 +381,25 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GRAIN before the incremental math (duplicated-rows audit, round
     # 10): the incremental delta assumes each key appears once per
     # batch — a replayed change would double-add its after-image and
-    # double-subtract its before-image.  The oracle's rn = 1 keyed
-    # merge IS this dedupe; a no-op on key-unique data.
-    ods = _t(spark, sf_dir, "orders").dropDuplicates(["o_orderkey"])
+    # double-subtract its before-image.  The pick is DETERMINISTIC
+    # (round-11 advice — dropDuplicates chose an arbitrary row,
+    # output-invariant only under exact full-row twins): max_by over
+    # a total-order struct of the numeric/date payload columns, so
+    # twins differing in non-key columns (a real CDC feed without a
+    # version column) resolve identically on every run and engine.
+    # A groupBy max_by, not a per-key window: map-side partial
+    # aggregation collapses replays before the shuffle, and state is
+    # one struct per key — the same 100 TB shape as dropDuplicates.
+    raw = _t(spark, sf_dir, "orders")
+    payload = [c for c in raw.columns if c != "o_orderkey"]
+    ods = raw.groupBy("o_orderkey").agg(
+        F.max_by(
+            F.struct(*payload),
+            F.struct(
+                F.col("o_totalprice"), F.col("o_custkey"), F.col("o_orderdate")
+            ),
+        ).alias("_p")
+    ).select("o_orderkey", *[F.col(f"_p.{c}").alias(c) for c in payload])
     snap = ods.filter(F.col("o_orderkey") % 3 != 0)
     base = snap.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),

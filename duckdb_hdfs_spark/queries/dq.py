@@ -312,15 +312,20 @@ def _benford_oracle() -> str:
 WITH d AS (
     -- Benford reads the first SIGNIFICANT digit: abs() strips the
     -- sign (a credit entry's '-' crashed the INT cast on both
-    -- engines — negative-measures audit, round 10) and the 1..9
-    -- filter drops zero values, which have no significant digit
+    -- engines — negative-measures audit, round 10)
     SELECT CAST(substr(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)))
                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
     FROM orders
     WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1e-10
 ),
 obs AS (
-    SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
+    -- the explicit 1..9 filter makes the code match the contract
+    -- (round-11 advice): a sub-unit magnitude (0 < |x| < 1) renders
+    -- leading digit 0 from the '0.xx' string form, and p_expected's
+    -- 1/digit would then divide by zero with ENGINE-SPLIT results
+    -- (DuckDB decimal/int -> NULL, Spark double -> Infinity)
+    SELECT digit, count(*) AS n_orders FROM d
+    WHERE digit BETWEEN 1 AND 9 GROUP BY digit
 ),
 tot AS (SELECT sum(n_orders) AS n_total FROM obs),
 p AS (
@@ -386,7 +391,14 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    # explicit 1..9 significant-digit filter (round-11 advice): a
+    # 0<|x|<1 magnitude renders digit 0 and 1/digit then diverges
+    # cross-engine (NULL vs Infinity); mirrored in the oracle
+    obs = (
+        d.filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     obs = obs.localCheckpoint(eager=True)
     tot = obs.agg(F.sum("n_orders").alias("n_total"))
     p = obs.join(F.broadcast(tot)).select(

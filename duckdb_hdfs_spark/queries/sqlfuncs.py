@@ -624,14 +624,19 @@ def sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        -- json_valid + TRY_CAST mirror Spark's NULL-on-malformed /
        -- NULL-on-type-confusion semantics (malformed-JSON audit,
-       -- round 10); json_keys already yields NULL on a non-object
-       -- like Spark's json_object_keys
+       -- round 10).  prop_keys contract (round-11 advice): an EMPTY
+       -- key set maps to NULL on both sides — DuckDB json_keys
+       -- returns [] on '{}' AND on non-objects (array_to_string([])
+       -- happens to be NULL, '' only for non-empty keys), while
+       -- Spark json_object_keys gives [] on '{}' but NULL on
+       -- non-objects; the len()>0 / size()>0 guards collapse both
+       -- engines' empty-vs-NULL split to one NULL lane.
        CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k') END AS k_str,
        TRY_CAST(CASE WHEN json_valid(props)
                      THEN json_extract(props, '$.k') END
                 AS BIGINT) AS k_typed,
-       CASE WHEN json_valid(props)
+       CASE WHEN json_valid(props) AND len(json_keys(props)) > 0
             THEN array_to_string(json_keys(props), ',') END AS prop_keys,
        CAST(json_array_length(concat('[', repeat('0,', user_id % 4), '0]'))
             AS BIGINT) AS arr_len,
@@ -660,7 +665,13 @@ def sql_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", "k BIGINT")["k"].alias("k_typed"),
-        F.array_join(F.json_object_keys("props"), ",").alias("prop_keys"),
+        # empty key set → NULL (mirrors the oracle's len()>0 guard;
+        # size(NULL)=NULL under non-legacy conf, so malformed and
+        # non-object payloads fall through to NULL as before)
+        F.when(
+            F.size(F.json_object_keys("props")) > 0,
+            F.array_join(F.json_object_keys("props"), ","),
+        ).alias("prop_keys"),
         F.json_array_length(
             F.concat(
                 F.lit("["),

@@ -6,6 +6,10 @@ mid-write crash, or a schema-drifting producer actually emits:
 - 'not json at all'
 - ''               (empty string)
 - '{"k": "str"}'   (type confusion: string where ints flow)
+- '{}'             (valid EMPTY object — round-11 advice: DuckDB's
+                    array_to_string(json_keys('{}')) is NULL where
+                    Spark's array_join(...) was ''; both sides now
+                    guard empty key sets to NULL)
 - '[1, 2, 3]'      (shape drift: array where an object flows)
 
 What it caught (4 keys): DuckDB's json_extract/json_extract_string
@@ -40,11 +44,12 @@ TABLES = (
 PROPS = (
     "CASE WHEN ('0x' || substr(md5('js' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT "
     "% 100 < 2 THEN "
-    " CASE event_id % 5 "
+    " CASE event_id % 6 "
     "  WHEN 0 THEN '{\"k\": 1' "
     "  WHEN 1 THEN 'not json at all' "
     "  WHEN 2 THEN '' "
     "  WHEN 3 THEN '{\"k\": \"str\"}' "
+    "  WHEN 4 THEN '{}' "  # valid EMPTY object (round-11 advice)
     "  ELSE '[1, 2, 3]' END "
     "ELSE props END AS props"
 )
