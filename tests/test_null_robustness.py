@@ -909,3 +909,142 @@ def test_malformed_json_parity(name, spark, json_sf_dir, json_oracle_con):
     qd = load_all()[name]
     result = compare(name, qd.spark(spark, json_sf_dir), json_oracle_con, qd.oracle)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# NaN/Inf audit (round 11, verdict task #5): the extreme-values
+# audit's deliberate exclusion, promoted to an ingest rule —
+# FINITE_MEASURES: non-finite scalars are NULLed at ingest (the NULL
+# lane the round-9 audit proved), vectors with any non-finite
+# component are quarantined.  Spark and DuckDB handle non-finite
+# doubles under different ENGINE CONTRACTS (Spark canonical-NaN
+# groups/sorts largest and DECIMAL-casts to NULL; DuckDB raises on
+# the cast) — no operator-level formulation reconciles them, exactly
+# the KEY_GRAIN / FIXED_DIM class.  The pinned keys are
+# measure-heavy shapes over the perturbed columns; the full-registry
+# sweep is scripts/naninf_audit.py (green at round-11 close).
+_nf_spec = _ilu.spec_from_file_location(
+    "naninf_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "naninf_audit.py",
+)
+_nf_audit = _ilu.module_from_spec(_nf_spec)
+_nf_spec.loader.exec_module(_nf_audit)
+
+NANINF_PINNED = [
+    "q1_pricing_summary",       # lineitem measure sums (DECIMAL folds)
+    "ev_value_histogram",       # value bucketing (NaN bucket = crash raw)
+    "stats_quantiles",          # exact quantiles over value
+    "stats_moments",            # co-moment machinery over measures
+    "sim_norm_outliers",        # embedding L2 norms (vector quarantine)
+    "dedup_embedding_cos",      # inner products (vector quarantine)
+    "emb_dim_variance",         # per-dimension panels
+    "orders_rfm_scores",        # o_totalprice monetary folds
+    "dq_iqr_outliers",          # robust spread over measures
+    "ev_anomaly_zscore",        # mean/std over value
+]
+
+
+@pytest.fixture(scope="module")
+def naninf_sf_dir(sf_dir, tmp_path_factory) -> str:
+    raw = tmp_path_factory.mktemp("testdata_nf_raw")
+    fin = tmp_path_factory.mktemp("testdata_nf_fin")
+    _nf_audit.build_naninf_dir(sf_dir, str(raw))
+    return _nf_audit.build_finite_dir(str(raw), str(fin))
+
+
+@pytest.fixture(scope="module")
+def naninf_oracle_con(naninf_sf_dir):
+    con = duckdb_connection(naninf_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NANINF_PINNED)
+def test_naninf_finite_measures_parity(
+    name, spark, naninf_sf_dir, naninf_oracle_con
+):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, naninf_sf_dir), naninf_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
+
+
+def test_naninf_rule_lists_are_current():
+    """Audit column map stays truthful: every MEASURES column exists
+    with DOUBLE type in the real testdata schema."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    for t, (_key, cols) in _nf_audit.MEASURES.items():
+        desc = dict(
+            (c, ty)
+            for c, ty, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            ).fetchall()
+        )
+        for c in cols:
+            assert desc.get(c) == "DOUBLE", (t, c, desc.get(c))
+    con.close()
+
+
+# --------------------------------------------------------------------------
+# row-order / layout-invariance audit (round 11): every table
+# rewritten in a deterministic md5 scramble of its row order — the
+# one degree of freedom a distributed storage layer exercises
+# constantly (task-commit order, compaction, row-group interleave).
+# Contract: NOTHING in any result depends on layout — approximate
+# sketches emit bound-booleans, range-bucket bounds only steer
+# balance, double folds round before decimal accumulation.  The pins
+# run BOTH checks (cross-engine parity on the scrambled copy, and
+# spark(scrambled) == spark(original) invariance) on the shapes most
+# exposed to layout: sketch merges, range-bucketed cumsums, top-k,
+# and first/last windows.  Full registry: scripts/roworder_audit.py.
+_ro_spec = _ilu.spec_from_file_location(
+    "roworder_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "roworder_audit.py",
+)
+_ro_audit = _ilu.module_from_spec(_ro_spec)
+_ro_spec.loader.exec_module(_ro_audit)
+
+ROWORDER_PINNED = [
+    "sketch_quantiles_approx",  # GK merge tree follows layout; bound must not
+    "sketch_hll_distinct",      # HLL merge order
+    "distinct_users_approx",    # HLL++ bound boolean
+    "corpus_token_budget",      # grouped_cumsum range-bucket bounds
+    "orders_rfm_scores",        # distributed_ntile bucketing
+    "win_topk_per_group",       # WindowGroupLimit heap order
+    "win_first_last",           # first/last REQUIRE explicit ordering
+    "stats_spearman_corr",      # the full two-phase cumsum machinery
+    "dedup_minhash_lsh",        # banded pipeline over scrambled docs
+    "ev_sessionize",            # lag/cumsum over scrambled arrival
+]
+
+
+@pytest.fixture(scope="module")
+def roworder_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_roworder")
+    return _ro_audit.build_scrambled_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def roworder_oracle_con(roworder_sf_dir):
+    con = duckdb_connection(roworder_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ROWORDER_PINNED)
+def test_roworder_parity(name, spark, roworder_sf_dir, roworder_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, roworder_sf_dir), roworder_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
+
+
+@pytest.mark.parametrize("name", ROWORDER_PINNED)
+def test_roworder_invariance(name, spark, roworder_sf_dir, sf_dir):
+    qd = load_all()[name]
+    result = _ro_audit.invariance_check(name, qd, spark, roworder_sf_dir, sf_dir)
+    assert result.ok, str(result)
