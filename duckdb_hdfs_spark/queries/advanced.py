@@ -2915,7 +2915,12 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial build from the scan task (interleaved A/B: 3.76 →
     # 3.37s median).  At 100 TB the same argument holds wherever the
     # agg grain is ~1:1 with the input — partial agg is pure
-    # overhead at any file layout.
+    # overhead at any file layout.  Negative result (round 11, do
+    # not re-attempt): fusing the two lineitem scans behind a
+    # repartition(32).localCheckpoint of the projected rows measured
+    # a FULL SECOND SLOWER (4.10 vs 3.11s interleaved) — the eager
+    # materialization barrier + checkpoint write/read of 600k rows
+    # costs ~4x the 0.25s second scan it saves.
     g = (
         rows.join(F.broadcast(vx), ["flag", "x"])
         .repartition("flag", "y")
