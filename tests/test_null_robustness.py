@@ -1048,3 +1048,68 @@ def test_roworder_invariance(name, spark, roworder_sf_dir, sf_dir):
     qd = load_all()[name]
     result = _ro_audit.invariance_check(name, qd, spark, roworder_sf_dir, sf_dir)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# file-split layout audit (round 11): the second layout degree of
+# freedom after row order — every table rewritten as a 4-part
+# directory with rows md5-assigned to parts (what every distributed
+# writer / compaction tier produces; at 100 TB no table is one
+# file).  Parity runs against glob views (DuckDB does not auto-glob
+# a directory); invariance pins spark(split) == spark(original).
+# LAYOUT_DEFINED keys (fs_ls/fs_glob/fs_read_binary/... — the file
+# layout IS their contract) are excluded by documented design.
+_fsplit_spec = _ilu.spec_from_file_location(
+    "filesplit_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "filesplit_audit.py",
+)
+_fsplit_audit = _ilu.module_from_spec(_fsplit_spec)
+_fsplit_spec.loader.exec_module(_fsplit_audit)
+
+FILESPLIT_PINNED = [
+    "fs_read_parquet",          # the multi-file read path itself
+    "fs_sql_path",              # direct-path SQL over a directory
+    "fs_read_schema_merge",     # schema merge across parts
+    "q1_pricing_summary",       # scan+agg over 4-way split fact
+    "dedup_minhash_lsh",        # banded pipeline over split docs
+    "sketch_quantiles_approx",  # GK merge across file partitions
+    "corpus_token_budget",      # range-bucket cumsum over split corpus
+    "streaming_windowed_counts",  # file-source stream from split input
+]
+
+
+def test_filesplit_layout_defined_keys_exist():
+    from duckdb_hdfs_spark.queries import load_all
+
+    reg = load_all()
+    missing = _fsplit_audit.LAYOUT_DEFINED - set(reg)
+    assert not missing, f"LAYOUT_DEFINED names not in registry: {missing}"
+
+
+@pytest.fixture(scope="module")
+def filesplit_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_filesplit")
+    return _fsplit_audit.build_split_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def filesplit_oracle_con(filesplit_sf_dir):
+    con = _fsplit_audit.glob_connection(filesplit_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FILESPLIT_PINNED)
+def test_filesplit_parity(name, spark, filesplit_sf_dir, filesplit_oracle_con):
+    qd = load_all()[name]
+    result = compare(
+        name, qd.spark(spark, filesplit_sf_dir), filesplit_oracle_con, qd.oracle
+    )
+    assert result.ok, str(result)
+
+
+@pytest.mark.parametrize("name", FILESPLIT_PINNED)
+def test_filesplit_invariance(name, spark, filesplit_sf_dir, sf_dir):
+    qd = load_all()[name]
+    result = _ro_audit.invariance_check(name, qd, spark, filesplit_sf_dir, sf_dir)
+    assert result.ok, str(result)
