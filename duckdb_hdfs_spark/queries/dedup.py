@@ -1532,7 +1532,18 @@ def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # CollapseProject keeps the tokenize projected (evaluated once per
     # row, never inlined into the per-element lambda).  posexplode is
     # 0-based; +1 matches the oracle's generate_series.
-    base = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    # graded rebalance before the CPU-heavy gram build (round 11):
+    # the tokenize → per-gram slice/join → md5 map phase was running
+    # at the SCAN's parallelism — one effective task on a
+    # single-row-group file (the same stage shape the minhash and
+    # winnowing pipelines already rebalance); interleaved A/B at
+    # sf0.1: 2.28 → 1.69s median, rows identical.  No-op whenever
+    # the scan is already well split (the 100 TB case).
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    base = rebalance_cpu_heavy(docs.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
     n = F.greatest(F.size("tk") - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n),
