@@ -87,7 +87,16 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
     sh = base.select(
         "doc_id", word_shingles(tokens(F.col("text")), k=2).alias("shingles")
     )
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # explode WITHOUT InferFiltersFromGenerate (round 11): the
+    # inferred size(shingles)>0 filter pushes the ENTIRE
+    # normalize+shingle expression below the rebalance exchange — a
+    # second, serial evaluation of the pipeline's dominant map phase
+    # (stage-profiled 0.66s single-task; interleaved A/B 2.14 →
+    # 1.51s on dedup_minhash_lsh, rows identical).  Shingle arrays
+    # never hold NULL elements, so outer+filter is row-identical.
+    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+
+    exploded = explode_no_infer(sh, F.col("shingles"), "s", "doc_id")
     hashed = exploded.select("doc_id", shingle_hash(F.col("s")).alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[

@@ -1549,11 +1549,17 @@ def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(F.col("tk"), i, k), " "),
     )
+    # posexplode WITHOUT InferFiltersFromGenerate (round 11, see
+    # operators/genutil.py): the inferred size(grams)>0 filter would
+    # re-evaluate the whole tokenize→slice→array_join gram build
+    # below the rebalance exchange, serially, per scan task.  Gram
+    # arrays never hold NULL elements (array_join over non-null
+    # slices), so outer+filter is row-identical.
+    from duckdb_hdfs_spark.operators.genutil import posexplode_no_infer
+
     pos = (
-        base.select(
-            "doc_id",
-            F.size("tk").alias("nt"),
-            F.posexplode(grams),
+        posexplode_no_infer(
+            base, grams, "pos", "col", "doc_id", F.size("tk").alias("nt")
         )
         .filter(F.col("nt") >= k)
         .select(

@@ -469,7 +469,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in most of a 10¹¹-document corpus serializes ~N_docs rows in one
     task.  The join shape keeps df map-side partial-aggregated (one
     row per hot term per map task) and lets AQE split the skewed
-    join key — slower by a constant at toy scale, correct at 100 TB."""
+    join key — slower by a constant at toy scale, correct at 100 TB.
+
+    Also rejected (round 11): a graded rebalance before the
+    tokenize+explode (the lever that won 26% on the substring-spans
+    gram build) measured SLOWER here (1.13 → 1.32s interleaved at
+    sf0.1) — this tokenize phase is too cheap to amortize shuffling
+    the raw text payloads; do not re-attempt."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
