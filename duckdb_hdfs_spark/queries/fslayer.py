@@ -284,7 +284,15 @@ def fs_read_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is a footer-metadata operation, not a data scan."""
     path = os.path.join(_SCRATCH, "nation_evolved")
     shutil.rmtree(path, ignore_errors=True)
-    nation = load_table(spark, sf_dir, "nation")
+    # NAMED projection, not the source's full schema (round-11
+    # schema-drift audit): writing nation.* leaked an upstream
+    # producer's added column into both generations and the merged
+    # output — the exact drift this key exists to demonstrate
+    # CONTROLLED handling of.  The generation delta must be the one
+    # column THIS writer adds, whatever the source has grown.
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
     nation.filter(F.col("n_nationkey") < 13).write.parquet(f"{path}/gen=1")
     nation.filter(F.col("n_nationkey") >= 13).withColumn(
         "n_name_len", F.length("n_name").cast("int")

@@ -1113,3 +1113,65 @@ def test_filesplit_invariance(name, spark, filesplit_sf_dir, sf_dir):
     qd = load_all()[name]
     result = _ro_audit.invariance_check(name, qd, spark, filesplit_sf_dir, sf_dir)
     assert result.ok, str(result)
+
+
+# --------------------------------------------------------------------------
+# schema-widening audit (round 11): every table gains an unexpected
+# trailing column (_schema_drift) — a producer rollout mid-migration,
+# the most common schema-evolution event a 100 TB lake sees.  Caught
+# ONE real finding: fs_read_schema_merge wrote the SOURCE's full
+# schema into its generation files, leaking the drift column into its
+# merged output (fixed: named projection — the generation delta must
+# be the one column THAT writer adds, whatever the source grew).
+# WHOLE_SCHEMA keys (select-*/whole-file surfaces) are invariance-
+# exempt by documented design; parity holds for the full registry.
+_drift_spec = _ilu.spec_from_file_location(
+    "schemadrift_audit",
+    _Path(__file__).resolve().parent.parent / "scripts" / "schemadrift_audit.py",
+)
+_drift_audit = _ilu.module_from_spec(_drift_spec)
+_drift_spec.loader.exec_module(_drift_audit)
+
+DRIFT_PINNED = [
+    "fs_read_schema_merge",   # the round-11 finding, now drift-invariant
+    "q1_pricing_summary",
+    "ev_sessionize",
+    "dedup_minhash_lsh",
+    "text_tfidf_topk",
+    "cdc_merge_orders",
+]
+
+
+def test_drift_whole_schema_keys_exist():
+    from duckdb_hdfs_spark.queries import load_all
+
+    reg = load_all()
+    missing = _drift_audit.WHOLE_SCHEMA - set(reg)
+    assert not missing, f"WHOLE_SCHEMA names not in registry: {missing}"
+
+
+@pytest.fixture(scope="module")
+def drift_sf_dir(sf_dir, tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("testdata_drift")
+    return _drift_audit.build_widened_dir(sf_dir, str(dst))
+
+
+@pytest.fixture(scope="module")
+def drift_oracle_con(drift_sf_dir):
+    con = duckdb_connection(drift_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DRIFT_PINNED)
+def test_schema_drift_parity(name, spark, drift_sf_dir, drift_oracle_con):
+    qd = load_all()[name]
+    result = compare(name, qd.spark(spark, drift_sf_dir), drift_oracle_con, qd.oracle)
+    assert result.ok, str(result)
+
+
+@pytest.mark.parametrize("name", DRIFT_PINNED)
+def test_schema_drift_invariance(name, spark, drift_sf_dir, sf_dir):
+    qd = load_all()[name]
+    result = _ro_audit.invariance_check(name, qd, spark, drift_sf_dir, sf_dir)
+    assert result.ok, str(result)
