@@ -649,11 +649,16 @@ def _doc_bigram_logprob(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
     to re-attach them."""
     from duckdb_hdfs_spark.functions.hashing import word_kgrams
 
+    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+
     toks = tokens(F.col("text"))
     # word_kgrams pads short docs with '' tails; drop any bigram
-    # touching an empty token (mirrors the oracle's LIKE filters)
-    bg = docs.select(
-        "doc_id", *carry, F.explode(word_kgrams(toks, 2)).alias("bigram")
+    # touching an empty token (mirrors the oracle's LIKE filters).
+    # explode WITHOUT the inferred size()>0 filter re-evaluating the
+    # tokenize+kgram build twice in the scan stage (round 11,
+    # operators/genutil.py; kgram elements are non-NULL strings)
+    bg = explode_no_infer(
+        docs, word_kgrams(toks, 2), "bigram", "doc_id", *carry
     ).filter(
         ~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" ")
     )

@@ -624,10 +624,14 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same hash key (AQE splits heavy boilerplate spans); the final
     per-document rollup is bounded by per-doc vocabulary.  No
     self-join, no all-pairs — linear in corpus size."""
+    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+
     docs = _t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("g"),
+    # explode WITHOUT the inferred size()>0 filter re-evaluating the
+    # whole tokenize+shingle build a second time in the scan stage
+    # (round 11, operators/genutil.py; shingle elements never NULL)
+    ex = explode_no_infer(
+        docs, word_shingles(tokens(F.col("text")), 3), "g", "doc_id"
     ).select("doc_id", md5_int60(F.col("g")).alias("h"))
     counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     return (
