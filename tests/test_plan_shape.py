@@ -845,3 +845,42 @@ def test_theil_sen_pairs_are_broadcast_nested_loop(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_substring_spans", "dedup_minhash_est"]
+)
+def test_no_generator_expr_below_rebalance_exchange(name, spark, sf_dir):
+    """Pin the round-11 InferFiltersFromGenerate fix: Catalyst infers
+    ``size(expr) > 0`` from ``Generate explode(expr)`` and predicate
+    pushdown carries the FULL generator expression below every
+    Project/Repartition into the scan — the heavy tokenize→shingle/
+    gram→md5 phase evaluated twice, with the pushed copy running at
+    scan parallelism (serial on a single-row-group file) below the
+    rebalance exchange.  operators/genutil.explode_no_infer blocks
+    the inference; this asserts no shingle/gram machinery
+    (zip_with / array_join / split) appears below the round-robin
+    rebalance exchange in the executed plan."""
+    plan = (
+        REGISTRY[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # scale-independent form of the pin: pre-fix, the inferred filter
+    # pushed the shingle/gram expression all the way into the SCAN's
+    # DataFilters (visible at every sf); post-fix the scan filters
+    # carry only the cheap isnotnull(text) predicate.  (The
+    # below-rebalance-exchange variant of this assertion only
+    # triggers at sf0.1 where the volume gate plans the repartition.)
+    scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("FileScan parquet")[1:]
+    ]
+    for scan_line in scans:
+        for heavy in ("zip_with", "array_join", "slice("):
+            assert heavy not in scan_line, (
+                f"{name}: generator expression ({heavy}) pushed into the "
+                f"parquet scan filters — InferFiltersFromGenerate regression"
+            )
