@@ -53,3 +53,30 @@ def test_bench_emits_single_json_line():
     assert ("queries" in ctl and ctl.get("value", 0) > 0) or (
         "error" in ctl or "skipped" in ctl
     ), ctl
+
+
+def test_control_contains_bogus_commit_failure(tmp_path):
+    """The interleaved prev-commit control must NEVER fail the bench:
+    a marker pointing at a commit git cannot materialize (a rebased or
+    garbage hash) yields an error-bearing block, run() returns None
+    for every query, and finish() still produces the block."""
+    import importlib.util as ilu
+    import os
+    import subprocess
+
+    spec = ilu.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    m = ilu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    fake_repo = str(tmp_path / "repo")
+    subprocess.run(["git", "init", "-q", fake_repo], check=True)
+    (tmp_path / "repo" / "PREV_ROUND_COMMIT").write_text("deadbeef00 bogus\n")
+
+    c = m._Control(fake_repo, "/root/testdata/sf0.001")
+    assert not c.alive
+    assert "error" in c.block and c.block["commit"] == "deadbeef00"
+    assert c.run("q1_pricing_summary") is None
+    block = c.finish({}, {})
+    assert block["commit"] == "deadbeef00" and "error" in block
