@@ -1,12 +1,17 @@
-"""Stage-level profile of stats_spearman_corr (round-11 verdict task
-#3: "profile which of the 8 exchanges dominates — stage-level
-timeline, not totals").
+"""Stage-level profiler for ANY registry key (born as the round-11
+spearman profile — verdict task #3: "profile which of the 8
+exchanges dominates — stage-level timeline, not totals" — and since
+used on dedup_minhash_lsh, where it surfaced the
+InferFiltersFromGenerate serial pre-pass, and cdc_merge_orders).
 
 Runs the query warm with the Spark event log enabled, then parses the
-log for per-stage submit→complete wall spans and task-time totals,
-printing a ranked table with the stage's plan-node call sites so each
-stage maps back to a pipeline phase (x-panel build, row pass,
-cumsum bounds/assignment, offsets, final fold).
+log for per-stage submit→complete wall spans, task-time totals and
+shuffle bytes, printing a ranked table with each stage's plan-scope
+names so stages map back to pipeline phases.  The two findings this
+tool produced in round 11 (the one-effective-task scan on
+single-row-group files; the inferred generator filter evaluating the
+heavy map phase twice, serially) were both invisible in wall-clock
+totals and obvious in the stage table.
 
 Usage: python scripts/spearman_profile.py [--sf /root/testdata/sf0.1]
        [--key stats_spearman_corr] [--reps 3]
