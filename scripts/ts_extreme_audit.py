@@ -77,6 +77,20 @@ def build_ts_extreme_dir(sf_dir: str, dst: str) -> str:
 #: arrival-order-defined and has no SQL-expressible oracle.  The
 #: audit measured the poisoning (session counts 450 vs 828, drop
 #: accounting off by the poisoned batches) rather than hiding it.
+#:
+#: Round 11 implemented the rule
+#: (streaming/pipelines.clamp_event_time, wired into
+#: streaming_session_windows, tested in tests/test_streaming.py) —
+#: and the exclusion DELIBERATELY remains: the production clamp
+#: bounds event time at WALL-CLOCK now + slack, which defuses
+#: corruption on a live stream (real events sit near now) but not on
+#: this audit's HISTORICAL replay, where now is years past the
+#: 2024-era data and a clamped 2262 event still lands far beyond the
+#: real stream's event times.  Replaying history safely needs the
+#: clamp anchored to the replay's own clock (the test passes
+#: ``now=max_real_ts``) — a pipeline-deployment choice, not an
+#: operator-level one, so the audit keeps measuring the unclamped
+#: hazard instead of baking one deployment's anchor into the keys.
 WATERMARK_POISONED = {
     "streaming_session_windows",
     "streaming_late_event_drops",
