@@ -133,16 +133,27 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     grams = F.array_distinct(word_kgrams(tokens(F.col("text")), 3))
     base = docs.select("doc_id", "source", grams.alias("grams"))
+    # no-infer explodes (round-11 scan-filter sweep): the inferred
+    # size(grams)>0 filters were re-evaluating the full tokenize+
+    # 3-gram build inside BOTH parquet scans' DataFilters; gram
+    # arrays are never empty (word_kgrams pads to ≥1) and never hold
+    # NULL elements, so outer+filter is row-identical
+    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+
     bench = (
-        base.filter(F.col("source") == "src0")
-        .select(F.explode("grams").alias("gram"))
+        explode_no_infer(
+            base.filter(F.col("source") == "src0"), F.col("grams"), "gram"
+        )
+        .select("gram")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = base.filter(F.col("source") != "src0").select(
+    cand = explode_no_infer(
+        base.filter(F.col("source") != "src0"),
+        F.col("grams"),
+        "gram",
         "doc_id",
         F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
     )
     return (
         cand.join(F.broadcast(bench), "gram", "left")
