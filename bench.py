@@ -36,10 +36,12 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import shutil
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 
@@ -138,30 +140,41 @@ class _Control:
                 cwd=wt, env=env, text=True, bufsize=1,
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL)
+            self._lines = queue.Queue()
+            threading.Thread(target=self._pump, daemon=True).start()
             ready = json.loads(self._readline(timeout=600))
             self.queries = set(ready.get("queries", []))
         except Exception as exc:  # noqa: BLE001 — control never fails the bench
             self.block["error"] = f"{type(exc).__name__}: {exc}"
             self._teardown()
 
-    def _readline(self, timeout: float) -> str:
-        """Read one stdout line with a deadline (the serve JVM warming
-        up takes a while; a hung control must not hang the bench)."""
-        import select
+    def _pump(self) -> None:
+        """Reader thread: drain serve stdout continuously, keeping only
+        JSON lines.  A thread (not select-on-fd) because mixing select
+        with buffered readline deadlocks when a complete line already
+        sits in the Python-side buffer with no new bytes on the fd;
+        skipping non-'{' lines keeps JVM stdout noise (log4j warnings,
+        GC messages) from poisoning json.loads of the READY/reply line
+        (round-11 advice)."""
+        try:
+            for line in self.proc.stdout:
+                line = line.strip()
+                if line.startswith("{"):
+                    self._lines.put(line)
+        except Exception:  # noqa: BLE001 — EOF sentinel below reports it
+            pass
+        self._lines.put(None)
 
-        deadline = time.time() + timeout
-        buf = ""
-        fd = self.proc.stdout
-        while time.time() < deadline:
-            r, _, _ = select.select([fd], [], [], min(5.0, deadline - time.time()))
-            if r:
-                ch = fd.readline()
-                if not ch:
-                    raise RuntimeError("control serve closed stdout")
-                buf = ch
-                if buf.endswith("\n"):
-                    return buf
-        raise TimeoutError(f"control serve silent for {timeout}s")
+    def _readline(self, timeout: float) -> str:
+        """Next JSON stdout line with a deadline (the serve JVM warming
+        up takes a while; a hung control must not hang the bench)."""
+        try:
+            item = self._lines.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError(f"control serve silent for {timeout}s") from None
+        if item is None:
+            raise RuntimeError("control serve closed stdout")
+        return item
 
     @property
     def alive(self) -> bool:

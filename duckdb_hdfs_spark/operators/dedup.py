@@ -94,9 +94,9 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
     # (stage-profiled 0.66s single-task; interleaved A/B 2.14 →
     # 1.51s on dedup_minhash_lsh, rows identical).  Shingle arrays
     # never hold NULL elements, so outer+filter is row-identical.
-    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+    from duckdb_hdfs_spark.operators.genutil import explode_nonnull_elems
 
-    exploded = explode_no_infer(sh, F.col("shingles"), "s", "doc_id")
+    exploded = explode_nonnull_elems(sh, F.col("shingles"), "s", "doc_id")
     hashed = exploded.select("doc_id", shingle_hash(F.col("s")).alias("h"))
     return hashed.groupBy("doc_id").agg(
         *[

@@ -1,6 +1,6 @@
 """Generator (explode) utilities.
 
-``explode_no_infer`` works around a Catalyst behavior that silently
+``explode_nonnull_elems`` works around a Catalyst behavior that silently
 doubles the most expensive map phase of a pipeline: for
 ``Generate explode(expr)``, the rule **InferFiltersFromGenerate**
 adds an inferred ``size(expr) > 0 AND expr IS NOT NULL`` filter, and
@@ -33,24 +33,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["explode_no_infer", "posexplode_no_infer"]
+__all__ = ["explode_nonnull_elems", "posexplode_nonnull_elems"]
 
 
-def explode_no_infer(
+def explode_nonnull_elems(
     df: DataFrame, gen: Column, alias: str, *keep: str | Column
 ) -> DataFrame:
     """``df.select(*keep, explode(gen).alias(alias))`` without the
     InferFiltersFromGenerate double evaluation (module docstring).
-    ONLY for generators whose arrays never hold NULL elements."""
+
+    PRECONDITION (now in the name — round-12 advice): the generator's
+    arrays must never hold NULL ELEMENTS.  Plain ``explode`` emits a
+    row for a NULL element; this helper's post-Generate IS NOT NULL
+    filter would silently drop it.  Every current call site builds
+    token/shingle/gram arrays from concat/array_join over non-null
+    text, where NULL elements are impossible by construction — a
+    future call site with nullable elements must use plain explode
+    (and eat the double evaluation) or pre-coalesce its elements."""
     return df.select(*keep, F.explode_outer(gen).alias(alias)).filter(
         F.col(alias).isNotNull()
     )
 
 
-def posexplode_no_infer(
+def posexplode_nonnull_elems(
     df: DataFrame, gen: Column, pos_alias: str, alias: str, *keep: str | Column
 ) -> DataFrame:
-    """posexplode variant of :func:`explode_no_infer`."""
+    """posexplode variant of :func:`explode_nonnull_elems`."""
     return df.select(
         *keep, F.posexplode_outer(gen).alias(pos_alias, alias)
     ).filter(F.col(alias).isNotNull())

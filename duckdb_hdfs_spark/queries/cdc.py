@@ -384,9 +384,12 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double-subtract its before-image.  The pick is DETERMINISTIC
     # (round-11 advice — dropDuplicates chose an arbitrary row,
     # output-invariant only under exact full-row twins): max_by over
-    # a total-order struct of the numeric/date payload columns, so
-    # twins differing in non-key columns (a real CDC feed without a
-    # version column) resolve identically on every run and engine.
+    # a struct of EVERY payload column — a genuine total order over
+    # the full row (round-12 advice: a partial struct left twins
+    # equal on the ordered columns but differing elsewhere to
+    # max_by's nondeterministic tie-break), so twins differing in ANY
+    # non-key column (a real CDC feed without a version column)
+    # resolve identically on every run and engine.
     # A groupBy max_by, not a per-key window: map-side partial
     # aggregation collapses replays before the shuffle, and state is
     # one struct per key — the same 100 TB shape as dropDuplicates.
@@ -395,9 +398,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ods = raw.groupBy("o_orderkey").agg(
         F.max_by(
             F.struct(*payload),
-            F.struct(
-                F.col("o_totalprice"), F.col("o_custkey"), F.col("o_orderdate")
-            ),
+            F.struct(*[F.col(c) for c in payload]),
         ).alias("_p")
     ).select("o_orderkey", *[F.col(f"_p.{c}").alias(c) for c in payload])
     snap = ods.filter(F.col("o_orderkey") % 3 != 0)

@@ -649,7 +649,7 @@ def _doc_bigram_logprob(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
     to re-attach them."""
     from duckdb_hdfs_spark.functions.hashing import word_kgrams
 
-    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+    from duckdb_hdfs_spark.operators.genutil import explode_nonnull_elems
 
     toks = tokens(F.col("text"))
     # word_kgrams pads short docs with '' tails; drop any bigram
@@ -657,7 +657,7 @@ def _doc_bigram_logprob(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
     # explode WITHOUT the inferred size()>0 filter re-evaluating the
     # tokenize+kgram build twice in the scan stage (round 11,
     # operators/genutil.py; kgram elements are non-NULL strings)
-    bg = explode_no_infer(
+    bg = explode_nonnull_elems(
         docs, word_kgrams(toks, 2), "bigram", "doc_id", *carry
     ).filter(
         ~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" ")

@@ -1555,10 +1555,10 @@ def substring_spans_pipeline(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # below the rebalance exchange, serially, per scan task.  Gram
     # arrays never hold NULL elements (array_join over non-null
     # slices), so outer+filter is row-identical.
-    from duckdb_hdfs_spark.operators.genutil import posexplode_no_infer
+    from duckdb_hdfs_spark.operators.genutil import posexplode_nonnull_elems
 
     pos = (
-        posexplode_no_infer(
+        posexplode_nonnull_elems(
             base, grams, "pos", "col", "doc_id", F.size("tk").alias("nt")
         )
         .filter(F.col("nt") >= k)

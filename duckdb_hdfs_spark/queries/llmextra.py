@@ -138,17 +138,17 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram build inside BOTH parquet scans' DataFilters; gram
     # arrays are never empty (word_kgrams pads to ≥1) and never hold
     # NULL elements, so outer+filter is row-identical
-    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+    from duckdb_hdfs_spark.operators.genutil import explode_nonnull_elems
 
     bench = (
-        explode_no_infer(
+        explode_nonnull_elems(
             base.filter(F.col("source") == "src0"), F.col("grams"), "gram"
         )
         .select("gram")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = explode_no_infer(
+    cand = explode_nonnull_elems(
         base.filter(F.col("source") != "src0"),
         F.col("grams"),
         "gram",
@@ -635,13 +635,13 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same hash key (AQE splits heavy boilerplate spans); the final
     per-document rollup is bounded by per-doc vocabulary.  No
     self-join, no all-pairs — linear in corpus size."""
-    from duckdb_hdfs_spark.operators.genutil import explode_no_infer
+    from duckdb_hdfs_spark.operators.genutil import explode_nonnull_elems
 
     docs = _t(spark, sf_dir, "documents")
     # explode WITHOUT the inferred size()>0 filter re-evaluating the
     # whole tokenize+shingle build a second time in the scan stage
     # (round 11, operators/genutil.py; shingle elements never NULL)
-    ex = explode_no_infer(
+    ex = explode_nonnull_elems(
         docs, word_shingles(tokens(F.col("text")), 3), "g", "doc_id"
     ).select("doc_id", md5_int60(F.col("g")).alias("h"))
     counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))

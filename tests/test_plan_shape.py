@@ -857,7 +857,7 @@ def test_no_generator_expr_below_rebalance_exchange(name, spark, sf_dir):
     Project/Repartition into the scan — the heavy tokenize→shingle/
     gram→md5 phase evaluated twice, with the pushed copy running at
     scan parallelism (serial on a single-row-group file) below the
-    rebalance exchange.  operators/genutil.explode_no_infer blocks
+    rebalance exchange.  operators/genutil.explode_nonnull_elems blocks
     the inference; this asserts no shingle/gram machinery
     (zip_with / array_join / split) appears below the round-robin
     rebalance exchange in the executed plan."""
