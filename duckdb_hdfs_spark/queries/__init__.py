@@ -71,82 +71,82 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-11 allocation (the
-# round-10 verdict's task #1, verbatim): the 2 round-10 keys that
-# have never had a driver row lead, then ALL 25 keys whose latest
-# row is round 4 (CORRECTNESS_r04 window order), then the 23 OLDEST
-# round-5 keys (CORRECTNESS_r05 window order).  After this round
-# lands, every one of the 327 registered keys has at least one green
-# driver row and no key's latest row predates round 5.  All 50
+# Keep this list at exactly ≤50 names.  Round-12 allocation (the
+# round-11 verdict's tasks #1 and #4, verbatim): the one NEW key this
+# round (pipeline_ingest_hardening — sources/ingest.py promoted to a
+# driver-checked composition) leads, then ALL 27 keys whose latest
+# row is round 5 (CORRECTNESS_r05 window order), then the 22 OLDEST
+# round-6 keys (CORRECTNESS_r06 window order).  After this round
+# lands, no key's latest driver row predates round 6.  All 50
 # verified green at driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 2 never-driver-checked round-10 keys ---
-    "sql_recursive_cte",
-    "sql_epoch_calendar_funcs",
-    # --- the 25 r4-stale keys (CORRECTNESS_r04 order) ---
-    "streaming_dedup_users",
-    "streaming_user_totals",
-    "streaming_view_purchase_join",
-    "streaming_session_windows",
-    "streaming_static_enrich",
-    "fs_ls",
-    "ev_tumbling_counts",
-    "ev_sessionize",
-    "ev_funnel",
-    "ev_retention",
-    "ev_top_users",
-    "ev_json_props",
-    "ev_anomaly_zscore",
-    "ev_rolling_dau",
-    "ev_cohort_retention",
-    "win_time_range_frame",
-    "win_moving_avg",
-    "win_running_total",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_priority_lateness",
-    "q14_promo_revenue",
-    "fs_read_csv",
-    # --- the 23 oldest r5-stale keys (CORRECTNESS_r05 order) ---
-    "text_unigram_logprob",
-    "text_token_entropy",
-    "dedup_containment",
-    "sample_quality_resample",
-    "corpus_dataset_card",
-    "text_length_histogram",
-    "corpus_token_budget",
-    "emb_whitening_check",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_norm_outliers",
-    "dedup_lsh_bucket_stats",
-    "cdc_merge_with_deletes",
-    "win_first_last",
-    "sql_higher_order_funcs",
-    "ev_user_lifetime",
-    "ev_markov_transitions",
-    "ev_inter_event_times",
-    "ev_hourly_profile",
-    "asof_view_next_purchase",
-    "orders_rfm_scores",
-    "fs_read_binary",
-    "q2_part_supplier_stats",
+    # --- the new round-12 key (never driver-checked) ---
+    "pipeline_ingest_hardening",
+    # --- the 27 r5-stale keys (CORRECTNESS_r05 order) ---
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_supplier_value",
+    "q13_cust_order_distribution",
+    "q15_top_supplier",
+    "q16_brand_type_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_cust",
+    "q19_disjunctive_preds",
+    "q20_part_supplier_ship",
+    "q21_waiting_orders",
+    "q22_acctbal_opportunity",
+    "win_topk_per_group",
+    "win_lag_delta",
+    "rollup_sales",
+    "cube_sales",
+    "grouping_sets_sales",
+    "pivot_event_types",
+    "distinct_users_exact",
+    "sql_cte_chain",
+    "win_rank_functions",
+    "grouping_id_sales",
+    "fs_read_json",
+    "fs_glob",
+    # --- the 22 oldest r6-stale keys (CORRECTNESS_r06 order) ---
+    "pipeline_corpus_release",
+    "dedup_graph_pagerank",
+    "dq_referential_audit",
+    "dq_rule_violations",
+    "streaming_late_event_drops",
+    "streaming_cdc_apply",
+    "streaming_sliding_counts",
+    "streaming_hll_rollup",
+    "streaming_left_outer_join",
+    "streaming_session_timeout",
+    "streaming_partitioned_sink",
+    "streaming_complete_topk",
+    "mm_decode_real",
+    "mm_decode_wav",
+    "mm_audio_frame_energy",
+    "mm_image_patch_grid",
+    "mm_media_router",
+    "dedup_lsh_band_sweep",
+    "sim_ivf_probe_sweep",
+    "dedup_lsh_recall_eval",
+    "dedup_winnowing",
+    "dedup_simhash_pairs",
 )
 
-# Round-12+ rotation pool — stale re-verification oldest-first after
-# any keys added that round.  Remaining r5-latest keys (27, in their
-# CORRECTNESS_r05 window order): q4_order_priority, q7_volume_shipping,
-# q8_market_share, q9_product_profit, q10_returned_items,
-# q11_supplier_value, q13_cust_order_distribution, q15_top_supplier,
-# q16_brand_type_counts, q17_small_qty_revenue, q18_large_volume_cust,
-# q19_disjunctive_preds, q20_part_supplier_ship, q21_waiting_orders,
-# q22_acctbal_opportunity, win_topk_per_group, win_lag_delta,
-# rollup_sales, cube_sales, grouping_sets_sales, pivot_event_types,
-# distinct_users_exact, sql_cte_chain, win_rank_functions,
-# grouping_id_sales, fs_read_json, fs_glob;
-# then the r6 set (50 keys), then r7, etc.
+# Round-13+ rotation pool — stale re-verification oldest-first after
+# any keys added that round.  Remaining r6-latest keys (28, in their
+# CORRECTNESS_r06 window order): sim_range_search, text_bigram_logprob,
+# sql_math_funcs, sql_filtered_aggs, sql_bit_funcs, sql_pattern_match,
+# sql_string_agg, sql_nested_types, sql_lateral_join, sql_distinct_on,
+# sql_try_cast, sql_json_funcs, sql_any_all, sql_hash_funcs,
+# sql_dayofweek_normalized, sql_union_by_name, sql_paginated_topn,
+# sql_variant_type, sql_array_mutation_funcs, sql_map_funcs,
+# sketch_bloom_filter, sketch_count_min, sketch_hll_intersection,
+# sketch_hll_rolling_wau, sketch_cms_join_size, cdc_snapshot_at,
+# cdc_incremental_agg, cdc_reordered_apply;
+# then the r7 set (50 keys), then r8, etc.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

@@ -603,3 +603,257 @@ def dq_monotonic_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") == F.col("n_distinct")).alias("ids_unique"),
         (span == F.col("n_distinct")).alias("ids_contiguous"),
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_ingest_hardening",
+    # the oracle mirrors the dirtying (plain key-mod CASEs) and all
+    # four rules in SQL over the same tables; every count is exact
+    # integer arithmetic, the value checksum is a decimal sum, and the
+    # ts checksum is integer-DIV epoch seconds (the clamp limit lands
+    # exactly on a second boundary, so a float floor would sit on the
+    # knife edge — DIV keeps both engines in integer arithmetic).
+    oracle="""
+WITH base AS (
+    SELECT event_id,
+           CASE WHEN event_id % 19 = 0 THEN TIMESTAMP '2240-01-01 00:00:00'
+                ELSE ts END AS ts,
+           user_id, event_type,
+           CASE WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE
+                WHEN event_id % 13 = 5 THEN 'Infinity'::DOUBLE
+                ELSE value END AS value,
+           props
+    FROM events
+),
+dirty AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT * FROM base WHERE event_id % 10 = 0
+),
+dedup AS (SELECT DISTINCT * FROM dirty),
+hardened AS (
+    SELECT event_id,
+           (isnan(value) OR isinf(value)) AS bad_val,
+           CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                ELSE value END AS value,
+           ts > TIMESTAMP '2024-01-31 01:00:00' AS clamped,
+           CASE WHEN ts > TIMESTAMP '2024-01-31 01:00:00'
+                THEN TIMESTAMP '2024-01-31 01:00:00' ELSE ts END AS ts
+    FROM dedup
+),
+ev_m AS (
+    SELECT count(*) AS n_out,
+           count(*) FILTER (WHERE event_id % 10 = 0) AS replay_flagged,
+           count(*) FILTER (WHERE bad_val) AS finite_flagged,
+           count(*) FILTER (WHERE clamped) AS clamp_flagged,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+               AS val_sum,
+           CAST(sum(epoch_us(ts) // 1000000) AS DOUBLE) AS ts_sum
+    FROM hardened
+),
+emb1 AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 7 = 0 THEN embedding[1:63]
+                ELSE embedding END AS embedding0
+    FROM embeddings
+),
+emb2 AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 11 = 3
+                THEN list_concat(['NaN'::FLOAT], embedding0[2:])
+                ELSE embedding0 END AS embedding
+    FROM emb1
+),
+dim_ok AS (SELECT * FROM emb2 WHERE len(embedding) = 64),
+nf_ok AS (
+    SELECT * FROM dim_ok
+    WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+)
+SELECT 'events_replay_dedupe' AS stage,
+       n_out + replay_flagged AS n_in,
+       replay_flagged AS n_flagged, n_out,
+       id_sum, CAST(NULL AS DOUBLE) AS checksum
+FROM ev_m
+UNION ALL
+SELECT 'events_finite_measures', n_out, finite_flagged, n_out,
+       id_sum, val_sum
+FROM ev_m
+UNION ALL
+SELECT 'events_time_clamp', n_out, clamp_flagged, n_out, id_sum, ts_sum
+FROM ev_m
+UNION ALL
+SELECT 'emb_dimension_enforce',
+       (SELECT count(*) FROM embeddings),
+       (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM dim_ok),
+       (SELECT count(*) FROM dim_ok),
+       (SELECT CAST(sum(vec_id) AS BIGINT) FROM dim_ok),
+       CAST((SELECT sum(len(embedding)) FROM dim_ok) AS DOUBLE)
+UNION ALL
+SELECT 'emb_nonfinite_quarantine',
+       (SELECT count(*) FROM dim_ok),
+       (SELECT count(*) FROM dim_ok) - (SELECT count(*) FROM nf_ok),
+       (SELECT count(*) FROM nf_ok),
+       (SELECT CAST(sum(vec_id) AS BIGINT) FROM nf_ok),
+       CAST((SELECT sum(len(embedding)) FROM nf_ok) AS DOUBLE)
+""",
+)
+def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four ingest-time contracts (sources/ingest.py — the rules
+    rounds 9-11's adversarial audits measured the need for) composed
+    into ONE oracle-checked pass over a deliberately dirtied copy,
+    with per-rule quarantine accounting — the production gate a
+    100 TB lake runs where data ENTERS, so no downstream operator
+    ever re-pays the check.
+
+    The dirtying is deterministic key-mod injection, mirrored in the
+    oracle: exact replay twins (at-least-once delivery) for every
+    10th event; NaN / +Inf values for the 13-mod classes; a
+    far-future 2240 timestamp (parser-garbage class) for every 19th
+    event; a 63-dim ragged slice for every 7th embedding and a
+    NaN-poisoned component for the 11-mod-3 class.  Rules applied in
+    ingest order: replay dedupe (deterministic full-payload max_by
+    survivor) -> FINITE_MEASURES (non-finite scalars -> NULL lane) ->
+    event-time clamp (fixture-end anchor + 1h slack) on events;
+    dimension enforcement -> non-finite vector quarantine on
+    embeddings.
+
+    Output: one row per rule with rows-in / rows-flagged / rows-out
+    plus identity (id-sum) and content (decimal value sum / integer
+    epoch-second sum / dimension sum) checksums, so the driver hash
+    pins WHICH rows each rule kept, not just how many.
+
+    Scale shape: every rule is a pure projection/filter; the whole
+    events arm is ONE hash-aggregate pass after the dedupe's single
+    key shuffle (replay accounting is derived from the survivor set
+    itself — survivors of the replayed class count the replays, no
+    pre-dedupe scan); the embeddings arm is three aggregates over a
+    dimension-sized table.  No windows, no joins, no collects."""
+    from duckdb_hdfs_spark.sources.ingest import (
+        clamp_event_time,
+        dedupe_replays,
+        enforce_dimension,
+        finite_measures,
+        quarantine_nonfinite_vectors,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.withColumn(
+        "ts",
+        F.when(
+            eid % 19 == 0, F.lit("2240-01-01 00:00:00").cast("timestamp")
+        ).otherwise(F.col("ts")),
+    ).withColumn(
+        "value",
+        F.when(eid % 13 == 0, F.lit(float("nan")))
+        .when(eid % 13 == 5, F.lit(float("inf")))
+        .otherwise(F.col("value")),
+    )
+    dirty = base.unionAll(base.filter(eid % 10 == 0))
+    payload = [c for c in dirty.columns if c != "event_id"]
+    surv = dedupe_replays(
+        dirty, ["event_id"], order_cols=[F.col(c) for c in payload]
+    )
+    d = F.col("value").cast("double")
+    flagged = surv.withColumn(
+        "bad_val", F.isnan(d) | (F.abs(d) == float("inf"))
+    )
+    fin = finite_measures(flagged, ["value"])
+    hardened = clamp_event_time(
+        fin, ts_col="ts", slack="1 hour",
+        now="2024-01-31 00:00:00", flag_col="clamped",
+    )
+    one = F.count(F.lit(1))
+    flag_sum = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    m_ev = hardened.agg(
+        one.alias("n_out"),
+        F.sum(F.when(eid % 10 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("replay_flagged"),
+        flag_sum("bad_val").alias("finite_flagged"),
+        flag_sum("clamped").alias("clamp_flagged"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("val_sum"),
+        F.sum(F.expr("unix_micros(ts) DIV 1000000"))
+        .cast("double")
+        .alias("ts_sum"),
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    emb1 = emb.withColumn(
+        "embedding",
+        F.when(vid % 7 == 0, F.slice("embedding", 1, 63)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    emb2 = emb1.withColumn(
+        "embedding",
+        F.when(
+            vid % 11 == 3,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    dim_ok = enforce_dimension(emb2, "embedding", 64)
+    nf_ok = quarantine_nonfinite_vectors(dim_ok, "embedding")
+    m_in = emb.agg(one.alias("e_n_in"))
+    m1 = dim_ok.agg(
+        one.alias("d_n"),
+        F.sum("vec_id").alias("d_ids"),
+        F.sum(F.size("embedding")).alias("d_dims"),
+    )
+    m2 = nf_ok.agg(
+        one.alias("f_n"),
+        F.sum("vec_id").alias("f_ids"),
+        F.sum(F.size("embedding")).alias("f_dims"),
+    )
+
+    nulld = F.lit(None).cast("double")
+    s1 = m_ev.select(
+        F.lit("events_replay_dedupe").alias("stage"),
+        (F.col("n_out") + F.col("replay_flagged")).alias("n_in"),
+        F.col("replay_flagged").alias("n_flagged"),
+        F.col("n_out"),
+        F.col("id_sum"),
+        nulld.alias("checksum"),
+    )
+    s2 = m_ev.select(
+        F.lit("events_finite_measures").alias("stage"),
+        F.col("n_out").alias("n_in"),
+        F.col("finite_flagged").alias("n_flagged"),
+        F.col("n_out"),
+        F.col("id_sum"),
+        F.col("val_sum").alias("checksum"),
+    )
+    s3 = m_ev.select(
+        F.lit("events_time_clamp").alias("stage"),
+        F.col("n_out").alias("n_in"),
+        F.col("clamp_flagged").alias("n_flagged"),
+        F.col("n_out"),
+        F.col("id_sum"),
+        F.col("ts_sum").alias("checksum"),
+    )
+    s4 = m_in.crossJoin(m1).select(
+        F.lit("emb_dimension_enforce").alias("stage"),
+        F.col("e_n_in").alias("n_in"),
+        (F.col("e_n_in") - F.col("d_n")).alias("n_flagged"),
+        F.col("d_n").alias("n_out"),
+        F.col("d_ids").alias("id_sum"),
+        F.col("d_dims").cast("double").alias("checksum"),
+    )
+    s5 = m1.crossJoin(m2).select(
+        F.lit("emb_nonfinite_quarantine").alias("stage"),
+        F.col("d_n").alias("n_in"),
+        (F.col("d_n") - F.col("f_n")).alias("n_flagged"),
+        F.col("f_n").alias("n_out"),
+        F.col("f_ids").alias("id_sum"),
+        F.col("f_dims").cast("double").alias("checksum"),
+    )
+    return s1.unionAll(s2).unionAll(s3).unionAll(s4).unionAll(s5)
