@@ -22,13 +22,17 @@ SESSION_GAP_MIN = 30
 #: (round-7 review: three verbatim copies).  Carries event_type /
 #: event_id through; consumers that don't need them let the engine
 #: prune.
-SESS_CTES = f"""flagged AS (
+def sess_ctes(src: str = "events") -> str:
+    """Render :data:`SESS_CTES` over a caller-chosen source relation
+    (round 12: the clamped-ingest streaming oracles sessionize
+    ``clamped_events`` instead of the raw table)."""
+    return f"""flagged AS (
     SELECT user_id, ts, event_id, event_type,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                      > {SESSION_GAP_MIN} * 60 * 1000000
                   OR lag(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS new_sess
-    FROM events
+    FROM {src}
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -38,6 +42,9 @@ sess AS (
                AS session_no
     FROM flagged
 )"""
+
+
+SESS_CTES = sess_ctes()
 
 
 def sessionized(ev: DataFrame) -> DataFrame:

@@ -1257,8 +1257,10 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_epoch_calendar_funcs",
     oracle="""
 SELECT event_id,
-       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-       epoch_ms(ts) AS epoch_msec,
+       (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000))
+           // 1000000 AS epoch_s,
+       (epoch_us(ts) - ((epoch_us(ts) % 1000 + 1000) % 1000))
+           // 1000 AS epoch_msec,
        make_timestamp(epoch_us(ts)) AS ts_roundtrip,
        CAST(week(ts) AS INT) AS iso_week,
        CAST(dayofyear(ts) AS INT) AS day_of_year,
@@ -1270,10 +1272,19 @@ FROM events
 def sql_epoch_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-arithmetic / calendar-function class (round 10) — the
     timestamp surface beyond sql_date_funcs' extract/interval layer:
-    epoch seconds (DuckDB ``epoch()`` returns a fractional DOUBLE
-    that CAST *rounds*, Spark ``unix_timestamp`` truncates — the
-    oracle pins the portable ``floor(epoch())`` lowering), epoch
-    milliseconds, a microsecond epoch→timestamp roundtrip through
+    epoch seconds and milliseconds as explicit FLOOR division of the
+    integer epoch-microsecond value on BOTH engines (round 12, found
+    by the ts-extremes audit's negative-epoch instant −1 µs: the
+    engines' native conversions disagree in BOTH directions there —
+    Spark ``unix_timestamp`` truncates toward zero (0) where DuckDB
+    ``CAST(floor(epoch()))`` floors (−1), while Spark
+    ``unix_millis`` floors (−1) where DuckDB ``epoch_ms`` truncates
+    (0); DuckDB's fractional-DOUBLE ``epoch()`` also loses
+    microsecond precision beyond ~2242, and even its integer ``//``
+    truncates on BIGINT.  Neither engine has a true integer
+    floor-div, so BOTH sides lower it through the pmod identity
+    floor(m/d) = (m − pmod(m,d))/d — exact because the numerator is
+    divisible), a microsecond epoch→timestamp roundtrip through
     the tz-free constructors (``make_timestamp(us)`` ↔
     ``timestamp_micros``; both sides avoid TIMESTAMPTZ casts whose
     value depends on ambient session zone), ISO week-of-year
@@ -1284,10 +1295,18 @@ def sql_epoch_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.session.timeZone=UTC so naive parquet timestamps read
     identically on both engines."""
     e = _t(spark, sf_dir, "events")
+
+    def floor_div(den: int):
+        # exact: m − pmod(m, den) is divisible by den, so integer DIV
+        # (truncating) equals floor division here
+        return F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {den})) DIV {den}"
+        )
+
     return e.select(
         "event_id",
-        F.unix_timestamp("ts").alias("epoch_s"),
-        F.unix_millis("ts").alias("epoch_msec"),
+        floor_div(1_000_000).alias("epoch_s"),
+        floor_div(1_000).alias("epoch_msec"),
         F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
         F.weekofyear("ts").alias("iso_week"),
         F.dayofyear("ts").alias("day_of_year"),

@@ -17,10 +17,71 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_hdfs_spark.queries import query
-from duckdb_hdfs_spark.queries.events import SESS_CTES
+from duckdb_hdfs_spark.queries.events import sess_ctes
 from duckdb_hdfs_spark.sources.catalog import load_table
 
 _run_counter = itertools.count()
+
+# --------------------------------------------------------------------------
+# Replay-ingest event-time clamp (round 12, r11-verdict task #3).
+#
+# Every watermark state machine below runs its input through
+# clamp_event_time BEFORE the watermark column is declared, anchored
+# to the replay's own clock (streaming/pipelines.replay_clamp_anchor:
+# the min of the top-3%+1 ts order statistics — max() would itself be
+# poisoned; integer order statistics are microsecond-identical across
+# engines).  Slacks: +3 days future (the anchor trims up to ~1 day of
+# clean top tail, so the limit stays above the true max — value-level
+# no-op on clean data), −45 days past (below the fixtures' 30-day
+# span — no-op on clean data — while keeping clamped far-past rows
+# ABOVE the widest watermark eviction horizon used here (60 days), so
+# a 1677 corruption row lands in deterministic pre-watermark
+# territory instead of arrival-order-defined late-row land).  This is
+# what emptied the ts-extremes audit's WATERMARK_POISONED exclusion
+# class: under corruption the five state machines now compute the
+# same clamped stream the (identically clamped) batch oracle sees.
+_CLAMP_FUTURE = "3 days"
+_CLAMP_PAST = "45 days"
+
+#: Oracle twin of the ingest clamp: same trimmed-top anchor, same
+#: slacks, pure integer order statistics (row_number ties at the k-th
+#: boundary don't matter — min over the top-k multiset is
+#: tie-invariant).  On clean data the CASE is the identity.
+CLAMP_CTES = """clamp_bound AS (
+    SELECT min(ts) AS anchor FROM (
+        SELECT ts, row_number() OVER (ORDER BY ts DESC) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ) WHERE rn <= n * 3 // 100 + 1
+),
+clamped_events AS (
+    SELECT event_id,
+           CASE WHEN ts > anchor + INTERVAL 3 DAY
+                THEN anchor + INTERVAL 3 DAY
+                WHEN ts < anchor - INTERVAL 45 DAY
+                THEN anchor - INTERVAL 45 DAY
+                ELSE ts END AS ts,
+           user_id, event_type, value, props
+    FROM events, clamp_bound
+)"""
+
+
+def _ingest_clamp(df: DataFrame, anchor_src: DataFrame) -> DataFrame:
+    """Clamp ``df``'s event time at ingest, anchored to the replay
+    clock derived from ``anchor_src`` (the static read of the same
+    fixture).  Pass-through on an empty replay (no anchor exists —
+    and nothing to poison)."""
+    from duckdb_hdfs_spark.streaming.pipelines import (
+        clamp_event_time,
+        replay_clamp_anchor,
+    )
+
+    anchor = replay_clamp_anchor(anchor_src)
+    if anchor is None:
+        return df
+    return clamp_event_time(
+        df, slack=_CLAMP_FUTURE, now=anchor, past_slack=_CLAMP_PAST
+    )
 
 
 def _write_ordered_batches(batches, src: str) -> str:
@@ -218,10 +279,11 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matching (view, purchase) pair exactly once, so the streaming
     # inner interval join equals the batch self-join; pair-level output
     # passes values through untouched — deterministic across engines.
-    oracle="""
+    oracle=f"""
+WITH {CLAMP_CTES}
 SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
        p.value AS purchase_value
-FROM events v JOIN events p
+FROM clamped_events v JOIN clamped_events p
   ON p.user_id = v.user_id
  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
@@ -250,11 +312,22 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _rewrite_events(spark, sf_dir, n_files=4, tag="ssjoin")
 
     name = f"t_streaming_view_purchase_join_{next(_run_counter)}"
-    views = read_event_stream(spark, src, max_files_per_trigger=1).filter(
-        F.col("event_type") == "view"
+    # both sides run through the replay-anchored ingest clamp BEFORE
+    # their watermarks: the global join watermark is the min across
+    # inputs, so one poisoned side force-evicts the OTHER side's
+    # buffered state (module comment above CLAMP_CTES)
+    anchor_src = spark.read.parquet(src)
+    views = _ingest_clamp(
+        read_event_stream(spark, src, max_files_per_trigger=1).filter(
+            F.col("event_type") == "view"
+        ),
+        anchor_src,
     )
-    purchases = read_event_stream(spark, src, max_files_per_trigger=1).filter(
-        F.col("event_type") == "purchase"
+    purchases = _ingest_clamp(
+        read_event_stream(spark, src, max_files_per_trigger=1).filter(
+            F.col("event_type") == "purchase"
+        ),
+        anchor_src,
     )
     run_available_now_to_memory(
         interval_join_views_purchases(
@@ -274,13 +347,13 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessionization: a new session starts when the gap to the previous
     # event reaches 2 hours (session_window spans [first, last + gap)),
     # and the decimal-accumulated sum is order-independent.
-    oracle="""
-WITH s AS (
+    oracle=f"""
+WITH {CLAMP_CTES}, s AS (
     SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
                 THEN 1 ELSE 0 END AS new_s
-    FROM events
+    FROM clamped_events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), v AS (
     SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -316,7 +389,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     time passes last_ts + gap + watermark, so state size tracks ACTIVE
     sessions, not history."""
     from duckdb_hdfs_spark.streaming.pipelines import (
-        clamp_event_time,
         read_event_stream,
         run_available_now_to_memory,
         session_windows,
@@ -325,14 +397,17 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _rewrite_events(spark, sf_dir, n_files=4, tag="sessions")
 
     name = f"t_streaming_session_windows_{next(_run_counter)}"
-    # ingest-time future-clamp (round-11, verdict task #4): a single
-    # corrupted far-future timestamp would advance the watermark past
-    # the whole real stream and force-close every live session; the
-    # clamp bounds event time at now + slack BEFORE the watermark
-    # reads it.  Value-level no-op on clean data (all testdata ts are
-    # historical), so the batch oracle is untouched.
-    stream = clamp_event_time(
-        read_event_stream(spark, src, max_files_per_trigger=1)
+    # ingest-time event-time clamp (rounds 11-12): a single corrupted
+    # far-future timestamp would advance the watermark past the whole
+    # real stream and force-close every live session; the clamp bounds
+    # event time BEFORE the watermark reads it, anchored to the
+    # replay's own clock (module comment above CLAMP_CTES).
+    # Value-level no-op on clean data, and the oracle applies the
+    # identical clamp, so under corruption both engines sessionize the
+    # same clamped stream.
+    stream = _ingest_clamp(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        spark.read.parquet(src),
     )
     run_available_now_to_memory(
         session_windows(stream, gap="2 hours", watermark="60 days"),
@@ -354,13 +429,21 @@ def _rewrite_events_split_late(
     late-events filter uses the watermark committed one batch EARLIER
     than the one a batch's progress row displays (probe-verified:
     with only two batches the operative late watermark in batch 1 is
-    still the epoch, and nothing drops).  Returns ``src_dir``."""
+    still the epoch, and nothing drops).  Returns ``src_dir``.
+
+    The replay-anchored ingest clamp applies to the STATIC frame
+    here, before the cutoff/mid anchors are computed and the files
+    are written — this rewrite IS the ingest for this pipeline, and
+    an unclamped far-future row would poison max(ts) and push both
+    split anchors past the entire real stream (empty batch 1 =
+    broken watermark-lag mechanics) before the stream even starts."""
     src = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_{tag}",
         os.path.basename(sf_dir),
     )
     ev = load_table(spark, sf_dir, "events")
+    ev = _ingest_clamp(ev, ev)
     row = ev.agg(
         F.expr(f"max(ts) - INTERVAL {late_days} DAY").alias("cutoff"),
         F.expr("max(ts) - INTERVAL 2 DAY").alias("mid"),
@@ -387,19 +470,20 @@ def _rewrite_events_split_late(
     # equals the batch count of late rows, and the surviving per-type
     # counts equal the batch counts over on-time rows only.  Both
     # sides are plain SQL over the static table.
-    oracle="""
-WITH cut AS (
-    SELECT max(ts) - INTERVAL 14 DAY AS cutoff FROM events
+    oracle=f"""
+WITH {CLAMP_CTES},
+cut AS (
+    SELECT max(ts) - INTERVAL 14 DAY AS cutoff FROM clamped_events
 ),
 -- the state-store dedup keeps ONE row per (event_id, ts): a replayed
 -- twin is dropped as a DUPLICATE (not by watermark), so kept counts
 -- are dedup-key grain while the watermark drop counter stays ROW
 -- grain — every late row is filtered before state (duplicated-rows
 -- audit, round 10); a no-op on replay-free data
-d AS (SELECT DISTINCT event_id, ts, event_type FROM events)
+d AS (SELECT DISTINCT event_id, ts, event_type FROM clamped_events)
 SELECT event_type,
        count(*) FILTER (WHERE ts >= cutoff) AS kept_events,
-       (SELECT count(*) FROM events, cut WHERE ts < cutoff)
+       (SELECT count(*) FROM clamped_events, cut WHERE ts < cutoff)
            AS dropped_observed
 FROM d, cut
 GROUP BY event_type
@@ -789,19 +873,20 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # views at least horizon+delay+margin (63 min) older guarantees
     # every compared view's outcome is DECIDED by end-of-stream, so
     # the drain equals the batch left join over the same set.
-    oracle="""
-WITH mx AS (
+    oracle=f"""
+WITH {CLAMP_CTES},
+mx AS (
     SELECT least(
-        (SELECT max(ts) FROM events WHERE event_type = 'view'),
-        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        (SELECT max(ts) FROM clamped_events WHERE event_type = 'view'),
+        (SELECT max(ts) FROM clamped_events WHERE event_type = 'purchase')
     ) AS m
 ),
 v AS (
-    SELECT user_id, ts FROM events, mx
+    SELECT user_id, ts FROM clamped_events, mx
     WHERE event_type = 'view' AND ts <= m - INTERVAL 63 MINUTE
 ),
 p AS (
-    SELECT user_id AS p_user, ts AS p_ts, value FROM events
+    SELECT user_id AS p_user, ts AS p_ts, value FROM clamped_events
     WHERE event_type = 'purchase'
 )
 SELECT v.user_id, v.ts AS view_ts, p.p_ts AS purchase_ts,
@@ -831,7 +916,14 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by horizon+delay of event-time, independent of history."""
     run_id = next(_run_counter)
     base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"louter_{run_id}")
+    # replay-anchored ingest clamp on the STATIC frame, before the
+    # split/cutoff anchors are computed and the event-time-ordered
+    # files are written (this rewrite is the ingest): one far-future
+    # row on EITHER side would otherwise poison that side's watermark
+    # and force-evict the other side's buffered views at micro-batch-
+    # boundary-defined points (module comment above CLAMP_CTES)
     ev_static = spark.read.parquet(base)
+    ev_static = _ingest_clamp(ev_static, ev_static)
     # the final global watermark is the MIN of the two sides' (max
     # event time − delay); each side's max is per-TYPE, not the
     # table-wide max — the decidability cutoff must use the smaller.
@@ -933,9 +1025,16 @@ def _rewrite_events_time_ordered(
 ) -> str:
     """Two-file events rewrite SPLIT BY EVENT TIME with arrival order
     matching (mtimes ordered) — for tight-watermark pipelines where
-    out-of-order arrival would drop rows."""
+    out-of-order arrival would drop rows.
+
+    The replay-anchored ingest clamp applies to the STATIC frame
+    before the median split point is computed and the files are
+    written (this rewrite is the ingest): an unclamped far-future row
+    would land in file 2 and advance the tight watermark past every
+    real row's decision point at an arrival-defined instant."""
     base = _rewrite_events(spark, sf_dir, n_files=1, tag=f"{tag}_base")
     ev_static = spark.read.parquet(base)
+    ev_static = _ingest_clamp(ev_static, ev_static)
     (mid,) = ev_static.agg(F.percentile_approx("ts", 0.5)).first()
     return _write_ordered_batches(
         (
@@ -955,14 +1054,15 @@ def _rewrite_events_time_ordered(
     # restricts to sessions provably closed by end-of-stream; they
     # must equal the batch gaps-and-islands sessions.
     oracle=f"""
-WITH {SESS_CTES},
+WITH {CLAMP_CTES},
+{sess_ctes("clamped_events")},
 rolled AS (
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
     FROM sess GROUP BY user_id, session_no
 )
 SELECT user_id, session_start, session_end, n_events
-FROM rolled, (SELECT max(ts) AS m FROM events) mx
+FROM rolled, (SELECT max(ts) AS m FROM clamped_events) mx
 WHERE session_end <= m - INTERVAL 32 MINUTE
 """,
 )

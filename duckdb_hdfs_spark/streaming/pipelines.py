@@ -253,6 +253,7 @@ def clamp_event_time(
     slack: str = "1 hour",
     now=None,
     flag_col: str | None = None,
+    past_slack: str | None = None,
 ) -> DataFrame:
     """Clamp far-future event times at INGEST, before any watermark
     sees them — the production rule the round-10 timestamp-extremes
@@ -264,19 +265,26 @@ def clamp_event_time(
     with WHICH rows depending on micro-batch arrival boundaries.
 
     Event times later than ``now + slack`` are clamped to exactly
-    ``now + slack``; everything else (including NULLs and far-PAST
-    times — those are the watermark's job) passes through untouched.
-    On clean data the clamp is a value-level no-op, so wiring it
-    into an ingest path never changes correct results — it only
-    bounds the damage a corrupt row can do to the watermark clock.
+    ``now + slack``; with ``past_slack`` set, times earlier than
+    ``now - past_slack`` are clamped UP to exactly that floor
+    (far-past parser garbage — 1677/1969/2000 corruption classes —
+    otherwise lands below every operator's watermark and is dropped
+    or state-evicted at micro-batch-boundary-dependent points; rows
+    genuinely older than the floor belong to a backfill path, not a
+    live watermarked stream).  Everything else (including NULLs)
+    passes through untouched.  On clean data the clamp is a
+    value-level no-op, so wiring it into an ingest path never
+    changes correct results — it only bounds the damage a corrupt
+    row can do to the watermark clock.
 
     ``now``: the wall-clock reference — defaults to
     ``F.current_timestamp()`` (evaluated per micro-batch in a
     stream, which is the production semantics: "no event may claim
-    to come from more than ``slack`` in the future").  Tests pass a
-    literal (e.g. the fixture's max real timestamp) to stay
-    deterministic.  ``flag_col``: optionally record which rows were
-    clamped, for quarantine accounting downstream.
+    to come from more than ``slack`` in the future").  Tests and
+    HISTORICAL REPLAYS pass a literal anchored to the replay's own
+    clock (see :func:`replay_clamp_anchor`) to stay deterministic.
+    ``flag_col``: optionally record which rows were clamped, for
+    quarantine accounting downstream.
 
     Scale: a pure map-side expression — no shuffle, no state; cost
     is one comparison per row regardless of stream volume."""
@@ -284,9 +292,53 @@ def clamp_event_time(
     limit = now_col + F.expr(f"INTERVAL {slack}")
     ts = F.col(ts_col)
     out = events
+    clamped = F.when(ts > limit, limit).otherwise(ts)
+    flag = ts > limit
+    if past_slack is not None:
+        floor = now_col - F.expr(f"INTERVAL {past_slack}")
+        clamped = F.when(ts > limit, limit).when(ts < floor, floor).otherwise(ts)
+        flag = flag | (ts < floor)
     if flag_col is not None:
-        out = out.withColumn(flag_col, ts > limit)
-    return out.withColumn(ts_col, F.when(ts > limit, limit).otherwise(ts))
+        out = out.withColumn(flag_col, flag)
+    return out.withColumn(ts_col, clamped)
+
+
+def replay_clamp_anchor(events: DataFrame, ts_col: str = "ts"):
+    """The REPLAY deployment's clamp clock (round 12, r11-verdict
+    task #3): a live stream anchors :func:`clamp_event_time` at the
+    wall clock, but replaying HISTORY through the same pipelines
+    needs the clamp anchored to the replay's own clock — wall-clock
+    ``now + slack`` is years past a historical stream, so a corrupt
+    2262 timestamp would clamp to a value still far beyond every
+    real event and poison the watermark anyway.
+
+    The anchor is a ROBUST top-of-stream estimate: the minimum of
+    the top ``3% + 1`` order statistics of the event-time column —
+    i.e. "the newest event time, after discarding a corruption-sized
+    top tail".  max() itself would be poisoned by a single corrupt
+    row; a 3%+1 trim survives any top-tail corruption burst up to 3%
+    of the replay (the adversarial audits inject 2%).  Pure integer
+    order statistics on the timestamp multiset — no interpolation,
+    so any engine computing it on the same rows lands on the
+    microsecond-identical value (an interpolated percentile differs
+    across engines by a ulp of the ~1.7e15 epoch-micros scale, which
+    a floor() then amplifies to a whole microsecond).
+
+    Returns the anchor as a Python datetime (None on an empty
+    frame).  One count + one top-k job over the replay source —
+    fixture-scale work; live deployments use the wall clock and
+    never call this."""
+    n = events.count()
+    if n == 0:
+        return None
+    k = n * 3 // 100 + 1
+    return (
+        events.select(ts_col)
+        .orderBy(F.desc(ts_col))
+        .limit(k)
+        .agg(F.min(ts_col))
+        .first()[0]
+    )
 
 
 def drain(q, timeout_s: int, what: str = "streaming query") -> None:

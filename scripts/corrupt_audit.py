@@ -1,0 +1,274 @@
+"""Corrupt-file ingestion audit (round 12, r11-verdict task #6) — the
+one adversarial direction the round-11 battery had not swept: what a
+table read does when the DIRECTORY holding it contains files that are
+not valid data — a truncated parquet (killed writer / partial copy),
+a zero-byte file (created-then-crashed writer), and a stray
+wrong-format file (notes.txt / CSV bytes under a .parquet name).  At
+100 TB every table is a directory that compactions, backfills and
+humans all write into; the question is never IF a bad file appears
+but what the contract is when it does.
+
+The CORRUPT_FILE rule class this audit pins (all probe-measured on
+Spark 4.1 + DuckDB, not assumed):
+
+1. FAIL-FAST is the default on BOTH engines, single file or
+   directory: truncated / zero-byte / alien-bytes parquet all raise
+   (Spark FAILED_READ_FILE.CANNOT_READ_FILE_FOOTER, DuckDB
+   InvalidInputException) — neither engine ever silently returns
+   partial data from a corrupt member.  A corrupt SINGLE-file table
+   is therefore unrecoverable at read time by design; recovery is an
+   upstream re-export, never an engine option.
+2. SCHEMA INFERENCE IS POISONED TOO: Spark's
+   ``spark.sql.files.ignoreCorruptFiles=true`` alone does NOT
+   recover a mixed directory — inference samples footers, the
+   corrupt ones are skipped, and the read dies with
+   UNABLE_TO_INFER_SCHEMA when the sample is exhausted.  Bounded
+   recovery REQUIRES the contracted schema passed explicitly
+   (production always has one — the catalog); with
+   ``.schema(catalog) + ignoreCorruptFiles`` the read returns
+   exactly the clean members' rows.
+3. ENGINE SPLIT on strays: Spark attempts every non-underscore file
+   in a directory (stray notes.txt → job failure) while DuckDB's
+   ``*.parquet`` glob never even sees a wrong-extension stray — so
+   the only ENGINE-AGNOSTIC recovery is filesystem-level QUARANTINE:
+   move members failing the 4-byte PAR1 tail probe (and any
+   non-data stray) to a dead-letter directory, mirroring the
+   malformed-JSON audit's quarantine discipline.  After quarantine
+   both engines agree with the uncorrupted baseline.
+4. The quarantined lake is then swept through the FULL registry
+   parity check (glob views, LAYOUT_DEFINED keys excluded exactly as
+   in scripts/filesplit_audit.py) — proving the documented recovery
+   restores end-to-end correctness, not just rowcounts.
+
+    python scripts/corrupt_audit.py [--sf /root/testdata/sf0.001]
+        [--skip-sweep] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: bytes cut from the tail to kill the footer+magic of the truncated clone
+TRUNCATE_TAIL = 256
+
+
+def _raises(fn) -> str | None:
+    """Run ``fn``; return the exception's type name (None if it
+    succeeded — which for this audit's pins is the FAILURE case)."""
+    try:
+        fn()
+        return None
+    except Exception as e:  # noqa: BLE001 — the audit pins "raises at all"
+        return type(e).__name__
+
+
+@contextlib.contextmanager
+def _ignore_corrupt(spark):
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def build_corrupt_lake(sf_dir: str, dst: str) -> None:
+    """Each table becomes ``{dst}/{t}.parquet/`` = the filesplit
+    audit's 4 clean md5-assigned parts PLUS three corrupt members:
+    a truncated clone of part 0, a zero-byte .parquet, and a stray
+    notes.txt."""
+    import importlib.util as ilu
+
+    fs_spec = ilu.spec_from_file_location(
+        "filesplit_audit",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "filesplit_audit.py"),
+    )
+    fs = ilu.module_from_spec(fs_spec)
+    fs_spec.loader.exec_module(fs)
+    fs.build_split_dir(sf_dir, dst)
+    for t in TABLES:
+        d = f"{dst}/{t}.parquet"
+        clean0 = open(f"{d}/part-00000.parquet", "rb").read()
+        with open(f"{d}/part-trunc.parquet", "wb") as f:
+            f.write(clean0[:-TRUNCATE_TAIL])
+        open(f"{d}/part-zero.parquet", "wb").close()
+        with open(f"{d}/notes.txt", "w") as f:
+            f.write("ops scratch note — not data\n")
+
+
+def quarantine(table_dir: str, dead_letter: str) -> list[str]:
+    """The rule-class recovery: move every member that fails the
+    4-byte PAR1 tail probe (or is not a data file at all) to the
+    dead-letter directory; ``_``-prefixed engine metadata is left
+    alone.  Returns the quarantined basenames."""
+    os.makedirs(dead_letter, exist_ok=True)
+    moved = []
+    for p in sorted(glob.glob(os.path.join(table_dir, "*"))):
+        base = os.path.basename(p)
+        if base.startswith("_"):
+            continue
+        ok = False
+        if base.endswith(".parquet") and os.path.getsize(p) > 12:
+            with open(p, "rb") as f:
+                f.seek(-4, os.SEEK_END)
+                ok = f.read(4) == b"PAR1"
+        if not ok:
+            shutil.move(p, os.path.join(dead_letter, f"{base}.quarantined"))
+            moved.append(base)
+    return moved
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from duckdb_hdfs_spark.session import get_spark
+
+    spark = get_spark("corrupt-audit")
+    spark.sparkContext.setLogLevel("FATAL")
+    # raw footer reads below touch the nano-timestamp events file
+    # before any load_table() has set the session's nanos handling
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    failures: list[str] = []
+
+    def pin(cond: bool, what: str) -> None:
+        print(("PIN  " if cond else "FAIL ") + what, flush=True)
+        if not cond:
+            failures.append(what)
+
+    # ---- 1. single-file fail-fast (both engines, three classes) ----
+    single = tempfile.mkdtemp(prefix="corrupt_single_")
+    clean = open(f"{args.sf}/nation.parquet", "rb").read()
+    with open(f"{single}/trunc.parquet", "wb") as f:
+        f.write(clean[:-TRUNCATE_TAIL])
+    open(f"{single}/zero.parquet", "wb").close()
+    with open(f"{single}/alien.parquet", "w") as f:
+        f.write("n_nationkey,n_name\n0,oops\n")
+    for name in ("trunc", "zero", "alien"):
+        p = f"{single}/{name}.parquet"
+        exc = _raises(lambda p=p: spark.read.parquet(p).count())
+        pin(exc is not None, f"spark single-file {name} raises ({exc})")
+        exc = _raises(
+            lambda p=p: duckdb.sql(f"SELECT count(*) FROM '{p}'").fetchone()
+        )
+        pin(exc is not None, f"duckdb single-file {name} raises ({exc})")
+
+    # ---- 2. mixed directory: default fail-fast + poisoned inference ----
+    lake = tempfile.mkdtemp(prefix="testdata_corrupt_")
+    build_corrupt_lake(args.sf, lake)
+    print(f"corrupt lake at {lake} (4 clean parts + 3 bad members/table)",
+          flush=True)
+    probe = f"{lake}/nation.parquet"
+    exc = _raises(lambda: spark.read.parquet(probe).count())
+    pin(exc is not None, f"spark mixed-dir default read raises ({exc})")
+    exc = _raises(
+        lambda: duckdb.sql(
+            f"SELECT count(*) FROM '{probe}/*.parquet'"
+        ).fetchone()
+    )
+    pin(exc is not None, f"duckdb mixed-dir glob raises ({exc})")
+    with _ignore_corrupt(spark):
+        exc = _raises(lambda: spark.read.parquet(probe).count())
+    pin(
+        exc is not None,
+        f"spark ignoreCorruptFiles WITHOUT schema still raises ({exc}) "
+        "— schema inference is poisoned; recovery needs the catalog schema",
+    )
+
+    # ---- 3. engine-level bounded recovery: catalog schema + ignore ----
+    with _ignore_corrupt(spark):
+        for t in TABLES:
+            want = duckdb.sql(
+                f"SELECT count(*) FROM '{args.sf}/{t}.parquet'"
+            ).fetchone()[0]
+            catalog_schema = spark.read.parquet(f"{args.sf}/{t}.parquet").schema
+            got = (
+                spark.read.schema(catalog_schema)
+                .parquet(f"{lake}/{t}.parquet")
+                .count()
+            )
+            pin(got == want,
+                f"recovery read {t}: {got} rows == clean {want}")
+
+    # ---- 4. filesystem quarantine: both engines == clean baseline ----
+    dead = os.path.join(lake, "_dead_letter")
+    for t in TABLES:
+        moved = quarantine(f"{lake}/{t}.parquet", dead)
+        want_moved = {"notes.txt", "part-trunc.parquet", "part-zero.parquet"}
+        pin(set(moved) == want_moved,
+            f"quarantine {t}: moved exactly {sorted(want_moved)}")
+        want = duckdb.sql(
+            f"SELECT count(*) FROM '{args.sf}/{t}.parquet'"
+        ).fetchone()[0]
+        got_d = duckdb.sql(
+            f"SELECT count(*) FROM '{lake}/{t}.parquet/*.parquet'"
+        ).fetchone()[0]
+        got_s = spark.read.parquet(f"{lake}/{t}.parquet").count()
+        pin(got_d == want and got_s == want,
+            f"post-quarantine {t}: duckdb {got_d} / spark {got_s} == {want}")
+
+    # ---- 5. full-registry parity sweep over the quarantined lake ----
+    if not args.skip_sweep:
+        import importlib.util as ilu
+
+        fs_spec = ilu.spec_from_file_location(
+            "filesplit_audit",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "filesplit_audit.py"),
+        )
+        fs = ilu.module_from_spec(fs_spec)
+        fs_spec.loader.exec_module(fs)
+
+        from duckdb_hdfs_spark.oracle import CompareResult, compare
+        from duckdb_hdfs_spark.queries import load_all
+
+        reg = load_all()
+        keys = [k for k in (args.keys or list(reg)) if k in reg]
+        for name in sorted(fs.LAYOUT_DEFINED & set(keys)):
+            print(f"SKIP {name} (LAYOUT_DEFINED — see filesplit_audit)")
+        keys = [k for k in keys if k not in fs.LAYOUT_DEFINED]
+        con = fs.glob_connection(lake)
+        bad_sweep, n = [], 0
+        for name in keys:
+            qd = reg[name]
+            try:
+                r = compare(name, qd.spark(spark, lake), con, qd.oracle)
+            except Exception as e:  # noqa: BLE001
+                r = CompareResult(name, False, -1, -1,
+                                  [f"exception: {e!r:.300}"])
+            n += 1
+            if not r.ok:
+                bad_sweep.append(r)
+                failures.append(f"sweep {name}")
+        print(f"post-recovery sweep: {n - len(bad_sweep)}/{n} green",
+              flush=True)
+        for r in bad_sweep:
+            print(f"FAIL sweep {getattr(r, 'name', r)} :: {str(r)[:400]}")
+
+    print(("ALL GREEN" if not failures else f"{len(failures)} FAILURES"),
+          flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

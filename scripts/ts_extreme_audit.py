@@ -65,44 +65,25 @@ def build_ts_extreme_dir(sf_dir: str, dst: str) -> str:
     return dst
 
 
-#: Watermark-POISONED keys, excluded by design: a single far-future
-#: timestamp (2262/2038) advances the stream's watermark past the
-#: entire real data, so every stateful operator behind it mass-drops
-#: or force-closes legitimate rows — and WHICH rows depends on
-#: micro-batch arrival boundaries, not on the data (the four keys
-#: below are the session/join/late-drop state machines; the
-#: stateless streaming keys stay green).  This is the textbook
-#: production hazard that makes ingest pipelines clamp event time
-#: BEFORE the watermark; under corruption the behavior is
-#: arrival-order-defined and has no SQL-expressible oracle.  The
-#: audit measured the poisoning (session counts 450 vs 828, drop
-#: accounting off by the poisoned batches) rather than hiding it.
-#:
-#: Round 11 implemented the rule
-#: (streaming/pipelines.clamp_event_time, wired into
-#: streaming_session_windows, tested in tests/test_streaming.py) —
-#: and the exclusion DELIBERATELY remains: the production clamp
-#: bounds event time at WALL-CLOCK now + slack, which defuses
-#: corruption on a live stream (real events sit near now) but not on
-#: this audit's HISTORICAL replay, where now is years past the
-#: 2024-era data and a clamped 2262 event still lands far beyond the
-#: real stream's event times.  Replaying history safely needs the
-#: clamp anchored to the replay's own clock (the test passes
-#: ``now=max_real_ts``) — a pipeline-deployment choice, not an
-#: operator-level one, so the audit keeps measuring the unclamped
-#: hazard instead of baking one deployment's anchor into the keys.
-WATERMARK_POISONED = {
-    "streaming_session_windows",
-    "streaming_late_event_drops",
-    "streaming_left_outer_join",
-    "streaming_session_timeout",
-    # the stream-stream inner join rides the same mechanism: between
-    # audit runs it flipped green → 0-vs-3 rows with NO code change —
-    # the poisoned watermark's drops move with micro-batch arrival
-    # boundaries, which is precisely the nondeterminism documented
-    # above
-    "streaming_view_purchase_join",
-}
+#: Watermark-poisoning history (rounds 10-12).  Round 10 measured the
+#: hazard: a single far-future timestamp (2262/2038) advances a
+#: stream's watermark past the entire real data, and every stateful
+#: operator behind it mass-drops or force-closes legitimate rows at
+#: micro-batch-arrival-defined points — five keys (the session/join/
+#: late-drop state machines) were excluded as arrival-order-defined
+#: under corruption.  Round 11 wrote the production rule as code
+#: (streaming/pipelines.clamp_event_time) but anchored it at the
+#: wall clock, which defuses live streams only — a clamped 2262
+#: event still landed years past this audit's HISTORICAL replay.
+#: Round 12 (r11-verdict task #3) anchored the clamp to the replay's
+#: own clock (streaming/pipelines.replay_clamp_anchor — the trimmed
+#: top-order-statistic of the stream's own event times) and wired it
+#: into ALL FIVE state machines with the identical clamp mirrored in
+#: each oracle (queries/streaming_q.CLAMP_CTES).  The exclusion
+#: class is now EMPTY: under this audit's corruption the five keys
+#: compute the same deterministically clamped stream on both
+#: engines, so they run in the sweep like everything else.
+WATERMARK_POISONED: set[str] = set()
 
 
 def main() -> int:

@@ -53,6 +53,22 @@ def test_bench_emits_single_json_line():
     assert ("queries" in ctl and ctl.get("value", 0) > 0) or (
         "error" in ctl or "skipped" in ctl
     ), ctl
+    # stats_spearman_corr re-baseline sentinel (round 12, r11-verdict
+    # task #5): the query's floor is committed (2.96s idle median,
+    # stage profile in scripts/spearman_profile.py) and no further
+    # optimization windows are spent on it — so a REGRESSION must be
+    # caught mechanically.  The interleaved paired ratio (HEAD rep /
+    # prev-round-commit rep, adjacent in time) cancels host load; a
+    # genuine slowdown in the query's plan shows up as ratio >> 1
+    # regardless of ambient noise.  1.25 = the widest ambient band
+    # ever observed on this query (r11: 0.76-1.08) plus margin.
+    spearman_ratio = ctl.get("paired_ratio", {}).get("stats_spearman_corr")
+    if spearman_ratio is not None:
+        assert spearman_ratio <= 1.25, (
+            f"stats_spearman_corr paired ratio {spearman_ratio} exceeds the "
+            "1.25 re-baseline sentinel — the query regressed vs the "
+            "previous round's commit (see README re-baseline paragraph)"
+        )
 
 
 def test_control_contains_bogus_commit_failure(tmp_path):

@@ -502,3 +502,102 @@ def test_clamp_event_time_defuses_watermark_poison(spark, tmp_path):
         flag_col="_clamped",
     )
     assert flagged.filter(F.col("_clamped")).count() == 1
+
+
+# --------------------------------------------------------------------------
+# round 12 (r11-verdict task #3): the replay-anchored two-sided clamp,
+# wired into ALL FIVE watermark state machines, with the ts-extremes
+# audit's former exclusion class reduced to zero.
+def test_clamp_event_time_past_floor(spark):
+    """Two-sided clamp: far-past rows clamp UP to now − past_slack,
+    far-future rows still clamp DOWN, in-range rows pass untouched,
+    and the flag covers both directions."""
+    import datetime
+
+    from duckdb_hdfs_spark.streaming.pipelines import clamp_event_time
+
+    now = datetime.datetime(2024, 1, 15, 0, 0, 0)
+    rows = [
+        (1, datetime.datetime(1677, 9, 22, 0, 0, 0)),   # far past
+        (2, datetime.datetime(2024, 1, 14, 12, 0, 0)),  # in range
+        (3, datetime.datetime(2262, 4, 10, 0, 0, 0)),   # far future
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = {
+        r.event_id: (r.ts, r.flagged)
+        for r in clamp_event_time(
+            df, slack="1 hour", now=now, past_slack="2 days",
+            flag_col="flagged",
+        ).collect()
+    }
+    assert out[1] == (now - datetime.timedelta(days=2), True)
+    assert out[2] == (rows[1][1], False)
+    assert out[3] == (now + datetime.timedelta(hours=1), True)
+
+
+def test_replay_clamp_anchor_trims_poisoned_tail(spark):
+    """The replay anchor is the min of the top-3%+1 ts order
+    statistics: on a 100-row stream with 2 far-future corrupt rows it
+    must land on a CLEAN high value (the 4th-largest overall), not on
+    the poison — and on an empty frame it is None."""
+    import datetime
+
+    from duckdb_hdfs_spark.streaming.pipelines import replay_clamp_anchor
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+    rows = [(i, t0 + i * mins) for i in range(98)]
+    rows += [(998, datetime.datetime(2262, 4, 10, 0, 0, 0)),
+             (999, datetime.datetime(2038, 1, 19, 3, 14, 8))]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    # n=100 -> k = 3 + 1 = 4 -> anchor = 4th largest = clean row 96
+    assert replay_clamp_anchor(df) == t0 + 96 * mins
+    empty = df.filter("event_id < 0")
+    assert replay_clamp_anchor(empty) is None
+
+
+def test_watermark_machines_oracle_green_on_poisoned_replay(spark, sf_dir, tmp_path):
+    """The r11-verdict done-criterion, as a permanent regression gate:
+    ALL FIVE watermark state machines (session windows, custom
+    session timeouts, late-event drops, inner and left-outer
+    stream-stream joins) stay oracle-green on the timestamp-extremes
+    poisoned fixture (2% of events.ts forced to 1677/2262/1969-epoch-
+    edge/leap-day/2038 parser-garbage instants).  Before round 12
+    these five were the audit's WATERMARK_POISONED exclusion class —
+    arrival-order-defined under corruption; the replay-anchored
+    ingest clamp (mirrored in each oracle via CLAMP_CTES) makes both
+    engines compute the same deterministically clamped stream."""
+    import importlib.util
+    from pathlib import Path
+
+    audit_path = (
+        Path(__file__).resolve().parent.parent / "scripts" / "ts_extreme_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("ts_extreme_audit", audit_path)
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+    assert audit.WATERMARK_POISONED == set(), (
+        "the exclusion class must stay empty — the clamp is the fix"
+    )
+
+    dst = tmp_path / "tsx"
+    dst.mkdir()
+    audit.build_ts_extreme_dir(sf_dir, str(dst))
+
+    from duckdb_hdfs_spark.oracle import run_all
+
+    keys = [
+        "streaming_session_windows",
+        "streaming_view_purchase_join",
+        "streaming_late_event_drops",
+        "streaming_left_outer_join",
+        "streaming_session_timeout",
+        # + the round-12 audit's other find: epoch floor-division at
+        # the negative-epoch instant (sql_epoch_calendar_funcs —
+        # engines' native conversions disagree in both directions at
+        # −1 µs; both sides now lower through the pmod floor identity)
+        "sql_epoch_calendar_funcs",
+    ]
+    res = run_all(spark, str(dst), names=keys)
+    bad = [str(r) for r in res if not r.ok]
+    assert bad == [], bad
