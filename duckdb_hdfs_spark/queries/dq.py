@@ -767,6 +767,11 @@ def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.count(F.lit(1))
     flag_sum = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    # the four metric frames are 1-row aggregates consumed by SEVERAL
+    # stage rows each; eagerly checkpointing them pins
+    # compute-once-read-many (without it, every union branch re-runs
+    # the whole upstream pipeline — the plan-reuse-as-result-reuse
+    # trap tests/test_plan_shape.py::test_scan_budget exists to catch)
     m_ev = hardened.agg(
         one.alias("n_out"),
         F.sum(F.when(eid % 10 == 0, 1).otherwise(0))
@@ -781,7 +786,7 @@ def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("unix_micros(ts) DIV 1000000"))
         .cast("double")
         .alias("ts_sum"),
-    )
+    ).localCheckpoint(eager=True)
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vid = F.col("vec_id")
@@ -803,17 +808,17 @@ def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim_ok = enforce_dimension(emb2, "embedding", 64)
     nf_ok = quarantine_nonfinite_vectors(dim_ok, "embedding")
-    m_in = emb.agg(one.alias("e_n_in"))
+    m_in = emb.agg(one.alias("e_n_in")).localCheckpoint(eager=True)
     m1 = dim_ok.agg(
         one.alias("d_n"),
         F.sum("vec_id").alias("d_ids"),
         F.sum(F.size("embedding")).alias("d_dims"),
-    )
+    ).localCheckpoint(eager=True)
     m2 = nf_ok.agg(
         one.alias("f_n"),
         F.sum("vec_id").alias("f_ids"),
         F.sum(F.size("embedding")).alias("f_dims"),
-    )
+    ).localCheckpoint(eager=True)
 
     nulld = F.lit(None).cast("double")
     s1 = m_ev.select(
