@@ -482,24 +482,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per hot term per map task) and lets AQE split the skewed
     join key — slower by a constant at toy scale, correct at 100 TB.
 
-    Also rejected (round 11): a graded rebalance before the
-    tokenize+explode (the lever that won 26% on the substring-spans
-    gram build) measured SLOWER here (1.13 → 1.32s interleaved at
-    sf0.1) — this tokenize phase is too cheap to amortize shuffling
-    the raw text payloads; do not re-attempt."""
+    Rebalance history: round 11 measured the DEFAULT-grade rebalance
+    (24 KiB/slot) slower at sf0.1 (1.13 → 1.32s interleaved — 10
+    slots of sub-100ms tokenize work lose to scheduling + shuffling
+    the raw text); the round-12 sf1.0 stage profile then showed the
+    flip side: at 10× volume the tokenize runs ~2s on the scan's 2
+    splits, twice (both branches — see the df note below).  The
+    resolution is a COARSER per-site grade (256 KiB/slot): still a
+    no-op at sf0.1 and below (preserving the round-11 result), ~10
+    slots at sf1.0 (5.2 → 3.7s measured; the residual is a
+    CPU-dense 17 MB shuffle AQE coalesces by BYTES — an
+    advisoryPartitionSizeInBytes=1m A/B measured no set-level win
+    under the tuned session, so the coalesce stays), and at 100 TB
+    a no-op like every rebalance (splits >> cores)."""
     from pyspark.sql import Window
 
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
     docs = _t(spark, sf_dir, "documents")
+    docs_rb = rebalance_cpu_heavy(
+        docs.select("doc_id", "text"), bytes_per_slot=256 << 10
+    )
     # document count folded into the plan as a broadcast 1-row
     # aggregate (row-group-metadata count) — not a separate driver
     # count() action/job
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        docs_rb.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # NOTE (round 12, sf1.0 stage profile): the df branch RE-SCANS the
+    # corpus — Catalyst rewrites its inner aggregate to a keys-only
+    # distinct (functions=[]), so its (doc_id, term) exchange is
+    # canonically different from the tf branch's and ReusedExchange
+    # can never fire; count("tf") instead of count(*) was tried and
+    # gets the same distinct rewrite.  Forcing reuse would mean
+    # materializing tf (a doc×term-grain checkpoint — comparable bytes
+    # to the corpus itself; worse than the second scan it saves).  The
+    # second scan is accepted and made cheap the same way as the
+    # first: the graded rebalance above spreads BOTH branches'
+    # tokenize off the scan's split count.
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df, "term")

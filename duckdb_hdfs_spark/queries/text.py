@@ -54,8 +54,18 @@ FROM documents
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics — the base feature pass every
-    corpus pipeline runs first.  Pure map work, zero shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    corpus pipeline runs first.  Pure map work; the only exchange is
+    the graded scan-parallelism rebalance (round 12: the sf1.0 scale
+    run's stage profile showed the whole tokenize+stats projection
+    pinned to the scan's 2 splits — 2.3s of task time, serial; the
+    same single-file trap the MinHash pipeline hit in round 7, fixed
+    by the same proportional grade, which is a no-op on well-split
+    production data where splits >> cores)."""
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    docs = rebalance_cpu_heavy(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
