@@ -766,7 +766,11 @@ def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
         now="2024-01-31 00:00:00", flag_col="clamped",
     )
     one = F.count(F.lit(1))
-    flag_sum = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    # coalesce: a sum over ZERO rows is NULL where the oracle's
+    # count FILTER is 0 (zero-row audit) — the counts must stay BIGINT
+    flag_sum = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col(c), 1).otherwise(0)), F.lit(0)
+    ).cast("bigint")
     # the four metric frames are 1-row aggregates consumed by SEVERAL
     # stage rows each; eagerly checkpointing them pins
     # compute-once-read-many (without it, every union branch re-runs
@@ -774,7 +778,7 @@ def pipeline_ingest_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trap tests/test_plan_shape.py::test_scan_budget exists to catch)
     m_ev = hardened.agg(
         one.alias("n_out"),
-        F.sum(F.when(eid % 10 == 0, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(eid % 10 == 0, 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("replay_flagged"),
         flag_sum("bad_val").alias("finite_flagged"),

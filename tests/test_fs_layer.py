@@ -334,3 +334,63 @@ def test_write_csv_quoting_edge_cases(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     ), "CSV round-trip corrupted delimiter/quote/newline content"
+
+
+# --------------------------------------------------------------------------
+# round 12: the corrupt-file ingestion contract (scripts/corrupt_audit.py)
+# pinned as a permanent regression gate — fail-fast, poisoned inference,
+# and the PAR1-tail quarantine recovery, on one table for test speed.
+def test_corrupt_file_contract(spark, sf_dir, tmp_path):
+    """FAIL-FAST: truncated/zero-byte/alien parquet raise on read
+    (never silently return partial data); ignoreCorruptFiles alone
+    dies at schema inference on a mixed directory; the catalog-schema
+    recovery read and the PAR1-tail quarantine both restore exactly
+    the clean rows."""
+    import importlib.util
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    audit_path = (
+        Path(__file__).resolve().parent.parent / "scripts" / "corrupt_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("corrupt_audit", audit_path)
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    clean = open(f"{sf_dir}/nation.parquet", "rb").read()
+    single = tmp_path / "single"
+    single.mkdir()
+    (single / "trunc.parquet").write_bytes(clean[: -audit.TRUNCATE_TAIL])
+    (single / "zero.parquet").write_bytes(b"")
+    (single / "alien.parquet").write_text("n_nationkey,n_name\n0,oops\n")
+    for p in sorted(single.iterdir()):
+        with _pytest.raises(Exception):
+            spark.read.parquet(str(p)).count()
+
+    d = tmp_path / "tbl"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(2).write.parquet(
+        str(d)
+    )
+    want = spark.read.parquet(str(d)).count()
+    (d / "part-trunc.parquet").write_bytes(clean[: -audit.TRUNCATE_TAIL])
+    (d / "part-zero.parquet").write_bytes(b"")
+    (d / "notes.txt").write_text("stray\n")
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()
+    schema = spark.read.parquet(f"{sf_dir}/nation.parquet").schema
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # inference is poisoned even with ignoreCorruptFiles...
+        with _pytest.raises(Exception):
+            spark.read.parquet(str(d)).count()
+        # ...the catalog schema is the bounded recovery
+        assert spark.read.schema(schema).parquet(str(d)).count() == want
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    moved = audit.quarantine(str(d), str(tmp_path / "dead"))
+    assert set(moved) == {"notes.txt", "part-trunc.parquet", "part-zero.parquet"}
+    assert spark.read.parquet(str(d)).count() == want
