@@ -150,16 +150,26 @@ class _Control:
 
     def _pump(self) -> None:
         """Reader thread: drain serve stdout continuously, keeping only
-        JSON lines.  A thread (not select-on-fd) because mixing select
-        with buffered readline deadlocks when a complete line already
-        sits in the Python-side buffer with no new bytes on the fd;
-        skipping non-'{' lines keeps JVM stdout noise (log4j warnings,
-        GC messages) from poisoning json.loads of the READY/reply line
-        (round-11 advice)."""
+        serve-protocol lines.  A thread (not select-on-fd) because
+        mixing select with buffered readline deadlocks when a complete
+        line already sits in the Python-side buffer with no new bytes
+        on the fd.  A line counts as a serve reply only if it parses
+        as a JSON object carrying one of the protocol keys (READY's
+        "queries", a rep's "sec"/"error") — a first-byte '{' filter
+        alone would let a JVM/log line that happens to start with '{'
+        desynchronize the request/reply pairing (round-12 advisor)."""
         try:
             for line in self.proc.stdout:
                 line = line.strip()
-                if line.startswith("{"):
+                if not line.startswith("{"):
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and (
+                    "queries" in obj or "sec" in obj or "error" in obj
+                ):
                     self._lines.put(line)
         except Exception:  # noqa: BLE001 — EOF sentinel below reports it
             pass

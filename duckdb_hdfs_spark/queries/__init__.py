@@ -71,82 +71,85 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly ≤50 names.  Round-12 allocation (the
-# round-11 verdict's tasks #1 and #4, verbatim): the one NEW key this
-# round (pipeline_ingest_hardening — sources/ingest.py promoted to a
-# driver-checked composition) leads, then ALL 27 keys whose latest
-# row is round 5 (CORRECTNESS_r05 window order), then the 22 OLDEST
-# round-6 keys (CORRECTNESS_r06 window order).  After this round
-# lands, no key's latest driver row predates round 6.  All 50
-# verified green at driver-condition sf0.01 before rotation.
+# Keep this list at exactly <=50 names.  Round-13 allocation (the
+# round-12 verdict's task #1, verbatim): no new keys this round
+# (registry frozen at 328), so the whole window goes to freshness —
+# ALL 28 keys whose latest row is round 6 (CORRECTNESS_r06 window
+# order), then the 22 OLDEST round-7 keys (CORRECTNESS_r07 window
+# order).  After this round lands, no key's latest driver row
+# predates round 7.  All 50 verified green at driver-condition
+# sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the new round-12 key (never driver-checked) ---
-    "pipeline_ingest_hardening",
-    # --- the 27 r5-stale keys (CORRECTNESS_r05 order) ---
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_supplier_value",
-    "q13_cust_order_distribution",
-    "q15_top_supplier",
-    "q16_brand_type_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_cust",
-    "q19_disjunctive_preds",
-    "q20_part_supplier_ship",
-    "q21_waiting_orders",
-    "q22_acctbal_opportunity",
-    "win_topk_per_group",
-    "win_lag_delta",
-    "rollup_sales",
-    "cube_sales",
-    "grouping_sets_sales",
-    "pivot_event_types",
-    "distinct_users_exact",
-    "sql_cte_chain",
-    "win_rank_functions",
-    "grouping_id_sales",
-    "fs_read_json",
-    "fs_glob",
-    # --- the 22 oldest r6-stale keys (CORRECTNESS_r06 order) ---
-    "pipeline_corpus_release",
-    "dedup_graph_pagerank",
-    "dq_referential_audit",
-    "dq_rule_violations",
-    "streaming_late_event_drops",
-    "streaming_cdc_apply",
-    "streaming_sliding_counts",
-    "streaming_hll_rollup",
-    "streaming_left_outer_join",
-    "streaming_session_timeout",
-    "streaming_partitioned_sink",
-    "streaming_complete_topk",
-    "mm_decode_real",
-    "mm_decode_wav",
-    "mm_audio_frame_energy",
-    "mm_image_patch_grid",
-    "mm_media_router",
-    "dedup_lsh_band_sweep",
-    "sim_ivf_probe_sweep",
-    "dedup_lsh_recall_eval",
-    "dedup_winnowing",
-    "dedup_simhash_pairs",
+    # --- the 28 r6-stale keys (CORRECTNESS_r06 order) ---
+    "sim_range_search",
+    "text_bigram_logprob",
+    "sql_math_funcs",
+    "sql_filtered_aggs",
+    "sql_bit_funcs",
+    "sql_pattern_match",
+    "sql_string_agg",
+    "sql_nested_types",
+    "sql_lateral_join",
+    "sql_distinct_on",
+    "sql_try_cast",
+    "sql_json_funcs",
+    "sql_any_all",
+    "sql_hash_funcs",
+    "sql_dayofweek_normalized",
+    "sql_union_by_name",
+    "sql_paginated_topn",
+    "sql_variant_type",
+    "sql_array_mutation_funcs",
+    "sql_map_funcs",
+    "sketch_bloom_filter",
+    "sketch_count_min",
+    "sketch_hll_intersection",
+    "sketch_hll_rolling_wau",
+    "sketch_cms_join_size",
+    "cdc_snapshot_at",
+    "cdc_incremental_agg",
+    "cdc_reordered_apply",
+    # --- the 22 oldest r7-stale keys (CORRECTNESS_r07 order) ---
+    "mm_decode_gif",
+    "fs_write_roundtrip",
+    "fs_bucketed_join",
+    "fs_compact_small_files",
+    "fs_read_csv_malformed",
+    "fs_typed_roundtrip",
+    "fs_read_json_nested",
+    "fs_summarize_table",
+    "fs_parquet_codecs",
+    "fs_sql_join_views",
+    "ev_user_decile",
+    "ev_burst_flags",
+    "ev_cumulative_users",
+    "ev_anomaly_mad",
+    "ev_stickiness",
+    "ev_anomaly_ewma",
+    "ev_session_paths",
+    "ev_daily_conversion_wilson",
+    "ev_active_streaks",
+    "ev_funnel_windowed",
+    "ev_new_vs_returning",
+    "ev_gap_filled_daily",
 )
 
-# Round-13+ rotation pool — stale re-verification oldest-first after
-# any keys added that round.  Remaining r6-latest keys (28, in their
-# CORRECTNESS_r06 window order): sim_range_search, text_bigram_logprob,
-# sql_math_funcs, sql_filtered_aggs, sql_bit_funcs, sql_pattern_match,
-# sql_string_agg, sql_nested_types, sql_lateral_join, sql_distinct_on,
-# sql_try_cast, sql_json_funcs, sql_any_all, sql_hash_funcs,
-# sql_dayofweek_normalized, sql_union_by_name, sql_paginated_topn,
-# sql_variant_type, sql_array_mutation_funcs, sql_map_funcs,
-# sketch_bloom_filter, sketch_count_min, sketch_hll_intersection,
-# sketch_hll_rolling_wau, sketch_cms_join_size, cdc_snapshot_at,
-# cdc_incremental_agg, cdc_reordered_apply;
-# then the r7 set (50 keys), then r8, etc.
+# Round-14+ rotation pool — stale re-verification oldest-first after
+# any keys added that round.  Remaining r7-latest keys (28, in their
+# CORRECTNESS_r07 window order): ev_linear_attribution,
+# ev_user_entropy, ev_conversion_survival, ev_bot_score_panel,
+# win_value_range_frame, win_locf_ignore_nulls, win_nulls_ordering,
+# corpus_source_overlap, corpus_temperature_mix,
+# corpus_length_drift_by_source, corpus_quality_dup_calibration,
+# corpus_shard_planner, corpus_vocab_growth,
+# corpus_quality_rule_ablation, dedup_cc_size_histogram,
+# dedup_embedding_clusters, dedup_pair_triangles,
+# dedup_embedding_threshold_sweep, dedup_chain_capture_eval,
+# dedup_shingle_sensitivity, sim_mutual_knn_graph,
+# sim_knn_label_accuracy, emb_matryoshka_recall, sim_ivf_cell_stats,
+# emb_jl_project, emb_label_centroid_cohesion,
+# emb_centroid_separation, emb_cluster_purity;
+# then the r8 set (50 keys), then r9, etc.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

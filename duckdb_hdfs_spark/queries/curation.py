@@ -1271,7 +1271,7 @@ db AS (
 )
 SELECT doc_id,
        CAST(sum(n_b) AS BIGINT) AS n_tokens,
-       round(CAST(sum(CAST(n_b AS DECIMAL(20,8)) * w) AS DOUBLE), 4)
+       CAST(round(sum(CAST(n_b AS DECIMAL(20,8)) * w), 4) AS DOUBLE)
            AS dsir_logratio
 FROM db JOIN lr USING (bkt)
 GROUP BY doc_id
@@ -1345,12 +1345,19 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n_b").cast("bigint").alias("n_tokens"),
+            # round the DECIMAL sum, not its double cast: n_b * w sums
+            # are exact 6-dp decimals, so ~1/100 docs land exactly on a
+            # 4-dp half boundary, where double-path rounding depends on
+            # which side of .5 the nearest binary double falls (the
+            # round-12 NULL-sweep holdout: doc sum -0.77765 → Spark's
+            # BigDecimal shortest-repr HALF_UP said -0.7777, DuckDB's
+            # binary round said -0.7776).  Decimal HALF_UP is exact and
+            # engine-portable on both sides; cast to double afterwards.
             F.round(
-                F.sum(F.col("n_b").cast("decimal(20,8)") * F.col("w")).cast(
-                    "double"
-                ),
-                4,
-            ).alias("dsir_logratio"),
+                F.sum(F.col("n_b").cast("decimal(20,8)") * F.col("w")), 4
+            )
+            .cast("double")
+            .alias("dsir_logratio"),
         )
     )
 

@@ -213,7 +213,7 @@ terms AS (
     FROM pb JOIN nb USING (col_name) CROSS JOIN tot
 )
 SELECT col_name, CAST(n_bins AS BIGINT) AS n_bins,
-       round(CAST(sum(CAST(round(term, 12) AS DECIMAL(24,12))) AS DOUBLE), 6)
+       CAST(round(sum(CAST(round(term, 12) AS DECIMAL(24,12))), 6) AS DOUBLE)
            AS psi,
        CAST(sum(CAST(round(term, 12) AS DECIMAL(24,12))) AS DOUBLE) > 0.1
            AS drifted
@@ -297,12 +297,14 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("col_name", "n_bins", term.alias("term"))
     )
-    tsum = F.sum(F.round(F.col("term"), 12).cast("decimal(24,12)")).cast(
-        "double"
-    )
+    # round the DECIMAL sum before the double cast: the 12-dp decimal
+    # sum is exact, so a group landing exactly on a 6-dp half boundary
+    # would otherwise round by binary-representation luck (the
+    # text_dsir_weights round-13 fix, applied to its one sibling site)
+    tsum_dec = F.sum(F.round(F.col("term"), 12).cast("decimal(24,12)"))
     return terms.groupBy("col_name", F.col("n_bins").cast("bigint").alias("n_bins")).agg(
-        F.round(tsum, 6).alias("psi"),
-        (tsum > 0.1).alias("drifted"),
+        F.round(tsum_dec, 6).cast("double").alias("psi"),
+        (tsum_dec.cast("double") > 0.1).alias("drifted"),
     )
 
 

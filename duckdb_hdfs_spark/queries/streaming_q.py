@@ -66,17 +66,24 @@ clamped_events AS (
 )"""
 
 
-def _ingest_clamp(df: DataFrame, anchor_src: DataFrame) -> DataFrame:
+def _ingest_clamp(df: DataFrame, anchor_src) -> DataFrame:
     """Clamp ``df``'s event time at ingest, anchored to the replay
-    clock derived from ``anchor_src`` (the static read of the same
-    fixture).  Pass-through on an empty replay (no anchor exists —
-    and nothing to poison)."""
+    clock derived from ``anchor_src``: either the static read of the
+    same fixture (anchor computed here) or an ALREADY-COMPUTED anchor
+    datetime, so multi-input queries (stream-stream joins) derive the
+    anchor once instead of re-running the count + top-k jobs per side
+    (round-12 advisor).  Pass-through on an empty replay (no anchor
+    exists — and nothing to poison)."""
     from duckdb_hdfs_spark.streaming.pipelines import (
         clamp_event_time,
         replay_clamp_anchor,
     )
 
-    anchor = replay_clamp_anchor(anchor_src)
+    anchor = (
+        replay_clamp_anchor(anchor_src)
+        if isinstance(anchor_src, DataFrame)
+        else anchor_src
+    )
     if anchor is None:
         return df
     return clamp_event_time(
@@ -306,6 +313,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_hdfs_spark.streaming.pipelines import (
         interval_join_views_purchases,
         read_event_stream,
+        replay_clamp_anchor,
         run_available_now_to_memory,
     )
 
@@ -316,18 +324,18 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their watermarks: the global join watermark is the min across
     # inputs, so one poisoned side force-evicts the OTHER side's
     # buffered state (module comment above CLAMP_CTES)
-    anchor_src = spark.read.parquet(src)
+    anchor = replay_clamp_anchor(spark.read.parquet(src))
     views = _ingest_clamp(
         read_event_stream(spark, src, max_files_per_trigger=1).filter(
             F.col("event_type") == "view"
         ),
-        anchor_src,
+        anchor,
     )
     purchases = _ingest_clamp(
         read_event_stream(spark, src, max_files_per_trigger=1).filter(
             F.col("event_type") == "purchase"
         ),
-        anchor_src,
+        anchor,
     )
     run_available_now_to_memory(
         interval_join_views_purchases(

@@ -299,7 +299,11 @@ def clamp_event_time(
         clamped = F.when(ts > limit, limit).when(ts < floor, floor).otherwise(ts)
         flag = flag | (ts < floor)
     if flag_col is not None:
-        out = out.withColumn(flag_col, flag)
+        # NULL event times yield a NULL comparison; coalesce so the
+        # flag is a genuine boolean (false = not clamped) and a
+        # downstream `flag == False` filter cannot silently drop
+        # NULL-ts rows (round-12 advisor)
+        out = out.withColumn(flag_col, F.coalesce(flag, F.lit(False)))
     return out.withColumn(ts_col, clamped)
 
 

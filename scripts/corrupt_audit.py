@@ -114,9 +114,23 @@ def build_corrupt_lake(sf_dir: str, dst: str) -> None:
 
 def quarantine(table_dir: str, dead_letter: str) -> list[str]:
     """The rule-class recovery: move every member that fails the
-    4-byte PAR1 tail probe (or is not a data file at all) to the
-    dead-letter directory; ``_``-prefixed engine metadata is left
-    alone.  Returns the quarantined basenames."""
+    PAR1 tail probe + footer-metadata parse (or is not a data file
+    at all) to the dead-letter directory; ``_``-prefixed engine
+    metadata is left alone.  Returns the quarantined basenames.
+
+    Probe depth (round-12 advisor): the 4-byte tail magic alone
+    passes a file whose tail survived but whose FOOTER rotted, so
+    the probe also parses the thrift footer (pyarrow
+    ``ParquetFile(...).metadata`` — cheap: reads only the footer
+    bytes, never the pages).  Remaining limitation, deliberate:
+    mid-file PAGE corruption under an intact footer still passes —
+    catching it requires decoding every page (a full-file read per
+    member, which at lake scale is the job itself, not a probe).
+    That class surfaces at read time as a per-page decode error;
+    the audit's injected corruption classes (truncation, zero-byte,
+    alien bytes) are all footer-fatal and caught here."""
+    import pyarrow.parquet as pq
+
     os.makedirs(dead_letter, exist_ok=True)
     moved = []
     for p in sorted(glob.glob(os.path.join(table_dir, "*"))):
@@ -128,6 +142,11 @@ def quarantine(table_dir: str, dead_letter: str) -> list[str]:
             with open(p, "rb") as f:
                 f.seek(-4, os.SEEK_END)
                 ok = f.read(4) == b"PAR1"
+            if ok:
+                try:
+                    pq.ParquetFile(p).metadata  # noqa: B018 — probe
+                except Exception:  # noqa: BLE001 — any parse failure
+                    ok = False
         if not ok:
             shutil.move(p, os.path.join(dead_letter, f"{base}.quarantined"))
             moved.append(base)

@@ -93,10 +93,13 @@ BOTH_RAISE = {
 
 #: double-accumulation keys whose round-grain can no longer absorb
 #: accumulation-order deltas at |total| ≥ 2^40 (ulp ≥ 1e-4 = the
-#: round(4) grain) — documented magnitude bound, skipped here
-#: (text_dsir_weights: the pre-existing measure-zero rounded-
-#: transcendental boundary note from the NULL audit).
-ULP_BOUND = {"streaming_user_totals", "text_dsir_weights"}
+#: round(4) grain) — documented magnitude bound, skipped here.
+#: text_dsir_weights left this set in round 13: its divergence was
+#: never ulp — the final round ran on the DOUBLE cast of an exact
+#: 6-dp decimal sum, so every doc landing on a 4-dp half boundary
+#: rounded by binary-representation luck; rounding the DECIMAL sum
+#: (exact HALF_UP on both engines) removed the class.
+ULP_BOUND = {"streaming_user_totals"}
 
 
 def main() -> int:
