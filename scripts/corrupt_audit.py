@@ -40,8 +40,47 @@ Spark 4.1 + DuckDB, not assumed):
    in scripts/filesplit_audit.py) — proving the documented recovery
    restores end-to-end correctness, not just rowcounts.
 
+Round 13 (r12-verdict task #6) extends the corrupt-FILE contract to
+the other three source formats — all probe-measured on Spark 4.1 +
+DuckDB, and sharply DIFFERENT from parquet because only footer-ed
+formats can detect their own corruption:
+
+5. PLAIN CSV HAS NO INTEGRITY METADATA: a truncated (torn-tail) CSV
+   is indistinguishable from a complete one — BOTH engines silently
+   return the surviving prefix rows, no error, no flag.  A zero-byte
+   CSV reads as 0 rows on both.  Binary garbage under .csv splits
+   the engines: Spark parses it into mangled rows (silent), DuckDB's
+   sniffer raises.  The contract: torn-tail CSV corruption is
+   UNDETECTABLE at the format level; detection requires upstream
+   bookkeeping (row-count manifests / checksums), which is why the
+   repo's ingest layer (sources/ingest.py) carries count audits.
+6. GZIP MEMBERS self-detect via the trailing CRC32/ISIZE, but the
+   engines disagree on WHEN to check: Spark streams the member and
+   raises mid-read on a truncated stream; DuckDB silently returns
+   the rows it decoded BEFORE the cut (a partial prefix, the worst
+   of the behaviors measured anywhere in this audit).  Zero-byte
+   inverts the split: Spark says 0 rows, DuckDB raises ("not a GZIP
+   stream").  Garbage raises on both.  The engine-agnostic recovery
+   is the same quarantine discipline as parquet with a FULL-STREAM
+   DECODE probe (gzip members are whole-file decompression units —
+   non-splittable — so the probe costs one member scan, the same
+   work any reader pays).
+7. NDJSON: Spark PERMISSIVE-mode recovers (torn/garbage lines land
+   in ``_corrupt_record``, clean lines parse — silent, flagged);
+   DuckDB read_json raises on the first malformed byte.  Zero-byte
+   is 0 rows on both.  No format-level integrity probe exists (same
+   as CSV); the RECORD-level quarantine lives in the malformed-JSON
+   audit — at the FILE level the pin is the asymmetry itself.
+8. ORC is footer-ed like parquet: truncated / zero-byte / garbage
+   all FAIL-FAST on Spark (protobuf parse / UNABLE_TO_INFER_SCHEMA /
+   CANNOT_READ_FILE_FOOTER).  DuckDB has no ORC reader (engine
+   capability gap, not a corruption behavior).  Quarantine probe =
+   "ORC" tail magic + pyarrow.orc metadata parse, mirroring the
+   parquet PAR1+footer probe; post-quarantine the directory read
+   equals the clean baseline.
+
     python scripts/corrupt_audit.py [--sf /root/testdata/sf0.001]
-        [--skip-sweep] [keys...]
+        [--skip-sweep] [--skip-formats] [keys...]
 """
 
 from __future__ import annotations
@@ -153,10 +192,225 @@ def quarantine(table_dir: str, dead_letter: str) -> list[str]:
     return moved
 
 
+def gzip_member_ok(path: str) -> bool:
+    """Full-stream decode probe for a gzip member: decompress to
+    exhaustion so the trailing CRC32/ISIZE is verified.  Catches
+    truncation, zero-byte, and garbage; cost is one member scan —
+    the same work any reader pays, since a gzip member is a
+    whole-file decompression unit (non-splittable)."""
+    import gzip as _gzip
+
+    if os.path.getsize(path) == 0:
+        return False
+    try:
+        with _gzip.open(path, "rb") as f:
+            while f.read(1 << 20):
+                pass
+        return True
+    except Exception:  # noqa: BLE001 — any decode failure is corrupt
+        return False
+
+
+def orc_member_ok(path: str) -> bool:
+    """ORC probe mirroring the parquet PAR1+footer probe: the
+    postscript's trailing "ORC" magic plus a pyarrow.orc metadata
+    parse (footer bytes only, never the stripes).  Same documented
+    limitation as parquet: mid-file STRIPE rot under an intact
+    footer passes and surfaces at read time."""
+    import pyarrow.orc as _orc
+
+    if os.path.getsize(path) <= 16:
+        return False
+    # file layout ends: ...postscript ("ORC" magic last) + 1-byte
+    # postscript length — so the magic sits at bytes [-4:-1]
+    with open(path, "rb") as f:
+        f.seek(-4, os.SEEK_END)
+        if f.read(3) != b"ORC":
+            return False
+    try:
+        _orc.ORCFile(path)  # parses postscript + footer
+        return True
+    except Exception:  # noqa: BLE001 — any parse failure is corrupt
+        return False
+
+
+def quarantine_by_probe(table_dir: str, dead_letter: str, suffix: str,
+                        probe) -> list[str]:
+    """Generic member quarantine: move every non-``_`` member that is
+    not ``{suffix}``-named-and-probe-clean into the dead-letter
+    directory.  The parquet path keeps its original quarantine();
+    gz/orc reuse this shape with their format probes."""
+    os.makedirs(dead_letter, exist_ok=True)
+    moved = []
+    for p in sorted(glob.glob(os.path.join(table_dir, "*"))):
+        base = os.path.basename(p)
+        if base.startswith("_"):
+            continue
+        if not (base.endswith(suffix) and probe(p)):
+            shutil.move(p, os.path.join(dead_letter, f"{base}.quarantined"))
+            moved.append(base)
+    return moved
+
+
+def format_contracts(spark, sf: str, pin) -> None:
+    """Sections 5-8: the measured corrupt-FILE contract for plain
+    CSV, gzip CSV, NDJSON and ORC (module docstring), plus the
+    gz/orc quarantine recoveries."""
+    import gzip as _gzip
+
+    d = tempfile.mkdtemp(prefix="corrupt_formats_")
+    con = duckdb.connect()
+    clean_rows = con.execute(
+        f"SELECT count(*) FROM '{sf}/nation.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{sf}/nation.parquet') "
+        f"TO '{d}/nation.csv' (FORMAT CSV, HEADER)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{sf}/nation.parquet') "
+        f"TO '{d}/nation.json' (FORMAT JSON)"
+    )
+    csv_b = open(f"{d}/nation.csv", "rb").read()
+    json_b = open(f"{d}/nation.json", "rb").read()
+    with _gzip.open(f"{d}/nation.csv.gz", "wb") as f:
+        f.write(csv_b)
+    gz_b = open(f"{d}/nation.csv.gz", "rb").read()
+    garbage = bytes(range(256)) * 16
+
+    def mk(name, data):
+        with open(f"{d}/{name}", "wb") as f:
+            f.write(data)
+        return f"{d}/{name}"
+
+    def s_csv(p):
+        return spark.read.option("header", "true").csv(p).count()
+
+    def d_csv(p):
+        return con.execute(
+            f"SELECT count(*) FROM read_csv('{p}', header=true)"
+        ).fetchone()[0]
+
+    # --- 5. plain CSV: torn tail is silent and UNDETECTABLE ---
+    p = mk("t.csv", csv_b[: len(csv_b) // 2])
+    sr, dr = _raises(lambda: s_csv(p)), _raises(lambda: d_csv(p))
+    pin(sr is None and dr is None,
+        "csv torn-tail: BOTH engines silent (no format-level detection)")
+    ns, nd = s_csv(p), d_csv(p)
+    pin(0 < ns < clean_rows and 0 < nd < clean_rows,
+        f"csv torn-tail: silent PARTIAL prefix (spark {ns} / duckdb {nd}"
+        f" of {clean_rows})")
+    p = mk("z.csv", b"")
+    pin(s_csv(p) == 0 and d_csv(p) == 0, "csv zero-byte: 0 rows on both")
+    p = mk("g.csv", garbage)
+    sr, dr = _raises(lambda: s_csv(p)), _raises(lambda: d_csv(p))
+    pin(sr is None and dr is not None,
+        f"csv garbage ENGINE SPLIT: spark silent-mangled, duckdb sniffer"
+        f" raises ({dr})")
+
+    # --- 6. gzip CSV: self-detecting, but engines check at different
+    #        times; quarantine probe = full-stream decode ---
+    p = mk("t.csv.gz", gz_b[: len(gz_b) // 2])
+    sr = _raises(lambda p=p: s_csv(p))
+    nd = d_csv(p)
+    pin(sr is not None and nd < clean_rows,
+        f"csvgz truncated ENGINE SPLIT: spark raises ({sr}), duckdb"
+        f" SILENTLY returns the decoded prefix ({nd} rows)")
+    p = mk("z.csv.gz", b"")
+    sr, dr = _raises(lambda p=p: s_csv(p)), _raises(lambda p=p: d_csv(p))
+    pin(sr is None and dr is not None,
+        f"csvgz zero-byte inverted split: spark 0 rows, duckdb raises"
+        f" ({dr})")
+    p = mk("g.csv.gz", garbage)
+    sr, dr = _raises(lambda p=p: s_csv(p)), _raises(lambda p=p: d_csv(p))
+    pin(sr is not None and dr is not None,
+        f"csvgz garbage: both raise ({sr}/{dr})")
+
+    # gz quarantine recovery: 3 clean members + the 3 corrupt classes
+    gzdir = f"{d}/gz_table"
+    os.makedirs(gzdir)
+    header, *lines = csv_b.decode().splitlines(keepends=False)
+    third = (len(lines) + 2) // 3
+    for i in range(3):
+        part = lines[i * third:(i + 1) * third]
+        with _gzip.open(f"{gzdir}/part-{i}.csv.gz", "wb") as f:
+            f.write(("\n".join([header] + part) + "\n").encode())
+    with open(f"{gzdir}/part-trunc.csv.gz", "wb") as f:
+        f.write(gz_b[: len(gz_b) // 2])
+    open(f"{gzdir}/part-zero.csv.gz", "wb").close()
+    with open(f"{gzdir}/notes.txt", "w") as f:
+        f.write("ops scratch note\n")
+    moved = quarantine_by_probe(gzdir, f"{d}/_dead_gz", ".csv.gz",
+                                gzip_member_ok)
+    pin(set(moved) == {"part-trunc.csv.gz", "part-zero.csv.gz",
+                       "notes.txt"},
+        f"gz quarantine (full-decode probe): moved exactly {sorted(moved)}")
+    got_s = s_csv(gzdir)
+    got_d = con.execute(
+        f"SELECT count(*) FROM read_csv('{gzdir}/*.csv.gz', header=true)"
+    ).fetchone()[0]
+    pin(got_s == clean_rows and got_d == clean_rows,
+        f"post-quarantine gz dir: spark {got_s} / duckdb {got_d}"
+        f" == clean {clean_rows}")
+
+    # --- 7. NDJSON: Spark recovers via _corrupt_record, DuckDB raises ---
+    p = mk("t.json", json_b[: len(json_b) // 2])
+    sr = _raises(lambda p=p: spark.read.json(p).count())
+    dr = _raises(lambda p=p: con.execute(
+        f"SELECT count(*) FROM read_json('{p}')").fetchone())
+    pin(sr is None and dr is not None,
+        f"json torn-tail ENGINE SPLIT: spark PERMISSIVE-recovers"
+        f" (torn line → _corrupt_record), duckdb raises ({dr})")
+    cols = spark.read.json(p).columns
+    pin("_corrupt_record" in cols,
+        "json torn-tail: spark flags the torn line in _corrupt_record"
+        " (silent-but-flagged, not silent-dropped)")
+    p = mk("z.json", b"")
+    pin(spark.read.json(p).count() == 0 and con.execute(
+        f"SELECT count(*) FROM read_json('{p}')").fetchone()[0] == 0,
+        "json zero-byte: 0 rows on both")
+    p = mk("g.json", garbage)
+    sr = _raises(lambda p=p: spark.read.json(p).count())
+    dr = _raises(lambda p=p: con.execute(
+        f"SELECT count(*) FROM read_json('{p}')").fetchone())
+    pin(sr is None and dr is not None,
+        f"json garbage ENGINE SPLIT: spark all-_corrupt_record rows,"
+        f" duckdb raises ({dr})")
+
+    # --- 8. ORC: footer-ed → Spark fail-fast; quarantine recovery ---
+    orcdir = f"{d}/orc_table"
+    spark.read.parquet(f"{sf}/nation.parquet").repartition(2) \
+        .write.mode("overwrite").orc(orcdir)
+    orc_file = sorted(glob.glob(f"{orcdir}/part-*.orc"))[0]
+    orc_b = open(orc_file, "rb").read()
+    for name, data in (("part-trunc.orc", orc_b[:-128]),
+                       ("part-zero.orc", b""),
+                       ("part-garbage.orc", garbage)):
+        with open(f"{orcdir}/{name}", "wb") as f:
+            f.write(data)
+    for name in ("part-trunc.orc", "part-zero.orc", "part-garbage.orc"):
+        sr = _raises(
+            lambda name=name: spark.read.orc(f"{orcdir}/{name}").count())
+        pin(sr is not None, f"spark single-file orc {name} raises ({sr})")
+    sr = _raises(lambda: spark.read.orc(orcdir).count())
+    pin(sr is not None, f"spark mixed orc dir default read raises ({sr})")
+    moved = quarantine_by_probe(orcdir, f"{d}/_dead_orc", ".orc",
+                                orc_member_ok)
+    pin(set(moved) == {"part-trunc.orc", "part-zero.orc",
+                       "part-garbage.orc"},
+        f"orc quarantine (ORC magic + footer parse): moved {sorted(moved)}")
+    got = spark.read.orc(orcdir).count()
+    pin(got == clean_rows,
+        f"post-quarantine orc dir: spark {got} == clean {clean_rows}"
+        f" (duckdb: no ORC reader — capability gap, not corruption)")
+    con.close()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-formats", action="store_true")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -283,6 +537,10 @@ def main() -> int:
               flush=True)
         for r in bad_sweep:
             print(f"FAIL sweep {getattr(r, 'name', r)} :: {str(r)[:400]}")
+
+    # ---- 5-8. corrupt-file contracts for CSV / gz / JSON / ORC ----
+    if not args.skip_formats:
+        format_contracts(spark, args.sf, pin)
 
     print(("ALL GREEN" if not failures else f"{len(failures)} FAILURES"),
           flush=True)

@@ -394,3 +394,81 @@ def test_corrupt_file_contract(spark, sf_dir, tmp_path):
     moved = audit.quarantine(str(d), str(tmp_path / "dead"))
     assert set(moved) == {"notes.txt", "part-trunc.parquet", "part-zero.parquet"}
     assert spark.read.parquet(str(d)).count() == want
+
+
+# round 13: corrupt-file contracts for the non-parquet formats
+# (scripts/corrupt_audit.py §§5-8) pinned on one table for test speed.
+def test_corrupt_format_contracts(spark, sf_dir, tmp_path):
+    """CSV torn-tail is silently partial on BOTH engines (no format
+    integrity metadata); gzip members self-detect and the full-decode
+    quarantine probe restores the clean baseline; ORC is footer-ed —
+    fail-fast on Spark, magic+footer quarantine recovers."""
+    import gzip
+    import importlib.util
+    from pathlib import Path
+
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    audit_path = (
+        Path(__file__).resolve().parent.parent / "scripts" / "corrupt_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("corrupt_audit", audit_path)
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    con = _duckdb.connect()
+    want = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/nation.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT * FROM '{sf_dir}/nation.parquet') "
+        f"TO '{tmp_path}/nation.csv' (FORMAT CSV, HEADER)"
+    )
+    csv_b = (tmp_path / "nation.csv").read_bytes()
+
+    # CSV torn tail: silent partial on both engines — the documented
+    # "undetectable at format level" contract
+    (tmp_path / "torn.csv").write_bytes(csv_b[: len(csv_b) // 2])
+    ns = spark.read.option("header", "true").csv(str(tmp_path / "torn.csv")).count()
+    nd = con.execute(
+        f"SELECT count(*) FROM read_csv('{tmp_path}/torn.csv', header=true)"
+    ).fetchone()[0]
+    assert 0 < ns < want and 0 < nd < want
+
+    # gz member dir: clean parts + trunc/zero/stray → quarantine probe
+    gzdir = tmp_path / "gz"
+    gzdir.mkdir()
+    header, *lines = csv_b.decode().splitlines()
+    half = (len(lines) + 1) // 2
+    for i, part in enumerate((lines[:half], lines[half:])):
+        with gzip.open(gzdir / f"part-{i}.csv.gz", "wb") as f:
+            f.write(("\n".join([header] + part) + "\n").encode())
+    clean_gz = (gzdir / "part-0.csv.gz").read_bytes()
+    (gzdir / "part-trunc.csv.gz").write_bytes(clean_gz[: len(clean_gz) // 2])
+    (gzdir / "part-zero.csv.gz").write_bytes(b"")
+    (gzdir / "notes.txt").write_text("stray\n")
+    with _pytest.raises(Exception):
+        spark.read.option("header", "true").csv(str(gzdir)).count()
+    moved = audit.quarantine_by_probe(
+        str(gzdir), str(tmp_path / "dead_gz"), ".csv.gz", audit.gzip_member_ok
+    )
+    assert set(moved) == {"part-trunc.csv.gz", "part-zero.csv.gz", "notes.txt"}
+    assert spark.read.option("header", "true").csv(str(gzdir)).count() == want
+
+    # ORC dir: footer-ed fail-fast + magic/footer quarantine recovery
+    orcdir = tmp_path / "orc"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(2).write.orc(
+        str(orcdir)
+    )
+    orc_b = sorted(orcdir.glob("part-*.orc"))[0].read_bytes()
+    (orcdir / "part-trunc.orc").write_bytes(orc_b[:-64])
+    (orcdir / "part-zero.orc").write_bytes(b"")
+    with _pytest.raises(Exception):
+        spark.read.orc(str(orcdir)).count()
+    moved = audit.quarantine_by_probe(
+        str(orcdir), str(tmp_path / "dead_orc"), ".orc", audit.orc_member_ok
+    )
+    assert set(moved) == {"part-trunc.orc", "part-zero.orc"}
+    assert spark.read.orc(str(orcdir)).count() == want
+    con.close()
