@@ -14,12 +14,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_bench_emits_single_json_line():
-    """Driver-condition run (control NOT suppressed): stdout must
-    still be ONE JSON line, now carrying the prev_commit_control
-    block (the load-adjusted cross-round baseline, round-9 verdict
-    task 3).  The control subprocess's own stdout is captured by
-    bench.py and folded into the block — it must never leak."""
+def _run_bench() -> dict:
+    """One driver-condition bench run at sf0.001/4cpu; returns the
+    parsed single-line JSON payload (asserting the one-line rule)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -36,7 +33,16 @@ def test_bench_emits_single_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be ONE JSON line, got {lines!r}"
-    payload = json.loads(lines[0])
+    return json.loads(lines[0])
+
+
+def test_bench_emits_single_json_line():
+    """Driver-condition run (control NOT suppressed): stdout must
+    still be ONE JSON line, now carrying the prev_commit_control
+    block (the load-adjusted cross-round baseline, round-9 verdict
+    task 3).  The control subprocess's own stdout is captured by
+    bench.py and folded into the block — it must never leak."""
+    payload = _run_bench()
     assert payload["metric"] == "headline_query_wall_time"
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
@@ -62,12 +68,26 @@ def test_bench_emits_single_json_line():
     # genuine slowdown in the query's plan shows up as ratio >> 1
     # regardless of ambient noise.  1.25 = the widest ambient band
     # ever observed on this query (r11: 0.76-1.08) plus margin.
+    # 1.25 was measured at sf0.1/32cpu; at THIS test's sf0.001/4cpu
+    # the query is pure stage constants and the ambient band is far
+    # wider — round 13 recorded 1.491 then 0.435 on back-to-back idle
+    # runs of identical code (the 1.491 tripped the sentinel on a
+    # zero-diff tree).  A breach therefore triggers ONE full re-run:
+    # ambient blips are uncorrelated across runs, a genuine plan
+    # regression reproduces.
     spearman_ratio = ctl.get("paired_ratio", {}).get("stats_spearman_corr")
-    if spearman_ratio is not None:
-        assert spearman_ratio <= 1.25, (
-            f"stats_spearman_corr paired ratio {spearman_ratio} exceeds the "
-            "1.25 re-baseline sentinel — the query regressed vs the "
-            "previous round's commit (see README re-baseline paragraph)"
+    if spearman_ratio is not None and spearman_ratio > 1.25:
+        retry = (
+            _run_bench()
+            .get("prev_commit_control", {})
+            .get("paired_ratio", {})
+            .get("stats_spearman_corr")
+        )
+        assert retry is None or retry <= 1.25, (
+            f"stats_spearman_corr paired ratio breached the 1.25 re-baseline "
+            f"sentinel TWICE ({spearman_ratio}, then {retry} on the retry) — "
+            "the query regressed vs the previous round's commit "
+            "(see README re-baseline paragraph)"
         )
 
 
