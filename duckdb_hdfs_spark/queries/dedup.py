@@ -23,6 +23,7 @@ from duckdb_hdfs_spark.functions.hashing import (
 from duckdb_hdfs_spark.functions.hashing import tokens as tokens_col
 from duckdb_hdfs_spark.operators.dedup import (
     NORM_SQL,
+    bucketed_pairs,
     exact_clusters,
     jaccard_pairs,
     minhash_candidate_pairs,
@@ -558,7 +559,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = (
-        banded_embedding_pairs(emb)
+        banded_embedding_pairs(emb, rebalance=True)
         .filter(F.col("cos") >= 0.3)
         .select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
@@ -830,14 +831,111 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5-Jaccard pair with p = 1-(1-0.5³)⁴ ≈ 0.41 — a LOW-recall
     configuration this eval makes visible).
 
-    Ground truth WITHOUT a cartesian: the inverted-index recipe —
-    pairs sharing ≥ 1 distinct token (a superset of every pair with
-    Jaccard > 0), exact-verified; posting-list join cost is Σ df²,
-    the standard bound (production samples or caps hot tokens).
-    Both the candidate and truth sets are checkpointed once."""
+    Ground truth WITHOUT a cartesian: ADAPTIVE (optimization round
+    13).  The original inverted-index recipe (pairs sharing ≥ 1
+    distinct token, exact-verified) costs Σ df² in posting-join
+    output; on THIS fixture's dense vocabulary (31 distinct tokens,
+    df ≈ n·¾) that is 448 M intermediate rows distinct-ed down to the
+    12.5 M ≈ n²/2 real pairs — 36× amplification, measured 125 s at
+    sf0.1 (guide §1: measure first; §2.3: shuffle fewer bytes).  When
+    the corpus vocabulary fits a 64-bit mask (≤ 62 distinct tokens —
+    two cheap scalar jobs decide), every word set is ONE long and the
+    truth count is a blocked all-pairs popcount scan: docs ride the
+    salted cell partitioner (bucketed_pairs, O(chunk²) per-task state)
+    as (doc_id, mask, |set|) structs, |A∩B| = bit_count(a&b) — an
+    8-byte proxy replacing the ~200-byte word arrays (guide §8: decide
+    with small rows).  The n_caught arm verifies the (distinct) LSH
+    candidates directly against the masks — |cand ∩ truth| counted
+    from the cand side, identical by symmetry of set intersection.
+    Ambient similarity makes the truth set itself Θ(n²) here, so the
+    n²/2 popcounts are the information-theoretic floor for an exact
+    recall denominator.  Real corpora (vocab ≫ 62) keep the
+    inverted-index path, whose Σ df² is then far below n²/2.  Both
+    paths compute |A∩B| / |A∪B| on identical integers — the Jaccard
+    expression (double division, same NULL/zero semantics) and the
+    final aggregate are shared, so the result is bit-identical
+    (verified vs the unchanged DuckDB oracle at sf0.001/0.01/0.1)."""
     docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(tokens_col(F.col("text")))
+    vocab_df = docs.select(F.explode(words).alias("tok")).distinct()
+    n_vocab = vocab_df.count()
+    cand = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    if n_vocab <= 62:
+        # --- dense-vocab fast path: 64-bit set masks ---------------
+        vocab = sorted(r[0] for r in vocab_df.collect())  # ≤ 62 strings
+        vlit = F.array(*[F.lit(t) for t in vocab])
+        mask = F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc.bitwiseOR(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.array_position(vlit, w) - 1).cast("int"),
+                )
+            ),
+        )
+        masks = docs.select(
+            "doc_id", mask.alias("m"), F.size(words).alias("k")
+        ).localCheckpoint(eager=True)
+        pairs = bucketed_pairs(
+            masks.select(
+                F.lit(0).alias("_g"),
+                F.struct("doc_id", "m", "k").alias("dm"),
+            ),
+            ["_g"],
+            "dm",
+        )
+
+        def _jac(inter: F.Column, ka: F.Column, kb: F.Column) -> F.Column:
+            # |A∪B| = |A|+|B|-|A∩B|; double division mirrors the
+            # array-path NULL/zero semantics exactly
+            return inter.cast("double") / (ka + kb - inter)
+
+        p_inter = F.bit_count(F.col("id_a.m").bitwiseAND(F.col("id_b.m")))
+        truth = pairs.filter(
+            _jac(p_inter, F.col("id_a.k"), F.col("id_b.k")) >= 0.5
+        ).select(
+            F.col("id_a.doc_id").alias("doc_a"),
+            F.col("id_b.doc_id").alias("doc_b"),
+        )
+        ma = masks.select(
+            F.col("doc_id").alias("c_a"),
+            F.col("m").alias("m_a"),
+            F.col("k").alias("k_a"),
+        )
+        mb = masks.select(
+            F.col("doc_id").alias("c_b"),
+            F.col("m").alias("m_b"),
+            F.col("k").alias("k_b"),
+        )
+        c_inter = F.bit_count(F.col("m_a").bitwiseAND(F.col("m_b")))
+        caught = (
+            cand.join(F.broadcast(ma), "c_a")
+            .join(F.broadcast(mb), "c_b")
+            .filter(_jac(c_inter, F.col("k_a"), F.col("k_b")) >= 0.5)
+        )
+        # one union-aggregate (no 1×1 cross join): truth rows tagged
+        # t=1, caught-candidate rows tagged t=0
+        tagged = truth.select(F.lit(1).alias("t")).unionAll(
+            caught.select(F.lit(0).alias("t"))
+        )
+        n_true = F.count(F.when(F.col("t") == 1, True))
+        n_caught = F.count(F.when(F.col("t") == 0, True))
+        return tagged.agg(
+            n_true.alias("n_true_pairs"),
+            n_caught.cast("bigint").alias("n_caught"),
+            # zero true pairs (empty corpus): recall NULL on both
+            # engines via mirrored nullif (zero-row audit, round 10)
+            F.round(
+                n_caught.cast("double") / F.nullif(n_true, F.lit(0)), 4
+            ).alias("recall"),
+        )
+    # --- generic path (real vocabularies): inverted index ----------
     ws = docs.select(
-        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words")
+        "doc_id", words.alias("words")
     ).localCheckpoint(eager=True)
     inv = ws.select("doc_id", F.explode("words").alias("tok"))
     i2 = inv.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok2"))
@@ -858,9 +956,6 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
-    )
-    cand = minhash_candidate_pairs(docs).select(
-        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
     )
     hit = truth.join(
         cand, (F.col("doc_a") == F.col("c_a")) & (F.col("doc_b") == F.col("c_b")), "left"
@@ -926,7 +1021,7 @@ def dedup_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = (
-        banded_embedding_pairs(emb)
+        banded_embedding_pairs(emb, rebalance=True)
         .groupBy(
             F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
         )
