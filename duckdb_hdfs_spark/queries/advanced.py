@@ -2168,13 +2168,25 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel is 64 rows — the rank, SE, and CI are driver-trivial
     folds over it.  At 100 TB this is scan-bound with a 64-row
     reduction state."""
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
     od = _t(spark, sf_dir, "orders")
-    reps = od.select(
+    # the ×BOOT_R replicate explode + per-row md5 is the one CPU-dense
+    # map phase of this query; on a single-row-group input it would
+    # otherwise run serially in the lone scan task (guide §2.5 input
+    # parallelism; with the single-md5 projection below, 31.8s → 4.0s
+    # at sf0.1/32, round 13)
+    reps = rebalance_cpu_heavy(
+        od.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    ).select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "price",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
     )
-    u = (
+    u_expr = (
         md5_int60(
             F.concat_ws(
                 ":",
@@ -2184,11 +2196,20 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % BOOT_U_MOD
     ).cast("double") / BOOT_U_MOD
+    # materialize u as its own projected column BEFORE the CDF ladder:
+    # every `when` rung references u, and conditional branches defeat
+    # codegen subexpression elimination, so an inlined u re-runs the
+    # md5+conv up to |CDF|+1 times per row (profiled: 727s of task
+    # time at sf0.1).  CollapseProject keeps a non-cheap multi-
+    # referenced alias in its own Project (SPARK-36718), pinning ONE
+    # md5 per (order, replicate).
+    u = F.col("_u")
     k = F.lit(len(BOOT_POISSON_CDF))
     for i, c in reversed(list(enumerate(BOOT_POISSON_CDF))):
         k = F.when(u < c, F.lit(i)).otherwise(k)
     means = (
-        reps.select("r", "price", k.alias("k"))
+        reps.select("r", "price", u_expr.alias("_u"))
+        .select("r", "price", k.alias("k"))
         .groupBy("r")
         .agg(
             F.round(

@@ -716,7 +716,15 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.  Decimal(27,12) accumulation keeps the sum order-
     independent — the IEEE per-element products are bit-identical
     across engines, the decimal add is associative-exact."""
-    e = _t(spark, sf_dir, "embeddings")
+    from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
+
+    # d(d+1)/2 products per row is the CPU-dense map phase; spread the
+    # single-row-group scan before it (guide §2.5; no-op at 100 TB
+    # where splits >> cores).  Partial agg still collapses each task
+    # to ≤2080 cells before the one exchange.
+    e = rebalance_cpu_heavy(
+        _t(spark, sf_dir, "embeddings").select("embedding")
+    )
     cells = e.select(
         F.explode(
             F.expr(
