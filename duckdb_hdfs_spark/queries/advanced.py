@@ -169,11 +169,24 @@ def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch path at scale; exposed rows-only as
     distinct_users_approx is for HLL.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # ONE array-percentile aggregate, not four scalar ones: each
+    # percentile() buffers the ENTIRE column in its own aggregation
+    # state (21.5 MB of shuffled partials for 4.6 MB of input — 4
+    # copies; guide §2.3 shuffle fewer bytes) and re-sorts it at eval.
+    # The array form shares one buffer and one sort; element k is
+    # bit-identical to the scalar call (same sorted data, same
+    # interpolation).  Measured 9.3s → 2.4s at sf0.1, round 13.
+    names = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90))
+    qarr = ", ".join(str(q) for _, q in names)
+    g = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({qarr}))").alias("_qs")
+    )
+    return g.select(
+        "l_returnflag",
         *[
-            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(name)
-            for name, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90))
-        ]
+            F.round(F.col("_qs").getItem(i), 6).alias(name)
+            for i, (name, _) in enumerate(names)
+        ],
     )
 
 

@@ -880,6 +880,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         masks = docs.select(
             "doc_id", mask.alias("m"), F.size(words).alias("k")
         ).localCheckpoint(eager=True)
+        # n_rows: the checkpointed mask count is a cheap local job and
+        # lets bucket_cells use a LITERAL chunk count — the constant
+        # "_g" partition key would otherwise constant-fold its count
+        # window into a partition-less one (single task holding the
+        # whole corpus; the plan-shape test bans exactly that)
         pairs = bucketed_pairs(
             masks.select(
                 F.lit(0).alias("_g"),
@@ -887,6 +892,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["_g"],
             "dm",
+            n_rows=masks.count(),
         )
 
         def _jac(inter: F.Column, ka: F.Column, kb: F.Column) -> F.Column:
