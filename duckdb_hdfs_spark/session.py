@@ -38,13 +38,17 @@ def builder(app_name: str = "duckdb-hdfs-spark", cpus: str | int | None = None):
         # (value-range window frames, pair-grain scoring over compressed
         # columnar data) to 1-2 tasks regardless of core count — a
         # 2.8 MB exchange ran its 19.6 s window stage on 2 of 32 cores
-        # (round-13 profile).  64 KiB keeps AQE fully in charge — small
+        # (round-13 profile).  256 KiB keeps AQE fully in charge — small
         # shuffles still coalesce, and at cluster scale partitions are
         # orders of magnitude above either floor so this is a no-op —
-        # while letting parallelismFirst actually reach defaultParallelism
-        # here.  Measured: win_value_range_frame 12.1s → 4.4s, no
-        # regression across small-shuffle keys (paired A/B, round 13).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # while letting parallelismFirst reach useful parallelism here.
+        # Floor sweep (interleaved medians, round 13):
+        # win_value_range_frame 13.6s(1m) → 5.2s(256k) ≈ 5.8s(64k);
+        # dedup_substring_spans 3.7(1m) / 3.5(256k) / 4.0(64k);
+        # stats_spearman_corr 6.9(1m) / 5.8(256k) / 10.3(64k) —
+        # 64 KiB over-fragments shuffle-heavy multi-stage keys, 256 KiB
+        # dominates both alternatives on every probed key.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
