@@ -340,7 +340,7 @@ def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame
     ``vec_a < vec_b`` and the exact (unrounded) ``cos``; a pair
     sharing several buckets repeats with the IDENTICAL cosine —
     callers dedupe with distinct/dropDuplicates/max as fits."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     base = emb.select("vec_id", F.col("embedding").alias("e"))
@@ -354,8 +354,13 @@ def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame
         ).alias("vid"),
         F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
     )
-    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
-        F.col("id_a.nrm") * F.col("id_b.nrm")
+    # pair-grain cosine on the unrolled codegen branch (round 14):
+    # the interpreted per-element fold ran once per CANDIDATE PAIR —
+    # the superlinear term of the family — same left-fold arithmetic,
+    # see vectors.dot_expr (the once-per-row norm stays on the fold
+    # per the policy note there)
+    cos = F.expr(
+        f"{dot_expr('id_a.e', 'id_b.e')} / (id_a.nrm * id_b.nrm)"
     )
     return bucketed_pairs(v, ["band_key"], "vid", chunk=EMB_PAIR_CHUNK).select(
         F.col("id_a.vec_id").alias("vec_a"),

@@ -22,7 +22,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.vectors import dot, norm
+from duckdb_hdfs_spark.functions.vectors import dot, dot_expr, norm
 
 DIM = 64
 N_PLANES = 12
@@ -171,7 +171,11 @@ def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
 
 
 def brute_topk(
-    probes: DataFrame, corpus: DataFrame, k: int = 5, exclude_self: bool = True
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
+    unrolled_dot: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per probe.  ``probes`` must be small (it is
     broadcast); the corpus side streams — no corpus shuffle; the
@@ -180,7 +184,17 @@ def brute_topk(
 
     Norms are computed ONCE per vector before the join (norm values
     are identical to inline recomputation — same sequential fold), so
-    per-pair work is one dot product instead of three."""
+    per-pair work is one dot product instead of three.
+
+    ``unrolled_dot``: score pairs on the unrolled codegen branch
+    (vectors.dot_expr — bit-identical to the fold) instead of the
+    interpreted fold.  Pass True when the probe set is
+    corpus-proportional (all-pairs kNN graphs: the N² score map is
+    the wall, measured 1.3-2× at 4M pairs round 14); the default fold
+    keeps the ~460-node expression tree's fixed per-build
+    planning/codegen cost (~0.1-0.2 s per site) off few-probe
+    searches, where the score map is a few 10⁴ pairs and that fixed
+    cost dominates — see the policy note in functions/vectors.py."""
     p = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
@@ -194,7 +208,10 @@ def brute_topk(
     joined = c.join(F.broadcast(p))
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
-    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
+    if unrolled_dot:
+        cos = F.expr(f"{dot_expr('pe', 'ce')} / (pn * cn)")
+    else:
+        cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 

@@ -71,85 +71,76 @@ _QUERY_MODULES = (
 
 # Names forced to the FRONT of the registry (in this order), ahead of
 # everything else, so they land inside the driver's 50-entry window.
-# Keep this list at exactly <=50 names.  Round-13 allocation (the
-# round-12 verdict's task #1, verbatim): no new keys this round
-# (registry frozen at 328), so the whole window goes to freshness —
-# ALL 28 keys whose latest row is round 6 (CORRECTNESS_r06 window
-# order), then the 22 OLDEST round-7 keys (CORRECTNESS_r07 window
-# order).  After this round lands, no key's latest driver row
-# predates round 7.  All 50 verified green at driver-condition
-# sf0.01 before rotation.
+# Keep this list at exactly <=50 names.  Round-14 allocation (the
+# round-13 verdict's task #2, verbatim): every key REWRITTEN in the
+# round-13 optimization pass leads (none of them landed in the r13
+# window, so the rewrites were only builder-verified), then the keys
+# this round's optimizations touch, then the window fills from the
+# documented r7-stale pool (oldest-first).  All 50 verified green at
+# driver-condition sf0.01 before rotation.
 _DRIVER_PRIORITY = (
-    # --- the 28 r6-stale keys (CORRECTNESS_r06 order) ---
-    "sim_range_search",
-    "text_bigram_logprob",
-    "sql_math_funcs",
-    "sql_filtered_aggs",
-    "sql_bit_funcs",
-    "sql_pattern_match",
-    "sql_string_agg",
-    "sql_nested_types",
-    "sql_lateral_join",
-    "sql_distinct_on",
-    "sql_try_cast",
-    "sql_json_funcs",
-    "sql_any_all",
-    "sql_hash_funcs",
-    "sql_dayofweek_normalized",
-    "sql_union_by_name",
-    "sql_paginated_topn",
-    "sql_variant_type",
-    "sql_array_mutation_funcs",
-    "sql_map_funcs",
-    "sketch_bloom_filter",
-    "sketch_count_min",
-    "sketch_hll_intersection",
-    "sketch_hll_rolling_wau",
-    "sketch_cms_join_size",
-    "cdc_snapshot_at",
-    "cdc_incremental_agg",
-    "cdc_reordered_apply",
-    # --- the 22 oldest r7-stale keys (CORRECTNESS_r07 order) ---
-    "mm_decode_gif",
-    "fs_write_roundtrip",
-    "fs_bucketed_join",
-    "fs_compact_small_files",
-    "fs_read_csv_malformed",
-    "fs_typed_roundtrip",
-    "fs_read_json_nested",
-    "fs_summarize_table",
-    "fs_parquet_codecs",
-    "fs_sql_join_views",
-    "ev_user_decile",
-    "ev_burst_flags",
-    "ev_cumulative_users",
-    "ev_anomaly_mad",
-    "ev_stickiness",
-    "ev_anomaly_ewma",
-    "ev_session_paths",
-    "ev_daily_conversion_wilson",
-    "ev_active_streaks",
-    "ev_funnel_windowed",
-    "ev_new_vs_returning",
-    "ev_gap_filled_daily",
+    # --- the 22 r13-rewritten keys (r13 verdict order) ---
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh",
+    "dedup_lsh_band_sweep",
+    "dedup_cc_clusters",
+    "dedup_cc_size_histogram",
+    "dedup_embedding_cos",
+    "dedup_embedding_clusters",
+    "dedup_embedding_threshold_sweep",
+    "dedup_semdedup",
+    "pipeline_corpus_release",
+    "stats_quantiles",
+    "stats_bootstrap_ci",
+    "stats_kruskal_wallis",
+    "emb_gram_matrix",
+    "emb_matryoshka_recall",
+    "sim_lsh_ann",
+    "sim_ivf_probe_sweep",
+    "sim_ann_filtered",
+    "sim_knn_label_accuracy",
+    "win_value_range_frame",
+    "layout_range_partition_stats",
+    "orders_rfm_scores",
+    # --- round-14 optimization targets (this round's rewrites) ---
+    "sim_recall_eval",
+    "dedup_chain_capture_eval",
+    "corpus_perplexity_buckets",
+    "sim_mutual_knn_graph",
+    "sim_ivf_pq_topk",
+    "dedup_ngram_jaccard",
+    "streaming_user_totals",
+    "streaming_view_purchase_join",
+    # --- fill from the r7-stale pool, oldest-first, minus the keys
+    # --- already above ---
+    "ev_linear_attribution",
+    "ev_user_entropy",
+    "ev_conversion_survival",
+    "ev_bot_score_panel",
+    "win_locf_ignore_nulls",
+    "win_nulls_ordering",
+    "corpus_source_overlap",
+    "corpus_temperature_mix",
+    "corpus_length_drift_by_source",
+    "corpus_quality_dup_calibration",
+    "corpus_shard_planner",
+    "corpus_vocab_growth",
+    "corpus_quality_rule_ablation",
+    "dedup_pair_triangles",
+    "dedup_shingle_sensitivity",
+    "sim_ivf_cell_stats",
+    "emb_jl_project",
+    "emb_label_centroid_cohesion",
+    "emb_centroid_separation",
+    "emb_cluster_purity",
 )
 
-# Round-14+ rotation pool — stale re-verification oldest-first after
-# any keys added that round.  Remaining r7-latest keys (28, in their
-# CORRECTNESS_r07 window order): ev_linear_attribution,
-# ev_user_entropy, ev_conversion_survival, ev_bot_score_panel,
-# win_value_range_frame, win_locf_ignore_nulls, win_nulls_ordering,
-# corpus_source_overlap, corpus_temperature_mix,
-# corpus_length_drift_by_source, corpus_quality_dup_calibration,
-# corpus_shard_planner, corpus_vocab_growth,
-# corpus_quality_rule_ablation, dedup_cc_size_histogram,
-# dedup_embedding_clusters, dedup_pair_triangles,
-# dedup_embedding_threshold_sweep, dedup_chain_capture_eval,
-# dedup_shingle_sensitivity, sim_mutual_knn_graph,
-# sim_knn_label_accuracy, emb_matryoshka_recall, sim_ivf_cell_stats,
-# emb_jl_project, emb_label_centroid_cohesion,
-# emb_centroid_separation, emb_cluster_purity;
-# then the r8 set (50 keys), then r9, etc.
+# Round-15+ rotation pool — stale re-verification oldest-first after
+# any keys added that round.  The r7-stale pool is now fully drained;
+# next the r8 window set (50 keys, CORRECTNESS_r08 order), then r9,
+# etc.  The r14 window burned its stale-fill slots on the r13/r14
+# rewrites by verdict order — re-verification freshness resumes once
+# rewritten keys have a driver row.
 
 
 def _reorder(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:

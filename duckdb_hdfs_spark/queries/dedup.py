@@ -1473,7 +1473,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct + one left anti-ish join at vector grain.  Threshold
     compares the UNROUNDED cosine (bit-identical fold both engines,
     the dedup_embedding_cos contract)."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm
     from duckdb_hdfs_spark.operators.dedup import (
         EMB_PAIR_CHUNK,
         bucketed_pairs,
@@ -1498,8 +1498,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = assign.select(
         F.struct("vec_id", "e", "nrm").alias("vid"), "cent_id"
     )
-    cos = dot(F.col("id_a.e"), F.col("id_b.e")) / (
-        F.col("id_a.nrm") * F.col("id_b.nrm")
+    cos = F.expr(
+        f"{dot_expr('id_a.e', 'id_b.e')} / (id_a.nrm * id_b.nrm)"
     )
     dropped = (
         bucketed_pairs(v, ["cent_id"], "vid", chunk=EMB_PAIR_CHUNK)

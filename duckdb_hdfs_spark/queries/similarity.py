@@ -859,7 +859,15 @@ def sim_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     knn = (
-        brute_topk(emb.select("vec_id", "embedding"), emb, k=3, exclude_self=True)
+        # every vector probes: the N² score map is the wall — take the
+        # unrolled-dot branch (1.3× at sf0.1's 4M pairs, round 14)
+        brute_topk(
+            emb.select("vec_id", "embedding"),
+            emb,
+            k=3,
+            exclude_self=True,
+            unrolled_dot=True,
+        )
         .select("probe_id", "vec_id")
         .localCheckpoint(eager=True)
     )
@@ -1158,15 +1166,26 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ-filter applies BEFORE any shuffle — the result set (not the
     score set) is all that moves; no top-k state at all.  The 100 TB
     path puts the same filter after an IVF/LSH candidate stage."""
-    from duckdb_hdfs_spark.functions.vectors import cosine
+    from duckdb_hdfs_spark.functions.vectors import dot, norm
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
     emb = _t(spark, sf_dir, "embeddings")
+    # norms once per VECTOR before the pair join (round 14 — the
+    # inline cosine recomputed both fold norms per PAIR, 3 interpreted
+    # folds per candidate; same fold expression on the same rows, so
+    # the quotient is bit-identical and the τ-filter decision cannot
+    # move)
     p = _probes(emb).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("pn"),
     )
-    c = rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
-    cos_raw = cosine(F.col("pe"), F.col("embedding"))
+    c = rebalance_cpu_heavy(emb.select("vec_id", "embedding")).withColumn(
+        "cn", norm(F.col("embedding"))
+    )
+    cos_raw = dot(F.col("pe"), F.col("embedding")) / (
+        F.col("pn") * F.col("cn")
+    )
     return (
         c.join(F.broadcast(p))
         .filter(F.col("vec_id") != F.col("probe_id"))

@@ -231,10 +231,15 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator through the driver contract:
     ``applyInPandasWithState`` keeps one (count, sum) pair per user,
     emitting the running totals every micro-batch (update semantics,
-    4 micro-batches); the batch tail selects each user's FINAL update
-    (argmax on the monotone n_events) — which must equal the batch
-    aggregate.  Exercises Arrow-batched Python state, not just
-    built-in streaming aggs.
+    2 micro-batches over the 4-file rewrite — maxFilesPerTrigger=2;
+    state still crosses a batch boundary, which is the property under
+    test, while the per-batch fixed machinery — planning, state-store
+    commit cycle, Arrow round-trip — is paid half as often; round-13
+    verdict task #7, results batch-count-invariant by construction);
+    the batch tail selects each user's FINAL update (argmax on the
+    monotone n_events) — which must equal the batch aggregate.
+    Exercises Arrow-batched Python state, not just built-in streaming
+    aggs.
 
     Scale: state is bounded by key cardinality (one tiny tuple per
     user), hash-partitioned across executors; the update stream into
@@ -255,7 +260,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _rewrite_events(spark, sf_dir, n_files=4, tag="totals")
 
     name = f"t_streaming_user_totals_{next(_run_counter)}"
-    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
     run_available_now_to_memory(
         running_user_totals(stream), name, output_mode="update"
     )
@@ -301,8 +306,13 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 4-file events rewrite (views / purchases), inner-joined on
     user within a 1-hour event-time horizon, append-mode memory sink.
     A view arriving in micro-batch 1 must sit in the join state store
-    until its purchase arrives in batch 3 — the cross-batch buffering
-    a batch join never exercises.
+    until its purchase arrives in batch 2 — the cross-batch buffering
+    a batch join never exercises (maxFilesPerTrigger=2 over the
+    4-file rewrite: two batches per side keep the cross-batch
+    buffering property while halving the per-batch fixed machinery —
+    two state stores × partitions × commit cycle per batch; round-13
+    verdict task #7, pair set batch-count-invariant under availableNow
+    + the wide watermark).
 
     The watermark is wider than the table's span for the same reason
     as ``streaming_session_windows``: the 4-file rewrite makes
@@ -326,13 +336,13 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffered state (module comment above CLAMP_CTES)
     anchor = replay_clamp_anchor(spark.read.parquet(src))
     views = _ingest_clamp(
-        read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        read_event_stream(spark, src, max_files_per_trigger=2).filter(
             F.col("event_type") == "view"
         ),
         anchor,
     )
     purchases = _ingest_clamp(
-        read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        read_event_stream(spark, src, max_files_per_trigger=2).filter(
             F.col("event_type") == "purchase"
         ),
         anchor,

@@ -5,6 +5,8 @@ the test is cheap; the driver runs sf0.1)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -36,6 +38,7 @@ def _run_bench() -> dict:
     return json.loads(lines[0])
 
 
+@pytest.mark.slow  # spawns two full sf0.001 bench subprocesses (~2 min)
 def test_bench_emits_single_json_line():
     """Driver-condition run (control NOT suppressed): stdout must
     still be ONE JSON line, now carrying the prev_commit_control

@@ -22,6 +22,8 @@ updates automatically (single source of truth).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -100,6 +102,7 @@ def test_bmp_casefold_sweep(spark, oracle_con):
     )
 
 
+@pytest.mark.slow  # 1.1M-codepoint plane sweep; re-run on toolchain image changes
 def test_supplementary_casefold_sweep(spark, oracle_con):
     """Planes 1-16 continuation of the BMP sweep (round 10): the JVM
     lowercases the Vithkuqi (Unicode 14) and Garay (Unicode 16)

@@ -20,6 +20,28 @@ def plan_of(df) -> str:
     )
 
 
+#: (formatted, optimized) plan strings per registry key — the three
+#: registry-wide parametrized tests below each rebuilt every key's
+#: DataFrame (including its eager-checkpoint construction jobs) just
+#: to look at the SAME plan, ~2/3 of this file's 900 s wall (round
+#: 14, verify-gate budget).  The cache builds each key once and every
+#: shape assertion reads the same strings; assertions themselves are
+#: unchanged — this dedupes plan RENDERING, not anything the tests
+#: check.
+_KEY_PLANS: dict[str, tuple[str, str]] = {}
+
+
+def key_plans(name: str, spark, sf_dir: str) -> tuple[str, str]:
+    if name not in _KEY_PLANS:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        _KEY_PLANS[name] = (
+            df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted"),
+            qe.optimizedPlan().toString(),
+        )
+    return _KEY_PLANS[name]
+
+
 # --------------------------------------------------------------------------
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product(name, spark, sf_dir):
@@ -27,7 +49,7 @@ def test_no_cartesian_product(name, spark, sf_dir):
     must ride an equi-key (shuffle/broadcast hash or sort-merge).
     A cartesian that is harmless at sf0.001 is a cluster-killer at
     100 TB."""
-    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    plan = key_plans(name, spark, sf_dir)[0]
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
@@ -253,7 +275,7 @@ def test_scan_budget(name, spark, sf_dir):
 
     if name.startswith("streaming_"):
         pytest.skip("streaming drain: plan not comparable")
-    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    plan = key_plans(name, spark, sf_dir)[0]
     locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]+)", plan)
     counts = Counter(x.rsplit("/", 1)[1] for x in locs)
     budget = _SCAN_BUDGET_EXCEPTIONS.get(name, 2)
@@ -403,13 +425,7 @@ def test_no_partitionless_window(name, spark, sf_dir):
         pytest.skip("streaming drain: plan not comparable")
     if name in _GLOBAL_WINDOW_EXCEPTIONS:
         pytest.skip(f"justified: {_GLOBAL_WINDOW_EXCEPTIONS[name]}")
-    opt = (
-        REGISTRY[name]
-        .spark(spark, sf_dir)
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
-    )
+    opt = key_plans(name, spark, sf_dir)[1]
     for line in opt.splitlines():
         stripped = line.lstrip(" +-:").rstrip()
         if not stripped.startswith("Window "):
@@ -534,7 +550,11 @@ def test_rebalance_gated_on_volume(spark, sf_dir):
     assert rebalance_cpu_heavy(docs).rdd.getNumPartitions() == before
 
     cores = spark.sparkContext.defaultParallelism
-    big = spark.range(0, 50_000_000, 1, 1).selectExpr(
+    # 2M rows estimate ≈ 50 MB ≫ cores × BYTES_PER_SLOT (768 KiB at
+    # 32 cores) — comfortably past the cap with ~1/25 the rows the
+    # former 50M-row frame paid to build (the sizing probe is
+    # plan-only; round 14 verify-budget trim, same gate asserted)
+    big = spark.range(0, 2_000_000, 1, 1).selectExpr(
         "id", "repeat('x', 16) AS text"
     )
     assert rebalance_cpu_heavy(big).rdd.getNumPartitions() == cores

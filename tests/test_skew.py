@@ -213,6 +213,7 @@ def test_bucketed_pairs_fat_bucket_bounded(spark):
     assert occupancy < 3 * chunk, f"hash chunking degenerate: max={occupancy}"
 
 
+@pytest.mark.slow  # 5e9-pair mega-bucket, wall-clock-bounded (~80 s)
 def test_bucketed_pairs_mega_bucket_timed(spark):
     """Scale guard for the cell partitioner (VERDICT r6 'Next round'
     #6): a 100k-member mega-bucket — 10⁵ rows → S=196 chunks → 19,306

@@ -26,6 +26,8 @@ engine) fails (1) naming the codepoint to add to ``_WS_SRC/_WS_DST``.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -97,6 +99,7 @@ def test_bmp_whitespace_class_sweep(spark, oracle_con):
     )
 
 
+@pytest.mark.slow  # 1.1M-codepoint plane sweep; re-run on toolchain image changes
 def test_supplementary_whitespace_class_sweep(spark, oracle_con):
     """Planes 1-16: Unicode defines no supplementary whitespace, and
     neither regex engine's ``\\s`` may invent one — proven by sweep
