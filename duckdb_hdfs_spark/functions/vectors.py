@@ -67,6 +67,25 @@ def dot_fold_sql_spark(a: str, b: str) -> str:
     )
 
 
+def dot_fold_expr(a: str, b: str) -> Column:
+    """The fold dot as ONE ``F.expr`` parse — the identical Catalyst
+    tree :func:`dot` assembles Column-by-Column in ~40 py4j driver
+    round-trips, in a single round trip (the round-13 lsh_band_keys
+    construction collapse, applied to the vector family's N-LINEAR
+    sites; per-PAIR sites take :func:`dot_expr`'s unrolled branch
+    instead — see the policy note above)."""
+    return F.expr(dot_fold_sql_spark(a, b))
+
+
+def norm_fold_sql(a: str) -> str:
+    return f"sqrt({dot_fold_sql_spark(a, a)})"
+
+
+def norm_fold_expr(a: str) -> Column:
+    """:func:`norm` as one parse — see :func:`dot_fold_expr`."""
+    return F.expr(norm_fold_sql(a))
+
+
 def dot_expr(a: str, b: str) -> str:
     """Spark-SQL dot product over two array expressions: unrolled
     (codegen) for the known dims, sequential fold otherwise.  Both

@@ -340,7 +340,7 @@ def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame
     ``vec_a < vec_b`` and the exact (unrounded) ``cos``; a pair
     sharing several buckets repeats with the IDENTICAL cosine —
     callers dedupe with distinct/dropDuplicates/max as fits."""
-    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm
+    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm_fold_expr
     from duckdb_hdfs_spark.operators.similarity import lsh_band_keys
 
     base = emb.select("vec_id", F.col("embedding").alias("e"))
@@ -350,7 +350,7 @@ def banded_embedding_pairs(emb: DataFrame, rebalance: bool = False) -> DataFrame
         base = rebalance_cpu_heavy(base)
     v = base.select(
         F.struct(
-            "vec_id", F.col("e"), norm(F.col("e")).alias("nrm")
+            "vec_id", F.col("e"), norm_fold_expr("e").alias("nrm")
         ).alias("vid"),
         F.explode(lsh_band_keys(F.col("e"))).alias("band_key"),
     )

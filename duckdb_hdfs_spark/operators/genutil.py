@@ -33,7 +33,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["explode_nonnull_elems", "posexplode_nonnull_elems"]
+__all__ = [
+    "explode_nonnull_elems",
+    "parallel_checkpoints",
+    "posexplode_nonnull_elems",
+]
+
+
+def parallel_checkpoints(*dfs: DataFrame) -> list[DataFrame]:
+    """Eagerly ``localCheckpoint`` several INDEPENDENT DataFrames with
+    their materialization jobs overlapped (guide §2.6 "overlap
+    independent jobs": actions are only sequential because driver code
+    calls them sequentially).  Multi-arm evals materialize 3-6
+    independent small intermediates back to back — each an eager
+    checkpoint job whose cluster occupancy is far below full — and the
+    serial chain was the dominant cost of their DataFrame construction
+    (sim_recall_eval: 4.3 s of 7 s build inside sequential
+    localCheckpoint calls, round-14 profile).  Threads return the
+    checkpointed frames in input order; Spark's scheduler interleaves
+    the jobs (FIFO back-fill).  Callers pass only MUTUALLY INDEPENDENT
+    frames — a frame depending on another's checkpoint must stay in a
+    later wave."""
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=True)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(lambda df: df.localCheckpoint(eager=True), dfs))
 
 
 def explode_nonnull_elems(

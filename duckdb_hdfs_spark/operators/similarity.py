@@ -22,7 +22,12 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_hdfs_spark.functions.vectors import dot, dot_expr, norm
+from duckdb_hdfs_spark.functions.vectors import (
+    dot,
+    dot_expr,
+    dot_fold_sql_spark,
+    norm_fold_expr,
+)
 
 DIM = 64
 N_PLANES = 12
@@ -198,20 +203,20 @@ def brute_topk(
     p = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
-        norm(F.col("embedding")).alias("pn"),
+        norm_fold_expr("embedding").alias("pn"),
     )
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
     c = rebalance_cpu_heavy(
         corpus.select("vec_id", F.col("embedding").alias("ce"))
-    ).select("vec_id", "ce", norm(F.col("ce")).alias("cn"))
+    ).select("vec_id", "ce", norm_fold_expr("ce").alias("cn"))
     joined = c.join(F.broadcast(p))
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
     if unrolled_dot:
         cos = F.expr(f"{dot_expr('pe', 'ce')} / (pn * cn)")
     else:
-        cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
+        cos = F.expr(f"{dot_fold_sql_spark('pe', 'ce')} / (pn * cn)")
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
@@ -228,13 +233,13 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     ).select(
         "vec_id",
         "ce",
-        norm(F.col("ce")).alias("cn"),
+        norm_fold_expr("ce").alias("cn"),
         F.explode(lsh_band_keys(F.col("ce"))).alias("band_key"),
     )
     banded_probes = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
-        norm(F.col("embedding")).alias("pn"),
+        norm_fold_expr("embedding").alias("pn"),
         F.explode(lsh_band_keys(F.col("embedding"))).alias("band_key"),
     )
     candidates = (
@@ -242,7 +247,7 @@ def lsh_ann(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .dropDuplicates(["probe_id", "vec_id"])
     )
-    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
+    cos = F.expr(f"{dot_fold_sql_spark('pe', 'ce')} / (pn * cn)")
     return _topk_merge(candidates.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
@@ -263,7 +268,7 @@ def centroid_codebook(corpus: DataFrame, n_cells: int) -> DataFrame:
         corpus.select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cent"),
-            norm(F.col("embedding")).alias("cent_n"),
+            norm_fold_expr("embedding").alias("cent_n"),
         )
         .orderBy(F.md5(F.col("cent_id").cast("string")))
         .limit(n_cells)
@@ -287,19 +292,23 @@ def assign_nearest(
     an Exchange just to take each vector's argmax — a 16× data-
     movement tax on the corpus at scale.  Tiebreak (cos desc,
     cent_id asc) exactly: structs sort lexicographically on
-    (neg_cos, cent_id)."""
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (
-                -(dot(F.col(emb_col), c["cent"]) / (F.col(n_col) * c["cent_n"]))
-            ).alias("neg_cos"),
-            c["cent_id"].alias("cent_id"),
-        ),
+    (neg_cos, cent_id).
+
+    The scoring transform is ONE ``F.expr`` parse (round 14): the
+    identical fold-dot tree the former per-centroid Column lambda
+    assembled in ~100 py4j round-trips per call site —
+    ``emb_col``/``n_col`` must be simple column names."""
+    scored_sql = (
+        f"transform(cents, c -> named_struct("
+        f"'neg_cos', -({dot_fold_sql_spark(emb_col, 'c.cent')}"
+        f" / ({n_col} * c.cent_n)), "
+        f"'cent_id', c.cent_id))"
     )
     return (
         df.join(F.broadcast(cent_arr))
-        .withColumn("_near", F.explode(F.slice(F.sort_array(scored), 1, top)))
+        .withColumn(
+            "_near", F.explode(F.slice(F.sort_array(F.expr(scored_sql)), 1, top))
+        )
         .withColumn("cent_id", F.col("_near.cent_id"))
         .drop("cents", "_near")
     )
@@ -322,7 +331,7 @@ def ivf_ann(
     multi-arm callers (the nprobe sweep) pass one so the corpus-wide
     sample pass runs once, not once per arm."""
     joined = ivf_candidates(probes, corpus, n_cells, nprobe, cent_arr=cent_arr)
-    cos = dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn"))
+    cos = F.expr(f"{dot_fold_sql_spark('pe', 'ce')} / (pn * cn)")
     return _topk_merge(joined.select("probe_id", "vec_id", cos.alias("cos_sim")), k)
 
 
@@ -357,7 +366,7 @@ def ivf_candidates(
     corpus_cells = assign_nearest(
         rebalance_cpu_heavy(
             corpus.select("vec_id", F.col("embedding").alias("ce"))
-        ).select("vec_id", "ce", norm(F.col("ce")).alias("cn")),
+        ).select("vec_id", "ce", norm_fold_expr("ce").alias("cn")),
         cent_arr,
         "ce",
         "cn",
@@ -367,7 +376,7 @@ def ivf_candidates(
         probes.select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
-            norm(F.col("embedding")).alias("pn"),
+            norm_fold_expr("embedding").alias("pn"),
         ),
         cent_arr,
         "pe",

@@ -1473,7 +1473,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct + one left anti-ish join at vector grain.  Threshold
     compares the UNROUNDED cosine (bit-identical fold both engines,
     the dedup_embedding_cos contract)."""
-    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm
+    from duckdb_hdfs_spark.functions.vectors import dot_expr, norm_fold_expr
     from duckdb_hdfs_spark.operators.dedup import (
         EMB_PAIR_CHUNK,
         bucketed_pairs,
@@ -1487,7 +1487,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     corpus = rebalance_cpu_heavy(
         emb.select("vec_id", F.col("embedding").alias("e"))
-    ).select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+    ).select("vec_id", "e", norm_fold_expr("e").alias("nrm"))
     assign = (
         assign_nearest(corpus, centroid_codebook(emb, 8), "e", "nrm", top=1)
         # the pair branch and the verdict branch both read the

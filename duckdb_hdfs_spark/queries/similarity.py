@@ -399,17 +399,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per method with mean per-probe recall."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = _probes(emb)
-    # materialize the (probes x k)-row result sets once: each is
-    # reused by two joins below, and DataFrame reuse re-executes the
-    # full ANN lineage per reference (eval-scale data, so eager
-    # checkpointing is cheap and keeps the scan count flat)
-    truth = (
-        brute_topk(probes, emb, k=5)
-        .select("probe_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
 
-    def method_recall(df: DataFrame, method: str) -> DataFrame:
+    def method_recall(truth: DataFrame, df: DataFrame, method: str) -> DataFrame:
         return _per_probe_recall(truth, df).agg(
             F.lit(method).alias("method"),
             F.count(F.lit(1)).alias("n_probes"),
@@ -418,22 +409,29 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the IVF codebook and the PQ sample are the same md5-ordered 16
     # rows — build once (one corpus sample pass, not two) and share;
-    # _pq_best_structs reads cent_id/cent from the richer IVF structs
+    # _pq_best_structs reads cent_id/cent from the richer IVF structs.
+    # Materialize the (probes x k)-row result sets once: each is
+    # reused by two joins below, and DataFrame reuse re-executes the
+    # full ANN lineage per reference.  The checkpoints run in TWO
+    # PARALLEL WAVES (guide §2.6; round 14 — the serial chain of 5
+    # eager checkpoint jobs was 4.3 s of the 7 s DataFrame build):
+    # truth/codebook/LSH are mutually independent, the IVF and ADC
+    # arms each need only the checkpointed codebook.
+    from duckdb_hdfs_spark.operators.genutil import parallel_checkpoints
     from duckdb_hdfs_spark.operators.similarity import centroid_codebook
 
-    cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
-    lsh = method_recall(
-        lsh_ann(probes, emb, k=5).localCheckpoint(eager=True), "lsh"
+    truth, cent_arr, lsh_topk = parallel_checkpoints(
+        brute_topk(probes, emb, k=5).select("probe_id", "vec_id"),
+        centroid_codebook(emb, 16),
+        lsh_ann(probes, emb, k=5),
     )
-    ivf = method_recall(
-        ivf_ann(
-            probes, emb, n_cells=16, nprobe=2, k=5, cent_arr=cent_arr
-        ).localCheckpoint(eager=True),
-        "ivf",
+    ivf_topk, pq_topk = parallel_checkpoints(
+        ivf_ann(probes, emb, n_cells=16, nprobe=2, k=5, cent_arr=cent_arr),
+        _adc_topk(emb, cent_arr=cent_arr),
     )
-    pq = method_recall(
-        _adc_topk(emb, cent_arr=cent_arr).localCheckpoint(eager=True), "pq"
-    )
+    lsh = method_recall(truth, lsh_topk, "lsh")
+    ivf = method_recall(truth, ivf_topk, "ivf")
+    pq = method_recall(truth, pq_topk, "pq")
     return lsh.unionByName(ivf).unionByName(pq)
 
 
@@ -459,10 +457,10 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors).  avg of sequential-fold norms is order-sensitive only
     in the final mean; round(6) absorbs the per-engine merge order
     at this magnitude (norms ~O(1))."""
-    from duckdb_hdfs_spark.functions.vectors import norm
+    from duckdb_hdfs_spark.functions.vectors import norm_fold_expr
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select("label", norm(F.col("embedding")).alias("nrm"))
+    v = emb.select("label", norm_fold_expr("embedding").alias("nrm"))
     return v.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("nrm"), 6).alias("mean_norm"),
@@ -571,6 +569,21 @@ def _pq_sub_dist(emb_col, cent_col, m: int):
     )
 
 
+def _pq_sub_dist_sql(a: str, b: str, m: int) -> str:
+    """:func:`_pq_sub_dist` as Spark-SQL text — the identical
+    slice+zip_with+fold tree in ONE ``F.expr`` parse instead of ~50
+    py4j round-trips per (call site, subspace) (round 14, the
+    lsh_band_keys construction collapse)."""
+    return (
+        f"aggregate(zip_with("
+        f"slice({a}, {m * PQ_DSUB + 1}, {PQ_DSUB}), "
+        f"slice({b}, {m * PQ_DSUB + 1}, {PQ_DSUB}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def _pq_cent_arr(e: DataFrame) -> DataFrame:
     """The PQ codebook folded into ONE broadcastable array row
     (md5-ordered deterministic sample, TakeOrderedAndProject)."""
@@ -624,18 +637,16 @@ def _pq_best_structs() -> list:
     8 ``array_min(transform(cents, ...))`` struct columns (d,
     cent_id), one per subspace — argmin squared-L2 with ties on
     centroid id — evaluated against the row's ``embedding`` and the
-    broadcast ``cents`` codebook column, entirely map-side."""
-
-    def scorer(m: int):
-        # single-arg lambda: a two-arg lambda would be interpreted by
-        # F.transform as the (element, index) form
-        return lambda c: F.struct(
-            _pq_sub_dist(F.col("embedding"), c["cent"], m).alias("d"),
-            c["cent_id"].alias("cent_id"),
-        )
-
+    broadcast ``cents`` codebook column, entirely map-side.  Each
+    subspace is ONE ``F.expr`` parse of the identical tree the former
+    per-centroid Column lambda assembled (round 14 construction
+    collapse)."""
     return [
-        F.array_min(F.transform(F.col("cents"), scorer(m)))
+        F.expr(
+            f"array_min(transform(cents, c -> named_struct("
+            f"'d', {_pq_sub_dist_sql('embedding', 'c.cent', m)}, "
+            f"'cent_id', c.cent_id)))"
+        )
         for m in range(PQ_M)
     ]
 
@@ -708,9 +719,10 @@ def _pq_ptab(e: DataFrame, cent_arr: DataFrame) -> DataFrame:
             "probe_id",
             F.col("c.cent_id").alias("cent_id"),
             *[
-                F.round(_pq_sub_dist(F.col("pe"), F.col("c.cent"), m), 9)
-                .cast("decimal(20,10)")
-                .alias(f"d{m}")
+                F.expr(
+                    f"CAST(round({_pq_sub_dist_sql('pe', 'c.cent', m)}, 9) "
+                    f"AS DECIMAL(20,10))"
+                ).alias(f"d{m}")
                 for m in range(PQ_M)
             ],
         )
@@ -1105,33 +1117,36 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized sets; each arm reuses the same map-side IVF
     machinery (broadcast codebook argmax assignment, partial top-k
     before the only shuffle)."""
+    from duckdb_hdfs_spark.operators.genutil import parallel_checkpoints
     from duckdb_hdfs_spark.operators.similarity import centroid_codebook
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = _probes(emb)
-    truth = (
-        brute_topk(probes, emb, k=5)
-        .select("probe_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
     # ONE corpus-wide codebook sample shared by all three arms — at
     # scale each build is a full corpus pass, so per-arm rebuilds
-    # triple the sampling cost for bit-identical 16 rows
-    cent_arr = centroid_codebook(emb, 16).localCheckpoint(eager=True)
-    arms = []
-    for p in (1, 2, 4):
-        approx = (
-            ivf_ann(probes, emb, n_cells=16, nprobe=p, k=5, cent_arr=cent_arr)
-            .select("probe_id", "vec_id")
-            .localCheckpoint(eager=True)
+    # triple the sampling cost for bit-identical 16 rows.  Checkpoint
+    # WAVES (guide §2.6, round 14): truth ∥ codebook, then the three
+    # nprobe arms concurrently — five serial jobs become two waves.
+    truth, cent_arr = parallel_checkpoints(
+        brute_topk(probes, emb, k=5).select("probe_id", "vec_id"),
+        centroid_codebook(emb, 16),
+    )
+    approxes = parallel_checkpoints(
+        *[
+            ivf_ann(
+                probes, emb, n_cells=16, nprobe=p, k=5, cent_arr=cent_arr
+            ).select("probe_id", "vec_id")
+            for p in (1, 2, 4)
+        ]
+    )
+    arms = [
+        _per_probe_recall(truth, approx).agg(
+            F.lit(p).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg("r"), 4).alias("recall_at_5"),
         )
-        arms.append(
-            _per_probe_recall(truth, approx).agg(
-                F.lit(p).cast("long").alias("nprobe"),
-                F.count(F.lit(1)).alias("n_probes"),
-                F.round(F.avg("r"), 4).alias("recall_at_5"),
-            )
-        )
+        for p, approx in zip((1, 2, 4), approxes)
+    ]
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
@@ -1166,7 +1181,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ-filter applies BEFORE any shuffle — the result set (not the
     score set) is all that moves; no top-k state at all.  The 100 TB
     path puts the same filter after an IVF/LSH candidate stage."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import (
+        dot_fold_sql_spark,
+        norm_fold_expr,
+    )
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1178,13 +1196,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _probes(emb).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
-        norm(F.col("embedding")).alias("pn"),
+        norm_fold_expr("embedding").alias("pn"),
     )
     c = rebalance_cpu_heavy(emb.select("vec_id", "embedding")).withColumn(
-        "cn", norm(F.col("embedding"))
+        "cn", norm_fold_expr("embedding")
     )
-    cos_raw = dot(F.col("pe"), F.col("embedding")) / (
-        F.col("pn") * F.col("cn")
+    cos_raw = F.expr(
+        f"{dot_fold_sql_spark('pe', 'embedding')} / (pn * cn)"
     )
     return (
         c.join(F.broadcast(p))
@@ -1231,7 +1249,7 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector scores all centroids inside a transform() and keeps its
     argmax WITHOUT any corpus-keyed Exchange — then one 16-group
     partial-aggregated count."""
-    from duckdb_hdfs_spark.functions.vectors import norm
+    from duckdb_hdfs_spark.functions.vectors import norm_fold_expr
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
     from duckdb_hdfs_spark.operators.similarity import (
         assign_nearest,
@@ -1241,7 +1259,7 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     corpus = rebalance_cpu_heavy(
         emb.select("vec_id", F.col("embedding").alias("ce"))
-    ).select("vec_id", "ce", norm(F.col("ce")).alias("cn"))
+    ).select("vec_id", "ce", norm_fold_expr("ce").alias("cn"))
     assigned = assign_nearest(
         corpus, centroid_codebook(emb, 16), "ce", "cn", top=1
     )
@@ -1297,7 +1315,10 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (roles differ — _pq_best_structs reads cent_id/cent from the
     richer IVF structs); per-subspace distances round to 9 decimals
     into DECIMAL sums (the ADC contract), ranks tie on vec_id."""
-    from duckdb_hdfs_spark.functions.vectors import dot, norm
+    from duckdb_hdfs_spark.functions.vectors import (
+        dot_fold_sql_spark,
+        norm_fold_expr,
+    )
     from duckdb_hdfs_spark.operators.rebalance import rebalance_cpu_heavy
     from duckdb_hdfs_spark.operators.similarity import (
         assign_nearest,
@@ -1315,7 +1336,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _probes(emb).select(
                 F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("pe"),
-                norm(F.col("embedding")).alias("pn"),
+                norm_fold_expr("embedding").alias("pn"),
             ),
             cent_arr,
             "pe",
@@ -1330,17 +1351,14 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top=1 as array_min) + the 8 PQ code argmins, all map-side
     enc = (
         rebalance_cpu_heavy(emb.select("vec_id", "embedding"))
-        .withColumn("_n", norm(F.col("embedding")))
+        .withColumn("_n", norm_fold_expr("embedding"))
         .join(F.broadcast(cent_arr))
     )
-    cell_scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (
-                -(dot(F.col("embedding"), c["cent"]) / (F.col("_n") * c["cent_n"]))
-            ).alias("neg_cos"),
-            c["cent_id"].alias("cent_id"),
-        ),
+    cell_scored = F.expr(
+        f"transform(cents, c -> named_struct("
+        f"'neg_cos', -({dot_fold_sql_spark('embedding', 'c.cent')}"
+        f" / (_n * c.cent_n)), "
+        f"'cent_id', c.cent_id))"
     )
     codes = enc.select(
         "vec_id",
