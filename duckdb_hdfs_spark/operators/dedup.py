@@ -444,7 +444,13 @@ def connected_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # on pipeline_corpus_release at sf0.1/32): the full-width
     # 32-partition layout forces every per-iteration stage to run one
     # task per partition, and ~6 iterations of that scheduling
-    # overhead outweigh the one exchange saved.
+    # overhead outweigh the one exchange saved.  Round-14 negative
+    # result (do not re-attempt): TWO propagate+jump passes per
+    # checkpoint -- halving the checkpoint/count rounds for the same
+    # min-label fixpoint -- measured 0.73-0.91x across all five CC
+    # consumers at sf0.1: the deeper unmaterialized 6-join iteration
+    # plan costs more in planning and stage depth than the halved
+    # fixed overhead recovers.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
