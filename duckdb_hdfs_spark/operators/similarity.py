@@ -81,7 +81,11 @@ def lsh_band_keys(emb) -> "F.Column":
     built (zip_with + sequential aggregate fold per plane, same cast
     and comparison shape), minus ~5,000 py4j round-trips of driver
     latency per call (round 13; see memo note above)."""
-    name = emb if isinstance(emb, str) else _simple_col_sql(emb)
+    # string and Column args normalize through the SAME validation +
+    # backquoting, so 'ce' and F.col("ce") share one memo entry and a
+    # qualified/expression string can never splice into the generated
+    # SQL unvalidated (round-13 advisor)
+    name = _backquoted_ident(emb if isinstance(emb, str) else str(emb._jc))
     if name in _BAND_KEYS_MEMO:
         return _BAND_KEYS_MEMO[name]
     planes = hyperplanes()
@@ -105,15 +109,15 @@ def lsh_band_keys(emb) -> "F.Column":
     return col
 
 
-def _simple_col_sql(col: "F.Column") -> str:
-    """SQL text of a simple (unqualified attribute) Column — the only
-    shapes lsh_band_keys is called with.  Raises on anything more
-    complex rather than silently mis-parsing."""
+def _backquoted_ident(s: str) -> str:
+    """Validate + backquote a simple (unqualified attribute) column
+    name — the only shapes lsh_band_keys is called with, whether the
+    caller passed a string or a Column.  Raises on anything more
+    complex (qualified names, expressions) rather than silently
+    mis-parsing or splicing into the generated SQL."""
     import re
 
-    s = str(col._jc)  # JVM Column.toString: the bare expression text
-    m = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s)
-    if not m:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
         raise ValueError(
             f"lsh_band_keys needs a simple column reference, got {s!r}"
         )

@@ -858,13 +858,17 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = F.array_distinct(tokens_col(F.col("text")))
     vocab_df = docs.select(F.explode(words).alias("tok")).distinct()
-    n_vocab = vocab_df.count()
+    # ONE bounded decision job (round-13 advisor: count + collect was
+    # two): collect at most 63 distinct tokens — a 63rd row proves the
+    # vocabulary exceeds the 62-bit mask budget, and ≤62 rows ARE the
+    # full vocabulary.  Driver memory stays O(1) on any corpus.
+    vocab_rows = [r[0] for r in vocab_df.limit(63).collect()]
     cand = minhash_candidate_pairs(docs).select(
         F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
     )
-    if n_vocab <= 62:
+    if len(vocab_rows) <= 62:
         # --- dense-vocab fast path: 64-bit set masks ---------------
-        vocab = sorted(r[0] for r in vocab_df.collect())  # ≤ 62 strings
+        vocab = sorted(vocab_rows)  # ≤ 62 strings
         vlit = F.array(*[F.lit(t) for t in vocab])
         mask = F.aggregate(
             words,

@@ -86,7 +86,16 @@ def test_bench_emits_single_json_line():
             .get("paired_ratio", {})
             .get("stats_spearman_corr")
         )
-        assert retry is None or retry <= 1.25, (
+        # the retry must PROVE the blip ambient: a missing control
+        # ratio on the re-run is a loud failure, never a silent pass
+        # (round-13 advisor: a None retry let a regression slip when
+        # the second run's control block happened to be absent)
+        assert retry is not None, (
+            f"sentinel breach ({spearman_ratio}) and the retry run's "
+            "control block carried no stats_spearman_corr paired ratio "
+            "— cannot adjudicate; fix the control arm first"
+        )
+        assert retry <= 1.25, (
             f"stats_spearman_corr paired ratio breached the 1.25 re-baseline "
             f"sentinel TWICE ({spearman_ratio}, then {retry} on the retry) — "
             "the query regressed vs the previous round's commit "
