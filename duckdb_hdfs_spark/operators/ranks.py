@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_ntile", "grouped_cumsum", "halo_range_frame", "panel_rank"]
+__all__ = [
+    "distributed_ntile",
+    "grouped_cumsum",
+    "halo_range_frame",
+    "panel_rank",
+    "range_frame_count_decsum",
+]
 
 # NOTE (round 7): a hand-rolled grouped_topk (per-input-partition
 # collect_list → slice partial top-k) was implemented, measured, and
@@ -149,6 +155,149 @@ def halo_range_frame(
         .filter(F.col("_is_core"))
         .drop("_vbkt", "_is_core")
     )
+
+
+def range_frame_count_decsum(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    id_col: str,
+    dec_type: str = "decimal(28,6)",
+    out_n: str = "__n",
+    out_s: str = "__s",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """``count(*)`` and ``sum(CAST(value AS <dec_type>))`` over
+    ``PARTITION BY part_cols ORDER BY value_col RANGE BETWEEN |lo|
+    PRECEDING AND hi FOLLOWING`` in O(rows) work per row — the
+    CUMULATIVE DECOMPOSITION of the value-range frame (round 14,
+    r13-verdict task #9): Spark's Window re-aggregates the sliding
+    RANGE frame per row (O(rows × frame-rows) inside any partition or
+    halo bucket), while for INVERTIBLE aggregates over EXACT types
+
+        frame_agg(row) = cum(≤ v+hi) − cum(< v+lo)
+
+    needs one cumulative pass.  Mechanics: every row explodes into a
+    POINT carrier (tie=1: c=1, s=value-as-decimal) and two zero-weight
+    PROBES at the frame edges (tie=0 at v+lo, tie=2 at v+hi) carrying
+    the original row; ONE :func:`grouped_cumsum` over
+    (part_cols ORDER BY sortv, tie) gives running (count, decimal sum);
+    per row, hi-probe minus lo-probe cumulants ARE the frame
+    aggregates.  Exactness: counts are integers, the sum is an exact
+    DECIMAL (order-independent addition, exact subtraction), and the
+    probe positions use the IDENTICAL double arithmetic (``v + lo``,
+    ``v + hi``) the window's own boundary computation performs — so
+    frame membership matches bit-for-bit, including at ±Inf and NaN
+    (NaN probes subtract everything below NaN, leaving exactly the NaN
+    peer group, which is the window's NaN frame).  The tie ordering
+    makes boundaries inclusive exactly like RANGE: the lo probe sorts
+    BEFORE equal-valued points (strictly-less cumulant), the hi probe
+    AFTER them.  Partial order among equal (sortv, tie) rows is
+    harmless: probes carry zero weight and point outputs are never
+    read, so every consumed cumulant is order-invariant —
+    grouped_cumsum's total-order contract is satisfied in the only
+    sense that matters (documented here because the generic contract
+    asks for a unique tiebreaker).
+
+    NULL ``value_col`` rows form their own peer group (never mix with
+    real values — the RANGE-window rule): they take a direct
+    per-partition pass (count of the partition's NULL rows; their
+    decimal sum is the all-NULL sum, i.e. NULL) exactly as the naive
+    window computes them.
+
+    ``id_col`` must be unique per row (the probe fold groups on it).
+    Scale shape: one explode (3× narrow rows), one grouped_cumsum
+    (range-bucketed — parallelism independent of partition
+    cardinality), one id-keyed aggregation; work per row is O(1)
+    versus the window's O(frame).  vs halo_range_frame: no replication
+    factor, no bucket-width tuning, no epsilon nudges — but only for
+    invertible aggregates over exact types (count / decimal sum);
+    halo remains the general operator."""
+    if lo > hi:
+        raise ValueError(f"inverted frame: lo={lo} > hi={hi}")
+    if not part_cols:
+        raise ValueError(
+            "range_frame_count_decsum needs partition columns (the "
+            "NULL-peer pass is a partitioned window)"
+        )
+    v = F.col(value_col)
+    dec = v.cast(dec_type)
+    zero = F.lit(0).cast(dec_type)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    nn = df.filter(v.isNull())
+    rv = df.filter(v.isNotNull())
+
+    # _s cumulates coalesce(dec, 0) — exact: NULL decimals (a NaN/±Inf
+    # value that cannot cast) contribute nothing either way — and _d
+    # counts NON-NULL decimal contributions so the fold can reproduce
+    # SUM's empty-input semantics: a frame whose every member decimal
+    # is NULL must yield NULL, not 0 (the naninf audit shape).
+    def carrier(sortv, tie: int, c: int, s, d):
+        return F.struct(
+            sortv.cast("double").alias("_sortv"),
+            F.lit(tie).alias("_tie"),
+            F.lit(c).cast("long").alias("_c"),
+            s.alias("_s"),
+            d.cast("long").alias("_d"),
+            row.alias("_row"),
+        )
+
+    nonnull = F.when(dec.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    un = rv.select(
+        *part_cols,
+        F.explode(
+            F.array(
+                carrier(v, 1, 1, F.coalesce(dec, zero), nonnull),
+                carrier(v + F.lit(float(lo)), 0, 0, zero, F.lit(0)),
+                carrier(v + F.lit(float(hi)), 2, 0, zero, F.lit(0)),
+            )
+        ).alias("_e"),
+    ).select(
+        *part_cols,
+        F.col("_e._sortv").alias("_sortv"),
+        F.col("_e._tie").alias("_tie"),
+        F.col("_e._c").alias("_c"),
+        F.col("_e._s").alias("_s"),
+        F.col("_e._d").alias("_d"),
+        F.col("_e._row").alias("_row"),
+    )
+    cum = grouped_cumsum(
+        un,
+        part_cols,
+        [("_sortv", "asc"), ("_tie", "asc")],
+        val=["_c", "_s", "_d"],
+        out=["_cc", "_cs", "_cd"],
+        n_ranges=n_ranges,
+    )
+    hi_cc = F.max(F.when(F.col("_tie") == 2, F.col("_cc")))
+    lo_cc = F.max(F.when(F.col("_tie") == 0, F.col("_cc")))
+    hi_cs = F.max(F.when(F.col("_tie") == 2, F.col("_cs")))
+    lo_cs = F.max(F.when(F.col("_tie") == 0, F.col("_cs")))
+    hi_cd = F.max(F.when(F.col("_tie") == 2, F.col("_cd")))
+    lo_cd = F.max(F.when(F.col("_tie") == 0, F.col("_cd")))
+    folded = (
+        cum.filter(F.col("_tie") != 1)
+        .groupBy(F.col(f"_row.{id_col}").alias("__id"))
+        .agg(
+            F.first("_row").alias("_row"),  # both probes carry the same row
+            (hi_cc - lo_cc).alias(out_n),
+            # decimal cumulants subtract exactly; NULL when the frame
+            # carries zero non-NULL decimals (SUM's empty semantics)
+            F.when(hi_cd - lo_cd == 0, F.lit(None).cast(dec_type))
+            .otherwise(hi_cs - lo_cs)
+            .alias(out_s),
+        )
+        .select("_row.*", out_n, out_s)
+    )
+    wn = Window.partitionBy(*part_cols)
+    nn_out = nn.select(
+        *df.columns,
+        F.count(F.lit(1)).over(wn).alias(out_n),
+        F.sum(dec).over(wn).alias(out_s),
+    )
+    return folded.unionByName(nn_out)
 
 
 def _range_bucketed(

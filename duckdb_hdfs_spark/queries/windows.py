@@ -619,32 +619,40 @@ def win_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the value spacing, so ties need no tiebreaker — the frame is
     identical on both engines.
 
-    Scale shape (round 7): the naive ``PARTITION BY event_type``
-    window parallelizes only to the type cardinality (~5) — 1/5 of
-    the table through one task at ANY cluster size, measured 3.8 s
-    warm at sf0.1 on 32 cores.  Routed through
-    operators.ranks.halo_range_frame instead: value buckets of width
-    32 with ±5 halo replication make parallelism (types × occupied
-    buckets) with bit-identical frames (1.1 s warm, same oracle)."""
-    from duckdb_hdfs_spark.operators.ranks import halo_range_frame
+    Scale shape (round 7 → round 14): the naive ``PARTITION BY
+    event_type`` window parallelizes only to the type cardinality
+    (~5) — 1/5 of the table through one task at ANY cluster size
+    (measured 3.8 s warm at sf0.1/32 in round 7).  Round 7 routed it
+    through operators.ranks.halo_range_frame (value buckets + halo
+    replication — distributed, but Spark still RE-AGGREGATES the
+    sliding RANGE frame per row: O(rows × frame-rows) inside each
+    bucket, the r13 verdict's remaining scale-killer).  Round 14
+    replaces the window aggregation entirely with the CUMULATIVE
+    DECOMPOSITION (operators.ranks.range_frame_count_decsum):
+    frame_agg = cum(≤ v+5) − cum(< v−5) over ONE range-bucketed
+    cumulative pass — O(1) work per row, exact in counts and decimal
+    sums, probe boundaries computed with the window's own double
+    arithmetic (0 mismatches vs the naive window at sf0.001/0.01 and
+    on a NaN/±Inf/NULL/boundary-exact adversarial panel)."""
+    from duckdb_hdfs_spark.operators.ranks import range_frame_count_decsum
 
     ev = _t(spark, sf_dir, "events")
-    out = halo_range_frame(
+    out = range_frame_count_decsum(
         ev.select("event_id", "event_type", "value"),
         ["event_type"],
         "value",
         -5,
         5,
-        lambda w: [
-            F.count(F.lit(1)).over(w).alias("n_similar"),
-            F.round(F.sum(F.col("value").cast("decimal(28,6)")).over(w), 2)
-            .cast("double")
-            .alias("sum_similar"),
-        ],
-        bucket_width=32,
+        id_col="event_id",
+        out_n="n_similar",
+        out_s="_sum_dec",
     )
     return out.select(
-        "event_id", "event_type", "value", "n_similar", "sum_similar"
+        "event_id",
+        "event_type",
+        "value",
+        "n_similar",
+        F.round(F.col("_sum_dec"), 2).cast("double").alias("sum_similar"),
     )
 
 

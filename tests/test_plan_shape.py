@@ -667,10 +667,16 @@ def test_pq_encoding_is_map_side(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 def test_value_range_frame_window_is_bucketed(spark, sf_dir):
-    """win_value_range_frame's window must partition on the halo
-    bucket column as well as event_type (round 7) — a bare
-    event_type window spec would re-introduce the type-cardinality
-    parallelism cap."""
+    """win_value_range_frame's real-data cumulative pass must window
+    on the RANGE BUCKET as well as event_type — a bare event_type
+    window spec over the data stream would re-introduce the
+    type-cardinality parallelism cap (round 7's halo `_vbkt` pin,
+    re-targeted at round 14's cumulative decomposition: the carrier
+    cumulants `_c`/`_s`/`_d` must aggregate under a `__bkt`-partitioned
+    window).  The NULL-peer pass (a window over only the NULL-value
+    rows) and grouped_cumsum's offsets window (≤ n_ranges rows per
+    group by construction) are the two documented bare-group windows
+    and are exempt."""
     opt = (
         REGISTRY["win_value_range_frame"]
         .spark(spark, sf_dir)
@@ -682,8 +688,17 @@ def test_value_range_frame_window_is_bucketed(spark, sf_dir):
         line for line in opt.splitlines() if "windowspecdefinition" in line
     ]
     assert specs, "no window in plan"
-    for line in specs:
-        assert "_vbkt" in line, f"unbucketed window spec: {line.strip()[:140]}"
+    carrier = [
+        line
+        for line in specs
+        if "_c#" in line or "_s#" in line or "_d#" in line
+    ]
+    assert carrier, "no cumulative carrier window in plan"
+    for line in carrier:
+        assert "__bkt" in line, (
+            f"carrier cumulant window not range-bucketed: "
+            f"{line.strip()[:140]}"
+        )
 
 
 # --------------------------------------------------------------------------

@@ -423,3 +423,58 @@ def test_panel_rank_three_level_order(spark):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+def test_range_frame_count_decsum_adversarial_panel(spark):
+    """The cumulative RANGE-frame decomposition (round 14) must be
+    bit-identical to the naive global-partition window on the shapes
+    that break naive decompositions: NULL values (their own peer
+    group), NaN (equal-to-itself peer group under Spark's total
+    order), ±Inf, signed zeros, exact ±offset boundary values,
+    duplicate values (RANGE peers), huge magnitudes (1e15 — where the
+    halo operator needed epsilon nudges; the probe arithmetic here is
+    the window's own), and frames whose every member decimal is NULL
+    (SUM's empty-input NULL, not 0)."""
+    from pyspark.sql import Window
+
+    from duckdb_hdfs_spark.operators.ranks import range_frame_count_decsum
+
+    vals = [0.0, -0.0, 5.0, 10.0, 10.0, 15.0, 2.5, 7.5, -5.0, None, None,
+            float("nan"), float("nan"), float("inf"), float("-inf"),
+            1e15, 1e15 + 4.9, 1e15 + 5.1, -1e15,
+            99.999999, 104.999999, 105.000001]
+    rows, i = [], 0
+    for t in ("a", "b"):
+        for v in vals:
+            rows.append((i, t, v))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rangeBetween(-5, 5)
+    naive = df.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n1"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w), 2
+        ).cast("double").alias("s1"),
+    )
+    got = range_frame_count_decsum(
+        df, ["event_type"], "value", -5, 5, "event_id"
+    ).select(
+        "event_id",
+        F.col("__n").alias("n2"),
+        F.round(F.col("__s"), 2).cast("double").alias("s2"),
+    )
+    bad = (
+        naive.join(got, "event_id", "full")
+        .filter(
+            ~F.col("n1").eqNullSafe(F.col("n2"))
+            | ~F.expr("CAST(s1 AS STRING)").eqNullSafe(
+                F.expr("CAST(s2 AS STRING)")
+            )
+        )
+        .collect()
+    )
+    assert not bad, bad
